@@ -1,0 +1,596 @@
+"""Geometry kernels (pure numpy — no shapely in this environment).
+
+Reproduces, from behaviour not code, the reference's per-feature
+geometry pipeline in int64 tile space
+(src/vector_tile_processor.ipp:41-177):
+
+    transform+quantize (vector_tile_strategy, std::round semantics)
+      -> optional Douglas-Peucker simplify (vector_tile_douglas_peucker.hpp)
+      -> box clip + ring normalization (vector_tile_geometry_clipper.hpp)
+
+Geometry interchange: a ("kind", payload) pair
+    ("point", (2,) float/int array)
+    ("multipoint", (N,2))
+    ("linestring", (N,2))
+    ("multilinestring", [ (N,2), ... ])
+    ("polygon", [ ring0, ring1, ... ])          # ring = (N,2)
+    ("multipolygon", [ [rings...], ... ])
+    ("empty", None)
+
+All batch entry points loop per feature in Python with numpy inner
+math — the same cost shape shapely would give (C loop per geometry).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+HI_RANGE = 0x3FFFFFFFFFFFFFFF
+COORD_MAX = float(HI_RANGE)
+COORD_MIN = -COORD_MAX
+
+
+# ---------------------------------------------------------------------------
+# WKT (tests speak WKT; the pipeline speaks arrays)
+# ---------------------------------------------------------------------------
+
+_NUM = r"[-+0-9.eE]+"
+
+
+def _fmt(v: float) -> str:
+    s = format(float(v), ".10g")
+    return s
+
+
+def _fmt_pt(pt) -> str:
+    return f"{_fmt(pt[0])} {_fmt(pt[1])}"
+
+
+def _fmt_seq(arr) -> str:
+    return ",".join(_fmt_pt(p) for p in np.asarray(arr, dtype=np.float64))
+
+
+def to_wkt(geom) -> str:
+    kind, val = geom
+    if kind == "empty" or val is None:
+        return "GEOMETRYCOLLECTION EMPTY"
+    if kind == "point":
+        return f"POINT({_fmt_pt(val)})"
+    if kind == "multipoint":
+        return f"MULTIPOINT({_fmt_seq(val)})"
+    if kind == "linestring":
+        return f"LINESTRING({_fmt_seq(val)})"
+    if kind == "multilinestring":
+        return "MULTILINESTRING(" + ",".join(f"({_fmt_seq(l)})" for l in val) + ")"
+    if kind == "polygon":
+        return "POLYGON(" + ",".join(f"({_fmt_seq(r)})" for r in val) + ")"
+    if kind == "multipolygon":
+        return (
+            "MULTIPOLYGON("
+            + ",".join("(" + ",".join(f"({_fmt_seq(r)})" for r in poly) + ")" for poly in val)
+            + ")"
+        )
+    raise ValueError(kind)
+
+
+def _parse_seq(s: str) -> np.ndarray:
+    pts = []
+    for tok in s.split(","):
+        xy = tok.strip().split()
+        pts.append((float(xy[0]), float(xy[1])))
+    return np.array(pts, dtype=np.float64)
+
+
+def _split_groups(s: str) -> list[str]:
+    """Split 'a,b),(c,d' style top-level paren groups."""
+    groups, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start:i])
+    return groups
+
+
+def from_wkt(wkt: str):
+    w = wkt.strip()
+    m = re.match(r"([A-Z ]+?)\s*(\(.*\)|EMPTY)$", w, re.I)
+    if not m:
+        raise ValueError(f"bad WKT: {wkt!r}")
+    tag = m.group(1).strip().upper()
+    body = m.group(2)
+    if body == "EMPTY":
+        return ("empty", None)
+    inner = body[1:-1]
+    if tag == "POINT":
+        return ("point", _parse_seq(inner)[0])
+    if tag == "MULTIPOINT":
+        if "(" in inner:
+            return ("multipoint", np.vstack([_parse_seq(g) for g in _split_groups(inner)]))
+        return ("multipoint", _parse_seq(inner))
+    if tag == "LINESTRING":
+        return ("linestring", _parse_seq(inner))
+    if tag == "MULTILINESTRING":
+        return ("multilinestring", [_parse_seq(g) for g in _split_groups(inner)])
+    if tag == "POLYGON":
+        return ("polygon", [_parse_seq(g) for g in _split_groups(inner)])
+    if tag == "MULTIPOLYGON":
+        polys = []
+        depth, start = 0, 0
+        for i, ch in enumerate(inner):
+            if ch == "(":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    polys.append([_parse_seq(g) for g in _split_groups(inner[start + 1 : i])])
+        return ("multipolygon", polys)
+    raise ValueError(f"unsupported WKT type {tag}")
+
+
+# ---------------------------------------------------------------------------
+# Transform + quantization (P2) — src/vector_tile_strategy.hpp:37-67
+# ---------------------------------------------------------------------------
+
+def round_half_away(a: np.ndarray) -> np.ndarray:
+    """std::round: halfway cases away from zero (numpy rounds half-even)."""
+    return np.sign(a) * np.floor(np.abs(a) + 0.5)
+
+
+class ViewTransform:
+    """world bbox -> tile pixel space (y down), like mapnik view_transform."""
+
+    def __init__(self, minx, miny, maxx, maxy, width, height):
+        self.minx, self.miny, self.maxx, self.maxy = minx, miny, maxx, maxy
+        self.sx = width / (maxx - minx)
+        self.sy = height / (maxy - miny)
+
+    def forward(self, coords: np.ndarray) -> np.ndarray:
+        c = np.asarray(coords, dtype=np.float64)
+        out = np.empty_like(c)
+        out[..., 0] = (c[..., 0] - self.minx) * self.sx
+        out[..., 1] = (self.maxy - c[..., 1]) * self.sy
+        return out
+
+
+def quantize(coords: np.ndarray, vt: ViewTransform):
+    """Transform + std::round + hiRange validity mask
+    (src/vector_tile_strategy.hpp:44-56: out-of-range => point dropped)."""
+    px = vt.forward(coords)
+    px = round_half_away(px)
+    ok = (
+        (px[..., 0] > COORD_MIN)
+        & (px[..., 0] < COORD_MAX)
+        & (px[..., 1] > COORD_MIN)
+        & (px[..., 1] < COORD_MAX)
+    )
+    px = np.clip(px, COORD_MIN, COORD_MAX)  # avoid UB cast; mask still drops
+    return px.astype(np.int64), ok
+
+
+def transform_geom(geom, vt: ViewTransform):
+    """transform_visitor semantics (src/vector_tile_strategy.hpp:119-293):
+    invalid points are dropped from points/lines; a polygon ring with any
+    invalid point keeps the valid points (reference drops just the point
+    for multi_point; for paths an invalid vertex drops that vertex)."""
+    kind, val = geom
+    if kind == "empty":
+        return geom
+    if kind == "point":
+        px, ok = quantize(np.asarray(val, dtype=np.float64)[None, :], vt)
+        return ("point", px[0]) if ok[0] else ("empty", None)
+    if kind == "multipoint":
+        px, ok = quantize(val, vt)
+        px = px[ok]
+        return ("multipoint", px) if len(px) else ("empty", None)
+    if kind == "linestring":
+        px, ok = quantize(val, vt)
+        px = px[ok]
+        return ("linestring", px) if len(px) >= 2 else ("empty", None)
+    if kind == "multilinestring":
+        out = []
+        for line in val:
+            px, ok = quantize(line, vt)
+            px = px[ok]
+            if len(px) >= 2:
+                out.append(px)
+        return ("multilinestring", out) if out else ("empty", None)
+    if kind == "polygon":
+        rings = []
+        for ring in val:
+            px, ok = quantize(ring, vt)
+            px = px[ok]
+            rings.append(px)
+        if not rings or len(rings[0]) < 3:
+            return ("empty", None)
+        return ("polygon", rings)
+    if kind == "multipolygon":
+        polys = []
+        for poly in val:
+            rings = []
+            for ring in poly:
+                px, ok = quantize(ring, vt)
+                px = px[ok]
+                rings.append(px)
+            if rings and len(rings[0]) >= 3:
+                polys.append(rings)
+        return ("multipolygon", polys) if polys else ("empty", None)
+    raise ValueError(kind)
+
+
+# ---------------------------------------------------------------------------
+# Douglas-Peucker (K1/K2) — src/vector_tile_douglas_peucker.hpp
+# ---------------------------------------------------------------------------
+
+def douglas_peucker(arr: np.ndarray, max_distance: float) -> np.ndarray:
+    """Exact reference semantics (douglas_peucker.hpp:292-324 + consider
+    at :77-288): first/last always kept; candidate = farthest point by
+    *segment* distance (endpoint-clamped, squared); kept only when
+    strictly greater than max_distance^2; first-of-ties wins."""
+    pts = np.asarray(arr, dtype=np.float64)
+    n = len(pts)
+    if n <= 2:
+        return np.asarray(arr).copy()
+    included = np.zeros(n, dtype=bool)
+    included[0] = included[-1] = True
+    max_sqrd = float(max_distance) * float(max_distance)
+    stack = [(0, n - 1)]
+    while stack:
+        b, e = stack.pop()
+        if e - b + 1 <= 2:
+            continue
+        begin, last = pts[b], pts[e]
+        v = last - begin
+        c2 = float(v @ v)
+        seg = pts[b + 1 : e]
+        w = seg - begin
+        c1 = w @ v
+        # three-way clamp (consider() scalar tail, douglas_peucker.hpp:248-277)
+        d_begin = np.einsum("ij,ij->i", w, w)
+        u = seg - last
+        d_last = np.einsum("ij,ij->i", u, u)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            b_frac = np.where(c2 > 0, c1 / c2, 0.0)
+        proj = w - b_frac[:, None] * v
+        d_perp = np.einsum("ij,ij->i", proj, proj)
+        dist = np.where(c1 <= 0, d_begin, np.where(c2 <= c1, d_last, d_perp))
+        if len(dist) == 0:
+            continue
+        # strictly-greater update => first max wins (md < dist)
+        cand_rel = int(np.argmax(dist))
+        md = float(dist[cand_rel])
+        # replicate "first index with md < dist" semantics: argmax returns
+        # first occurrence of the max, matching the reference's update rule
+        if max_sqrd < md:
+            cand = b + 1 + cand_rel
+            included[cand] = True
+            stack.append((b, cand))
+            stack.append((cand, e))
+    return pts[included].astype(np.asarray(arr).dtype) if np.asarray(arr).dtype != np.float64 else pts[included]
+
+
+def simplify_geom(geom, simplify_distance: float):
+    """geometry_simplifier dispatch (vector_tile_geometry_simplifier.hpp):
+    lines <=2 pts and rings <=4 pts pass through; points untouched."""
+    if simplify_distance <= 0:
+        return geom
+    kind, val = geom
+    if kind in ("point", "multipoint", "empty"):
+        return geom
+    if kind == "linestring":
+        return ("linestring", val if len(val) <= 2 else douglas_peucker(val, simplify_distance))
+    if kind == "multilinestring":
+        return (
+            "multilinestring",
+            [l if len(l) <= 2 else douglas_peucker(l, simplify_distance) for l in val],
+        )
+    if kind == "polygon":
+        return (
+            "polygon",
+            [r if len(r) <= 4 else douglas_peucker(r, simplify_distance) for r in val],
+        )
+    if kind == "multipolygon":
+        return (
+            "multipolygon",
+            [
+                [r if len(r) <= 4 else douglas_peucker(r, simplify_distance) for r in poly]
+                for poly in val
+            ],
+        )
+    raise ValueError(kind)
+
+
+# ---------------------------------------------------------------------------
+# Areas / winding (A3, T1) — vector_tile_geometry_clipper.hpp:27-45
+# ---------------------------------------------------------------------------
+
+def ring_area(ring: np.ndarray) -> float:
+    """detail::area — positive = CCW in y-up coordinates. Matches the
+    reference's accumulation (closing pair included)."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) < 3:
+        return 0.0
+    x, y = r[:, 0], r[:, 1]
+    xp, yp = np.roll(x, 1), np.roll(y, 1)
+    return float(-0.5 * np.sum((xp + x) * (yp - y)))
+
+
+def dedup_consecutive(arr: np.ndarray) -> np.ndarray:
+    """boost::geometry::unique / std::unique — drop repeated consecutive
+    points (U3)."""
+    a = np.asarray(arr)
+    if len(a) < 2:
+        return a
+    keep = np.ones(len(a), dtype=bool)
+    keep[1:] = (a[1:] != a[:-1]).any(axis=1)
+    return a[keep]
+
+
+# ---------------------------------------------------------------------------
+# Clipping (K3/K4) — vector_tile_geometry_clipper.hpp:109-366
+# ---------------------------------------------------------------------------
+
+def clip_segment(p0, p1, box):
+    """Liang-Barsky segment/box clip in double space. Returns (q0, q1, t0, t1)
+    or None."""
+    minx, miny, maxx, maxy = box
+    x0, y0 = float(p0[0]), float(p0[1])
+    x1, y1 = float(p1[0]), float(p1[1])
+    dx, dy = x1 - x0, y1 - y0
+    t0, t1 = 0.0, 1.0
+    for p, q in (
+        (-dx, x0 - minx),
+        (dx, maxx - x0),
+        (-dy, y0 - miny),
+        (dy, maxy - y0),
+    ):
+        if p == 0.0:
+            if q < 0.0:
+                return None
+            continue
+        r = q / p
+        if p < 0.0:
+            if r > t1:
+                return None
+            if r > t0:
+                t0 = r
+        else:
+            if r < t0:
+                return None
+            if r < t1:
+                t1 = r
+    return (
+        np.array([x0 + t0 * dx, y0 + t0 * dy]),
+        np.array([x0 + t1 * dx, y0 + t1 * dy]),
+        t0,
+        t1,
+    )
+
+
+def clip_line(line: np.ndarray, box) -> list[np.ndarray]:
+    """linestring x box -> multi_line (boost::geometry::intersection
+    semantics, clipper.hpp:130-148): consecutive inside runs stitch into
+    one piece; exits/re-entries split pieces. Intersection coordinates
+    round half-away to int64 (input is already integer tile space)."""
+    pts = dedup_consecutive(np.asarray(line, dtype=np.int64))
+    if len(pts) < 2:
+        return []
+    pieces: list[list[np.ndarray]] = []
+    cur: list[np.ndarray] = []
+    for i in range(len(pts) - 1):
+        res = clip_segment(pts[i], pts[i + 1], box)
+        if res is None:
+            if len(cur) >= 2:
+                pieces.append(cur)
+            cur = []
+            continue
+        q0, q1, t0, t1 = res
+        q0i = round_half_away(q0).astype(np.int64)
+        q1i = round_half_away(q1).astype(np.int64)
+        if t0 > 0.0 or not cur:
+            # (re)start a piece
+            if len(cur) >= 2:
+                pieces.append(cur)
+            cur = [q0i]
+        if not np.array_equal(cur[-1], q1i):
+            cur.append(q1i)
+        if t1 < 1.0:
+            if len(cur) >= 2:
+                pieces.append(cur)
+            cur = []
+    if len(cur) >= 2:
+        pieces.append(cur)
+    return [np.array(p, dtype=np.int64) for p in pieces if len(p) >= 2]
+
+
+def quick_clip_ring(ring: np.ndarray, box) -> np.ndarray:
+    """Sutherland-Hodgman ring/box clip — the role of wagyu
+    quick_lr_clip in clipper.hpp:199-222. Output open ring (no closing
+    dup), int64, empty if fully outside."""
+    minx, miny, maxx, maxy = box
+    poly = np.asarray(ring, dtype=np.float64)
+    if len(poly) > 1 and np.array_equal(poly[0], poly[-1]):
+        poly = poly[:-1]
+
+    def clip_edge(pts, inside_fn, intersect_fn):
+        if len(pts) == 0:
+            return pts
+        out = []
+        prev = pts[-1]
+        prev_in = inside_fn(prev)
+        for p in pts:
+            p_in = inside_fn(p)
+            if p_in:
+                if not prev_in:
+                    out.append(intersect_fn(prev, p))
+                out.append(p)
+            elif prev_in:
+                out.append(intersect_fn(prev, p))
+            prev, prev_in = p, p_in
+        return np.array(out) if out else np.empty((0, 2))
+
+    def ix_x(xc):
+        def f(a, b):
+            t = (xc - a[0]) / (b[0] - a[0])
+            return np.array([xc, a[1] + t * (b[1] - a[1])])
+        return f
+
+    def ix_y(yc):
+        def f(a, b):
+            t = (yc - a[1]) / (b[1] - a[1])
+            return np.array([a[0] + t * (b[0] - a[0]), yc])
+        return f
+
+    poly = clip_edge(poly, lambda p: p[0] >= minx, ix_x(float(minx)))
+    poly = clip_edge(poly, lambda p: p[0] <= maxx, ix_x(float(maxx)))
+    poly = clip_edge(poly, lambda p: p[1] >= miny, ix_y(float(miny)))
+    poly = clip_edge(poly, lambda p: p[1] <= maxy, ix_y(float(maxy)))
+    if len(poly) < 3:
+        return np.empty((0, 2), dtype=np.int64)
+    out = round_half_away(poly).astype(np.int64)
+    out = dedup_consecutive(out)
+    if len(out) > 1 and np.array_equal(out[0], out[-1]):
+        out = out[:-1]
+    return out if len(out) >= 3 else np.empty((0, 2), dtype=np.int64)
+
+
+def _clip_polygon_rings(rings, box, area_threshold, process_all_rings):
+    """Ring loop of geometry_clipper::operator()(polygon) —
+    clipper.hpp:172-238: first ring (exterior) normalized to positive
+    area, others negative; below-threshold rings dropped; SH box clip."""
+    out = []
+    first = True
+    for ring in rings:
+        ring = np.asarray(ring, dtype=np.int64)
+        if len(ring) < 3:
+            if first:
+                if process_all_rings:
+                    first = False
+                    continue
+                return None
+            continue
+        area = ring_area(ring)
+        if first:
+            first = False
+            if abs(area) < area_threshold and not process_all_rings:
+                return None
+            r = ring[::-1].copy() if area < 0 else ring
+            new_ring = quick_clip_ring(r, box)
+            if len(new_ring) == 0:
+                if process_all_rings:
+                    continue
+                return None
+            out.append(("ext", new_ring))
+        else:
+            if abs(area) < area_threshold:
+                continue
+            r = ring[::-1].copy() if area > 0 else ring
+            new_ring = quick_clip_ring(r, box)
+            if len(new_ring) == 0:
+                continue
+            out.append(("int", new_ring))
+    return out
+
+
+def _assemble_polygons(tagged_rings):
+    """Post-clip union stand-in: rings already normalized (ext positive /
+    int negative) assemble into polygons by first-ring-is-exterior order.
+    NOTE: unlike Wagyu this does not resolve self-intersections or
+    cross-ring overlaps (see module docstring 'deviation'); the
+    reference's own test geometries are simple and covered by goldens."""
+    polys = []
+    for tag, ring in tagged_rings:
+        # re-check orientation survived clipping; SH clip preserves order
+        if tag == "ext":
+            polys.append([ring])
+        else:
+            if polys:
+                polys[-1].append(ring)
+    return [p for p in polys if p]
+
+
+def clip_geom(
+    geom,
+    box,
+    area_threshold: float = 0.1,
+    multi_polygon_union: bool = False,
+    process_all_rings: bool = False,
+):
+    """geometry_clipper dispatch (clipper.hpp:109-366)."""
+    kind, val = geom
+    if kind == "empty":
+        return geom
+    minx, miny, maxx, maxy = box
+    if kind == "point":
+        return geom  # points pass through (clipper.hpp:110-113)
+    if kind == "multipoint":
+        return ("multipoint", dedup_consecutive(val))  # :115-121
+    if kind == "linestring":
+        pieces = clip_line(val, box)
+        if not pieces:
+            return ("empty", None)
+        return ("linestring", pieces[0]) if len(pieces) == 1 else ("multilinestring", pieces)
+    if kind == "multilinestring":
+        pieces = []
+        for line in val:
+            pieces.extend(clip_line(line, box))
+        if not pieces:
+            return ("empty", None)
+        return ("linestring", pieces[0]) if len(pieces) == 1 else ("multilinestring", pieces)
+    if kind == "polygon":
+        if not val or (len(val[0]) < 3 and not process_all_rings):
+            return ("empty", None)
+        tagged = _clip_polygon_rings(val, box, area_threshold, process_all_rings)
+        if not tagged:
+            return ("empty", None)
+        polys = _assemble_polygons(tagged)
+        if not polys:
+            return ("empty", None)
+        return ("polygon", polys[0]) if len(polys) == 1 else ("multipolygon", polys)
+    if kind == "multipolygon":
+        all_polys = []
+        for poly in val:
+            tagged = _clip_polygon_rings(poly, box, area_threshold, process_all_rings)
+            if tagged:
+                all_polys.extend(_assemble_polygons(tagged))
+        if not all_polys:
+            return ("empty", None)
+        return (
+            ("polygon", all_polys[0]) if len(all_polys) == 1 else ("multipolygon", all_polys)
+        )
+    raise ValueError(kind)
+
+
+# ---------------------------------------------------------------------------
+# Fused encode-side pipeline (create_geom_layer shape,
+# src/vector_tile_processor.ipp:82-174)
+# ---------------------------------------------------------------------------
+
+def world_to_tile_geom(
+    geom_world,
+    vt: ViewTransform,
+    clip_box,
+    simplify_distance: float = 0.0,
+    area_threshold: float = 0.1,
+    multi_polygon_union: bool = False,
+    process_all_rings: bool = False,
+):
+    """transform -> [simplify] -> clip, one fused pass per feature."""
+    g = transform_geom(geom_world, vt)
+    if simplify_distance > 0:
+        g = simplify_geom(g, simplify_distance)
+    return clip_geom(
+        g,
+        clip_box,
+        area_threshold=area_threshold,
+        multi_polygon_union=multi_polygon_union,
+        process_all_rings=process_all_rings,
+    )

@@ -222,11 +222,12 @@ def overzoom_crop_window(
         return (0, 0, 0, 0)
     sx = img_w / (smaxx - sminx)
     sy = img_h / (smaxy - sminy)
-    x0 = int(np.floor((iminx - sminx) * sx))
-    x1 = int(np.ceil((imaxx - sminx) * sx))
+    eps = 1e-9  # snap FP noise so exact tile seams don't bleed a pixel
+    x0 = int(np.floor((iminx - sminx) * sx + eps))
+    x1 = int(np.ceil((imaxx - sminx) * sx - eps))
     # image rows run top-down: row 0 = maxy edge
-    y0 = int(np.floor((smaxy - imaxy) * sy))
-    y1 = int(np.ceil((smaxy - iminy) * sy))
+    y0 = int(np.floor((smaxy - imaxy) * sy + eps))
+    y1 = int(np.ceil((smaxy - iminy) * sy - eps))
     x0, y0 = max(0, x0), max(0, y0)
     x1, y1 = min(img_w, x1), min(img_h, y1)
     return (x0, y0, x1, y1)

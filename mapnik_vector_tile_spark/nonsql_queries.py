@@ -1,0 +1,132 @@
+"""Non-SQL-expressible operators exposed to the driver (rows-only checks).
+
+Each callable (spark, sf_dir) -> DataFrame exercises a pipeline stage the
+DuckDB oracle can't express: pbf encode/decode round-trip, geometry
+kernel goldens, raster invariants, composite merge. Full semantic
+assertions live in tests/; these return deterministic row sets so the
+driver can at least pin row counts + schemas across rounds.
+
+They run on the deterministic images fixture (FIXTURES.md §1), not the
+TPC-H tables — sf_dir only scales the fixture row count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_FIXTURE_ROWS = {"sf0.001": 1000, "sf0.01": 4000, "sf0.1": 10000}
+
+
+def _fixture_rows(sf_dir: str) -> int:
+    for k, v in _FIXTURE_ROWS.items():
+        if k in sf_dir:
+            return v
+    return 2000
+
+
+def _located(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapnik_vector_tile_spark.sources import images as IMG
+
+    path = IMG.ensure_images(spark, _fixture_rows(sf_dir))
+    return IMG.with_location(spark.read.parquet(path))
+
+
+def q_tile_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """images -> z13 tiles (pbf+zlib) -> decode -> per-tile feature counts.
+    Round-trip conservation: sum(n_decoded) == fixture rows."""
+    from mapnik_vector_tile_spark.operators import assign, decode, encode
+
+    located = _located(spark, sf_dir)
+    assigned = assign.assign_tiles(located, 13)
+    tiles = encode.build_point_tiles(
+        assigned, prop_cols=["image_id", "caption", "fmt"], order_col="image_id"
+    )
+    decoded = decode.decode_tiles(tiles)
+    return (
+        decoded.groupBy("z", "x", "y", "layer")
+        .agg(F.count("*").alias("n_decoded"), F.min("feature_id").alias("min_fid"))
+    )
+
+
+def q_geom_kernel_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's round-trip WKT goldens evaluated through the
+    kernels (transform -> simplify -> clip -> encode -> decode)."""
+    from mapnik_vector_tile_spark.functions import commands as C
+    from mapnik_vector_tile_spark.functions import geometry as G
+
+    vt = G.ViewTransform(-180.0, -90.0, 180.0, 90.0, 256000, 256000)
+    clip = (0, 0, 256000, 256000)
+    cases = [
+        ("rt_point", "POINT(0 0)", 0.0),
+        ("rt_line", "LINESTRING(0 0,100 100)", 0.0),
+        ("simp_point", "POINT(-122 48)", 500.0),
+        ("simp_mpoint", "MULTIPOINT(-122 48,-123 49)", 500.0),
+        ("simp_line_dp", "LINESTRING(0 0,1 1,2 2,100 100)", 500.0),
+        (
+            "simp_poly_hole",
+            "POLYGON((0 0,-10 0,-10 10,0 10,0 0),(-7 7,-7 3,-3 3,-3 7,-7 7))",
+            500.0,
+        ),
+        ("simp_line_oob", "LINESTRING(-10000 0,-10000.1 0,100000 0)", 100.0),
+    ]
+    rows = []
+    for case_id, wkt, simp in cases:
+        tg = G.world_to_tile_geom(G.from_wkt(wkt), vt, clip, simplify_distance=simp)
+        gtype, cmds = C.encode_geometry(tg)
+        decoded = (
+            G.to_wkt(
+                C.decode_geometry(cmds, gtype, version=2, scale_x=1000.0, scale_y=-1000.0)
+            )
+            if gtype
+            else None
+        )
+        rows.append((case_id, wkt, simp, decoded))
+    return spark.createDataFrame(
+        rows, "case_id string, input_wkt string, simplify double, decoded_wkt string"
+    )
+
+
+def q_raster_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster patch association: decode -> (passthrough | bilinear) ->
+    re-encode per image; PSNR + caption equality per row
+    (BASELINE.json per-row invariant). Runs on a deterministic slice."""
+    from mapnik_vector_tile_spark.operators import raster_assoc
+
+    located = _located(spark, sf_dir).limit(300)
+    return raster_assoc.raster_patch_invariants(located)
+
+
+def q_composite_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 fast path: merge two layer-disjoint tile sets per (z,x,y)."""
+    from mapnik_vector_tile_spark.operators import assign, composite, encode
+
+    located = _located(spark, sf_dir)
+    assigned = assign.assign_tiles(located, 3)
+    t1 = encode.build_point_tiles(assigned, ["image_id"], layer_name="a", order_col="image_id")
+    t2 = encode.build_point_tiles(assigned, ["image_id"], layer_name="b", order_col="image_id")
+    merged = composite.merge_tiles_fast(
+        t1.withColumn("source", F.lit(1)).unionByName(t2.withColumn("source", F.lit(2)))
+    )
+    return merged.select("z", "x", "y", "n_features", "n_layers", "painted")
+
+
+def q_knn_ring_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 scale path: cell-ring-expansion kNN on the images fixture;
+    exactness asserted against brute force in tests/test_knn.py."""
+    from mapnik_vector_tile_spark.operators import knn
+
+    located = _located(spark, sf_dir)
+    queries = located.orderBy("image_id").limit(20).select("image_id", "lon", "lat")
+    return knn.knn_ring_expansion(located, queries, k=5, z=9)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tile_encode_roundtrip": q_tile_encode_roundtrip,
+    "geom_kernel_goldens": q_geom_kernel_goldens,
+    "raster_invariants": q_raster_invariants,
+    "composite_merge": q_composite_merge,
+    "knn_ring_expansion": q_knn_ring_expansion,
+}

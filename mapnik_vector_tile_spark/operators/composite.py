@@ -1,0 +1,100 @@
+"""Composite / merge: N source tiles -> 1 target tile (J3,
+src/vector_tile_composite.hpp:22-98 + vector_tile_load_tile.hpp:53-137).
+
+Fast path (same extent, no re-encode): raw layer buffers appended,
+first-wins on duplicate layer names (composite.hpp:48-76,
+tile::append_layer_buffer tile.ipp:51-69).
+
+Slow path (extent mismatch or reencode requested): decode each source
+layer, re-run the encode pipeline into the target extent — expressed as
+unionByName of decoded rows + groupBy(z,x,y) re-encode.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from mapnik_vector_tile_spark.functions import compression as Z
+from mapnik_vector_tile_spark.functions import pbf
+from mapnik_vector_tile_spark.operators.encode import TILE_SCHEMA
+
+
+def merge_tiles_fast(tiles: DataFrame, source_order_col: str = "source") -> DataFrame:
+    """Byte-append merge per (z,x,y): layers concatenated in source
+    order; duplicate layer names keep the first occurrence."""
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        z, x, y = int(key[0]), int(key[1]), int(key[2])
+        pdf = pdf.sort_values(source_order_col, kind="mergesort")
+        seen: set[str] = set()
+        layers: list[bytes] = []
+        n_feats = 0
+        for tile in pdf["tile"]:
+            if not tile:
+                continue
+            data = Z.decompress(bytes(tile))
+            for layer_bytes in pbf.decode_tile(data):
+                meta = pbf.decode_layer(layer_bytes)
+                if meta["name"] in seen:  # first-wins (composite.hpp:56-63)
+                    continue
+                seen.add(meta["name"])
+                layers.append(layer_bytes)
+                n_feats += len(meta["features"])
+        tile_out = Z.compress(pbf.encode_tile(layers)) if layers else b""
+        return pd.DataFrame(
+            [(z, x, y, tile_out, n_feats, len(layers), bool(layers))],
+            columns=["z", "x", "y", "tile", "n_features", "n_layers", "painted"],
+        )
+
+    return tiles.groupBy("z", "x", "y").applyInPandas(kernel, schema=TILE_SCHEMA)
+
+
+def merge_tiles_reencode(
+    tiles: DataFrame,
+    prop_cols: list[str],
+    layer_name: str = "layer",
+    extent: int = 4096,
+    buffer_px: int = 0,
+) -> DataFrame:
+    """Slow-path merge: decode all sources, re-encode one layer per tile
+    (the v1->v2 upgrade path of load_tile.hpp:53-137). Points only for
+    now — decoded rows re-enter build_point_tiles."""
+    from mapnik_vector_tile_spark.operators import decode as D
+    from mapnik_vector_tile_spark.operators.encode import build_point_tiles
+    from mapnik_vector_tile_spark.functions import geometry as G
+
+    decoded = D.decode_tiles(tiles)
+
+    def to_lonlat(iterator):
+        import numpy as np
+        from mapnik_vector_tile_spark import tilemath
+
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            lons, lats = [], []
+            for wkt in pdf["geom_wkt"]:
+                kind, val = G.from_wkt(wkt)
+                mx, my = float(val[0]), float(val[1])
+                lon = np.degrees(mx / tilemath.EARTH_RADIUS)
+                lat = np.degrees(
+                    2.0 * np.arctan(np.exp(my / tilemath.EARTH_RADIUS)) - np.pi / 2.0
+                )
+                lons.append(lon)
+                lats.append(lat)
+            out = pdf[["z", "x", "y", "feature_id"]].copy()
+            out["lon"] = lons
+            out["lat"] = lats
+            for c in prop_cols:
+                out[c] = [m.get(c) for m in pdf["props"]]
+            yield out
+
+    schema = "z int, x long, y long, feature_id long, lon double, lat double, " + ", ".join(
+        f"{c} string" for c in prop_cols
+    )
+    rows = decoded.where(F.col("geom_type") == 1).mapInPandas(to_lonlat, schema=schema)
+    return build_point_tiles(
+        rows, prop_cols, layer_name=layer_name, extent=extent, buffer_px=buffer_px,
+        order_col="feature_id",
+    )

@@ -1,0 +1,233 @@
+"""Geometry kernel goldens.
+
+Round-trip harness reproduces test/utils/round_trip.cpp:26-91:
+world bbox (-180,-90,180,90) -> 256000-px tile, buffer 0, encode with
+optional simplify, decode with version 2, scale (1000, -1000).
+Expected WKTs from test/system/round_trip.cpp and
+round_trip_simplification.cpp (via FIXTURES.md §3); command-stream ints
+from test/unit/encoding/*.cpp and decoding/polygon.cpp (§4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mapnik_vector_tile_spark.functions import commands as C
+from mapnik_vector_tile_spark.functions import geometry as G
+
+TILE_SIZE = 256000
+VT = G.ViewTransform(-180.0, -90.0, 180.0, 90.0, TILE_SIZE, TILE_SIZE)
+CLIP = (0, 0, TILE_SIZE, TILE_SIZE)
+
+
+def round_trip(wkt: str, simplify: float = 0.0, **clip_kw) -> str:
+    geom = G.from_wkt(wkt)
+    tile_geom = G.world_to_tile_geom(geom, VT, CLIP, simplify_distance=simplify, **clip_kw)
+    gtype, cmds = C.encode_geometry(tile_geom)
+    if gtype is None:
+        return "EMPTY"
+    decoded = C.decode_geometry(cmds, gtype, version=2, tile_x=0.0, tile_y=0.0,
+                                scale_x=1000.0, scale_y=-1000.0)
+    return G.to_wkt(decoded)
+
+
+def _norm_ring(r: np.ndarray) -> tuple:
+    """Cyclic + direction-insensitive canonical form of a closed ring
+    (dictionary order ordering differs between Wagyu output and ours;
+    semantics compared, per SURVEY.md §7.4)."""
+    a = np.asarray(r, dtype=np.float64)
+    if np.array_equal(a[0], a[-1]):
+        a = a[:-1]
+    best = None
+    for arr in (a, a[::-1]):
+        for s in range(len(arr)):
+            cand = tuple(map(tuple, np.roll(arr, -s, axis=0)))
+            if best is None or cand < best:
+                best = cand
+    return best
+
+
+def norm_poly_wkt(wkt: str):
+    kind, val = G.from_wkt(wkt)
+    if kind == "polygon":
+        return ("polygon", [_norm_ring(r) for r in val])
+    if kind == "multipolygon":
+        return ("multipolygon", sorted([_norm_ring(r) for r in poly] for poly in val))
+    return (kind, G.to_wkt((kind, val)))
+
+
+# --- point / line round trips (exact string goldens) -----------------------
+
+CASES_EXACT = [
+    ("POINT(0 0)", 0.0, "POINT(128 -128)"),
+    ("POINT(-122 48)", 500.0, "POINT(41.244 -59.733)"),
+    ("MULTIPOINT(-122 48,-123 49)", 500.0, "MULTIPOINT(41.244 -59.733,40.533 -58.311)"),
+    ("LINESTRING(0 0,100 100)", 0.0, "LINESTRING(128 -128,192 0)"),
+    ("LINESTRING(0 0,1 1,2 2,100 100)", 500.0, "LINESTRING(128 -128,192 0)"),
+    ("LINESTRING(-10000 0,-10000.1 0,100000 0)", 100.0, "LINESTRING(0 -128,256 -128)"),
+]
+
+
+@pytest.mark.parametrize("wkt,simplify,expected", CASES_EXACT)
+def test_round_trip_exact(wkt, simplify, expected):
+    assert round_trip(wkt, simplify) == expected
+
+
+def test_round_trip_polygon_with_hole():
+    got = round_trip(
+        "POLYGON((0 0,-10 0,-10 10,0 10,0 0),(-7 7,-7 3,-3 3,-3 7,-7 7))", 500.0
+    )
+    expected = (
+        "POLYGON((128 -113.778,120.889 -113.778,120.889 -128,128 -128,128 -113.778),"
+        "(123.022 -123.733,123.022 -118.044,125.867 -118.044,125.867 -123.733,"
+        "123.022 -123.733))"
+    )
+    assert norm_poly_wkt(got) == norm_poly_wkt(expected)
+
+
+def test_simplified_line_keeps_endpoints():
+    out = round_trip("LINESTRING(0 0,1 1,2 2,100 100)", 500.0)
+    kind, val = G.from_wkt(out)
+    assert kind == "linestring" and len(val) == 2
+
+
+# --- command-stream goldens (test/unit/encoding/point_pbf.cpp:26-46) -------
+
+def test_encode_point_cmds():
+    gtype, cmds = C.encode_geometry(("point", np.array([10, 10])))
+    assert (gtype, cmds) == (C.POINT, [9, 20, 20])
+    gtype, cmds = C.encode_geometry(("point", np.array([-10, -10])))
+    assert (gtype, cmds) == (C.POINT, [9, 19, 19])
+
+
+def test_encode_multipoint_cmds():
+    gtype, cmds = C.encode_geometry(
+        ("multipoint", np.array([[10, 10], [20, 20], [30, 30]]))
+    )
+    assert (gtype, cmds) == (C.POINT, [25, 20, 20, 20, 20, 20, 20])
+
+
+def test_encode_example_from_spec():
+    """proto/vector_tile.proto:60-70 worked example."""
+    gtype, cmds = C.encode_geometry(("linestring", np.array([[3, 6], [8, 12], [20, 34]])))
+    assert (gtype, cmds) == (C.LINESTRING, [9, 6, 12, 18, 10, 12, 24, 44])
+
+
+def test_encode_ring_drops_closing_dup_and_repeats():
+    ring = np.array([[0, 0], [0, 10], [-10, 10], [-10, 10], [-10, 0], [0, 0]])
+    gtype, cmds = C.encode_geometry(("polygon", [ring]))
+    assert gtype == C.POLYGON
+    dec = C.decode_geometry(cmds, gtype, version=2)
+    assert dec[0] == "polygon"
+    np.testing.assert_array_equal(
+        dec[1][0], np.array([[0, 0], [0, 10], [-10, 10], [-10, 0], [0, 0]], dtype=float)
+    )
+
+
+# --- decoding goldens (test/unit/decoding/polygon.cpp:24-110,485-526) ------
+
+def test_decode_polygon_basic_both_versions():
+    cmds = [9, 0, 0, 26, 0, 20, 19, 0, 0, 19, 15]
+    for version in (1, 2):
+        kind, rings = C.decode_geometry(cmds, C.POLYGON, version=version)
+        assert kind == "polygon"
+        np.testing.assert_array_equal(
+            rings[0],
+            np.array([[0, 0], [0, 10], [-10, 10], [-10, 0], [0, 0]], dtype=float),
+        )
+
+
+def test_decode_cw_first_ring_v2_raises_v1_ok():
+    # CW square: MoveTo(0,0) LineTo(-10,0) LineTo(0,10) ... encode a CW ring
+    gtype, cmds = C.encode_geometry(
+        ("polygon", [np.array([[0, 0], [0, 10], [10, 10], [10, 0]])])
+    )
+    # that ring is CW in y-up terms (area<0): verify decoder matrix
+    area = G.ring_area(np.array([[0, 0], [0, 10], [10, 10], [10, 0]]))
+    assert area < 0
+    with pytest.raises(C.DecodeError):
+        C.decode_geometry(cmds, gtype, version=2)
+    kind, _ = C.decode_geometry(cmds, gtype, version=1)
+    assert kind == "polygon"
+
+
+def test_decode_linestring_v1_leniency_matrix():
+    # repeated MOVETO: v1 ignores previous moveto, v2 raises
+    cmds = [9, 0, 0, 9, 2, 2, 10, 2, 2]  # MoveTo(0,0) MoveTo(1,1) LineTo(2,2)
+    kind, val = C.decode_geometry(cmds, C.LINESTRING, version=1)
+    assert kind == "linestring"
+    np.testing.assert_array_equal(val, np.array([[1, 1], [2, 2]], dtype=float))
+    with pytest.raises(C.DecodeError):
+        C.decode_geometry(cmds, C.LINESTRING, version=2)
+    # lone MOVETO: v1 -> empty, v2 raises
+    cmds = [9, 0, 0]
+    assert C.decode_geometry(cmds, C.LINESTRING, version=1)[0] == "empty"
+    with pytest.raises(C.DecodeError):
+        C.decode_geometry(cmds, C.LINESTRING, version=2)
+
+
+def test_decode_point_error_matrix():
+    with pytest.raises(C.DecodeError):
+        C.decode_geometry([0], C.POINT)  # zero-count MOVETO
+    with pytest.raises(C.DecodeError):
+        C.decode_geometry([10, 2, 2], C.POINT)  # LINETO in POINT
+    with pytest.raises(C.DecodeError):
+        C.decode_geometry([15], C.POINT)  # CLOSE in POINT
+
+
+def test_decode_zero_delta_lineto_skipped():
+    # LineTo with (0,0) delta is skipped (decoder.ipp:700-706)
+    cmds = [9, 0, 0, 26, 2, 2, 0, 0, 2, 2]
+    kind, val = C.decode_geometry(cmds, C.LINESTRING, version=1)
+    assert kind == "linestring"
+    np.testing.assert_array_equal(val, np.array([[0, 0], [1, 1], [2, 2]], dtype=float))
+
+
+def test_decode_negative_scale_reverses_rings():
+    gtype, cmds = C.encode_geometry(
+        ("polygon", [np.array([[0, 0], [10, 0], [10, 10], [0, 10]])])
+    )
+    pos = C.decode_geometry(cmds, gtype, version=2, scale_x=1.0, scale_y=1.0)
+    neg = C.decode_geometry(cmds, gtype, version=2, scale_x=1.0, scale_y=-1.0)
+    assert pos[0] == "polygon" and neg[0] == "polygon"
+    # y-negated + reversed: same cyclic sequence as positive with y * -1
+    got = _norm_ring(neg[1][0] * np.array([1.0, -1.0]))
+    exp = _norm_ring(pos[1][0])
+    assert got == exp
+
+
+# --- quantization semantics (P2) --------------------------------------------
+
+def test_round_half_away_from_zero():
+    a = np.array([0.5, 1.5, 2.5, -0.5, -1.5, -2.5])
+    np.testing.assert_array_equal(
+        G.round_half_away(a), np.array([1.0, 2.0, 3.0, -1.0, -2.0, -3.0])
+    )
+
+
+def test_out_of_range_point_dropped():
+    vt = G.ViewTransform(0, 0, 1e-12, 1e-12, 2**62, 2**62)
+    g = G.transform_geom(("point", np.array([1e30, 1e30])), vt)
+    assert g[0] == "empty"
+
+
+# --- clipper semantics ------------------------------------------------------
+
+def test_area_threshold_drops_small_exterior():
+    # tiny triangle below threshold is rejected entirely (clipper.hpp:193-196)
+    tri = [np.array([[0, 0], [2, 0], [1, 1]])]
+    out = G.clip_geom(("polygon", tri), (0, 0, 100, 100), area_threshold=10.0)
+    assert out[0] == "empty"
+
+
+def test_line_fully_outside_clipped_away():
+    out = G.clip_geom(("linestring", np.array([[-50, -50], [-10, -10]])), (0, 0, 100, 100))
+    assert out[0] == "empty"
+
+
+def test_line_reentry_splits_to_multiline():
+    line = np.array([[-10, 5], [10, 5], [10, 50], [-10, 50], [-10, 60], [10, 60]])
+    out = G.clip_geom(("linestring", line), (0, 0, 100, 100))
+    assert out[0] == "multilinestring"
+    assert len(out[1]) == 2

@@ -1,0 +1,165 @@
+"""End-to-end Spark tile pipeline: images fixture -> assignment ->
+per-tile pbf encode -> decode round-trip -> invariants.
+
+Mirrors the reference's system tests (processor_and_datasource.cpp,
+encode_and_datasource_decode.cpp): every encoded feature decodes back
+with identical membership, properties, and quantization-accurate
+location.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mapnik_vector_tile_spark import tilemath
+from mapnik_vector_tile_spark.functions import compression as Z
+from mapnik_vector_tile_spark.functions import pbf
+from mapnik_vector_tile_spark.operators import assign, composite, decode, encode
+from mapnik_vector_tile_spark.sources import images as IMG
+
+Z_TEST = 13
+
+
+@pytest.fixture(scope="module")
+def located(images_small):
+    return IMG.with_location(images_small)
+
+
+@pytest.fixture(scope="module")
+def tiles(located):
+    assigned = assign.assign_tiles(located, Z_TEST)
+    return encode.build_point_tiles(
+        assigned,
+        prop_cols=["image_id", "caption", "fmt"],
+        order_col="image_id",
+    ).cache()
+
+
+def test_assignment_matches_numpy_oracle(located):
+    pdf = located.select("image_id", "phash", "lon", "lat").toPandas()
+    lon_e, lat_e = IMG.location_np(pdf["image_id"].to_numpy(), pdf["phash"].to_numpy())
+    np.testing.assert_allclose(pdf["lon"], lon_e, atol=1e-12)
+    np.testing.assert_allclose(pdf["lat"], lat_e, atol=1e-12)
+    assigned = assign.assign_tiles(located, Z_TEST).select("image_id", "x", "y").toPandas()
+    xe, ye = tilemath.lonlat_to_tile_np(lon_e, lat_e, Z_TEST)
+    merged = assigned.sort_values("image_id").reset_index(drop=True)
+    order = np.argsort(pdf["image_id"].to_numpy())
+    np.testing.assert_array_equal(merged["x"].to_numpy(), xe[order])
+    np.testing.assert_array_equal(merged["y"].to_numpy(), ye[order])
+
+
+def test_hotspot_skew_exists(located):
+    """FIXTURES skew clause: ~30% of rows in one z13 tile."""
+    counts = (
+        assign.assign_tiles(located, Z_TEST).groupBy("x", "y").count().orderBy(F.desc("count"))
+    )
+    top = counts.first()
+    assert top["count"] >= 0.25 * 2000
+
+
+def test_tiles_roundtrip_membership_and_props(tiles, located):
+    n_in = located.count()
+    decoded = decode.decode_tiles(tiles)
+    out = decoded.toPandas()
+    assert len(out) == n_in  # every image row lands in exactly one tile
+    # props carried through dictionaries
+    src = located.select("image_id", "caption", "fmt", "lon", "lat").toPandas()
+    src = src.set_index(src["image_id"])
+    got_ids = sorted(m["image_id"] for m in out["props"])
+    assert got_ids == sorted(src["image_id"])
+    for _, row in out.sample(50, random_state=1).iterrows():
+        p = row["props"]
+        assert p["caption"] == src.loc[p["image_id"], "caption"]
+        assert p["fmt"] == src.loc[p["image_id"], "fmt"]
+
+
+def test_roundtrip_location_within_quantization(tiles, located):
+    """Decoded mercator position within one tile-pixel of the source
+    (extent 4096 quantization)."""
+    decoded = decode.decode_tiles(tiles).toPandas()
+    src = located.select("image_id", "lon", "lat").toPandas()
+    mx, my = tilemath.mercator_np(src["lon"].to_numpy(), src["lat"].to_numpy())
+    src_pos = {i: (a, b) for i, a, b in zip(src["image_id"], mx, my)}
+    from mapnik_vector_tile_spark.functions import geometry as G
+
+    ts = tilemath.EARTH_CIRCUMFERENCE / 2**Z_TEST
+    px_size = ts / 4096.0
+    for _, row in decoded.sample(100, random_state=2).iterrows():
+        kind, val = G.from_wkt(row["geom_wkt"])
+        assert kind == "point"
+        ex, ey = src_pos[row["props"]["image_id"]]
+        assert abs(val[0] - ex) <= px_size
+        assert abs(val[1] - ey) <= px_size
+
+
+def test_tile_binary_is_zlib_and_valid_pbf(tiles):
+    row = tiles.where(F.col("painted")).first()
+    raw = bytes(row["tile"])
+    assert Z.is_zlib_compressed(raw)
+    layers = pbf.decode_tile(Z.decompress(raw))
+    assert len(layers) == row["n_layers"] == 1
+    meta = pbf.decode_layer(layers[0])
+    assert meta["version"] == 2 and meta["extent"] == 4096
+    assert meta["keys"] == ["image_id", "caption", "fmt"]
+    assert len(meta["features"]) == row["n_features"]
+
+
+def test_value_dictionary_type_qualified():
+    """int 1, bool True, float 1.0 are distinct dictionary entries
+    (vector_tile_layer.hpp:54-69)."""
+    pdf = pd.DataFrame({"a": [1, 1], "b": [True, True], "c": [1.0, 1.0]})
+    keys, values, tags = encode.build_value_dicts(pdf, ["a", "b", "c"])
+    assert keys == ["a", "b", "c"]
+    assert len(values) == 3  # not collapsed
+    assert [pbf.value_type_tag(v) for v in values] == ["int", "bool", "float"]
+
+
+def test_value_float_narrowing():
+    """double->FLOAT iff losslessly narrowable (vector_tile_layer.ipp:29-62)."""
+    assert pbf.value_type_tag(0.5) == "float"
+    assert pbf.value_type_tag(0.1) == "double"
+    v = pbf.decode_value(pbf.encode_value(0.5))
+    assert v == 0.5
+    v = pbf.decode_value(pbf.encode_value(0.1))
+    assert v == 0.1
+
+
+def test_composite_fast_path_first_wins(spark, tiles):
+    """Merging a tile set with itself keeps one layer per name
+    (composite.hpp:56-63)."""
+    t1 = tiles.withColumn("source", F.lit(1))
+    t2 = tiles.withColumn("source", F.lit(2))
+    merged = composite.merge_tiles_fast(t1.unionByName(t2))
+    a = tiles.selectExpr("z", "x", "y", "n_features as nf").toPandas()
+    b = merged.selectExpr("z", "x", "y", "n_features as nf").toPandas()
+    a = a.sort_values(["z", "x", "y"]).reset_index(drop=True)
+    b = b.sort_values(["z", "x", "y"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_composite_merges_distinct_layers(spark, images_small):
+    """Two sources with different layer names both land in the tile."""
+    located = IMG.with_location(images_small).limit(200)
+    assigned = assign.assign_tiles(located, 3)
+    t1 = encode.build_point_tiles(assigned, ["caption"], layer_name="a", order_col="image_id")
+    t2 = encode.build_point_tiles(assigned, ["caption"], layer_name="b", order_col="image_id")
+    merged = composite.merge_tiles_fast(
+        t1.withColumn("source", F.lit(1)).unionByName(t2.withColumn("source", F.lit(2)))
+    )
+    row = merged.where(F.col("n_layers") == 2).first()
+    assert row is not None
+    names = [pbf.decode_layer(l)["name"] for l in pbf.decode_tile(Z.decompress(bytes(row["tile"])))]
+    assert names == ["a", "b"]
+
+
+def test_features_at_point(tiles, located):
+    """S4 point lookup: pick one source row, query its location."""
+    src = located.select("image_id", "lon", "lat").first()
+    ts = tilemath.EARTH_CIRCUMFERENCE / 2**Z_TEST
+    hits = decode.features_at_point(
+        tiles, src["lon"], src["lat"], tol_merc=ts / 4096.0 * 2
+    ).toPandas()
+    assert any(m["image_id"] == src["image_id"] for m in hits["props"])
