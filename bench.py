@@ -1,0 +1,280 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline queries:
+  tile_pipeline  — images fixture -> z13 cell assign -> per-tile pbf
+                   encode (the reference's create_tile relation, inverted);
+                   metric rows = features encoded + tiles emitted
+  pip_join       — point-in-polygon join vs the z3 boundary grid
+  knn            — ring-expansion kNN, 100 queries, k=5
+  tile_assign_sql / agg_pushdown — SQL headliners on $SPARK_GRAFT_SF_DIR
+
+Default: one run on local[$SPARK_GRAFT_CPUS] (driver mode).
+--scaling: run the same jobs at local[N] and local[4N] on identical
+input and report throughput + scaling efficiency (BASELINE.json north
+rule evidenced via parallelism levels; see BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_IMAGE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))  # FIXTURES.md bench size
+
+
+def _build_session(cores: int):
+    from mapnik_vector_tile_spark.session import get_spark, stop_spark
+
+    stop_spark()
+    return get_spark(app_name=f"mvt-bench-{cores}", cores=cores, shuffle_partitions=cores)
+
+
+def _ensure_fixture(spark, rows: int) -> str:
+    from mapnik_vector_tile_spark.sources import images as IMG
+
+    return IMG.ensure_images(spark, rows)
+
+
+def _expand_epochs(df, epochs: int):
+    """Work multiplier: N disjoint copies with distinct image ids (same
+    locations -> realistic tile densities at higher row counts)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    if epochs <= 1:
+        return df
+    parts = [
+        df.withColumn(
+            "image_id",
+            F.concat(
+                F.lit("img"),
+                F.lpad(
+                    (F.substring("image_id", 4, 12).cast("long") + F.lit(e * 10_000_000)).cast(
+                        "string"
+                    ),
+                    12,
+                    "0",
+                ),
+            ),
+        )
+        for e in range(epochs)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def run_benchmarks(spark, sf_dir: str, image_path: str, epochs: int = 1, only=None):
+    """-> (per-query seconds, per-query result-rows)."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark import queries as Q
+    from mapnik_vector_tile_spark.operators import assign, encode, knn, pip
+    from mapnik_vector_tile_spark.sources import images as IMG
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    located = IMG.with_location(
+        _expand_epochs(spark.read.parquet(image_path), epochs)
+    )
+    skip = (lambda name: only is not None and name not in only)
+
+    if not skip("tile_pipeline"):
+        t0 = time.perf_counter()
+        assigned = assign.assign_tiles(located, 13)
+        tiles = encode.build_point_tiles(
+            assigned, prop_cols=["image_id", "caption", "fmt"], order_col="image_id"
+        )
+        agg = tiles.agg(
+            F.count("*").alias("tiles"), F.sum("n_features").alias("feats")
+        ).collect()[0]
+        times["tile_pipeline"] = time.perf_counter() - t0
+        rows["tile_pipeline"] = int(agg["tiles"]) + int(agg["feats"])
+
+    if not skip("pip_join"):
+        t0 = time.perf_counter()
+        boundaries = IMG.tile_boundaries(spark, zooms=(3,), buffer_px=0)
+        joined = pip.pip_join_rect(located, boundaries, z=3)
+        rows["pip_join"] = joined.where(F.col("inside")).count()
+        times["pip_join"] = time.perf_counter() - t0
+
+    if not skip("knn"):
+        t0 = time.perf_counter()
+        queries_df = located.orderBy("image_id").limit(100).select("image_id", "lon", "lat")
+        rows["knn"] = knn.knn_ring_expansion(located, queries_df, k=5, z=9).count()
+        times["knn"] = time.perf_counter() - t0
+
+    for name in ("tile_assign_z13", "agg_pushdown"):
+        if skip(name):
+            continue
+        t0 = time.perf_counter()
+        rows[name] = Q.spark_query(name)(spark, sf_dir).count()
+        times[name] = time.perf_counter() - t0
+
+    return times, rows
+
+
+def one_run(cores: int, sf_dir: str, epochs: int = 1):
+    spark = _build_session(cores)
+    image_path = _ensure_fixture(spark, BENCH_IMAGE_ROWS)
+    # warm the JVM + the Python worker pool + codegen (untimed pass over
+    # a slice — steady-state measurement, same discipline as the
+    # reference's N-iteration benches in bench/readme.md)
+    spark.read.parquet(image_path).limit(1000).count()
+    spark.range(256).repartition(cores).mapInPandas(lambda it: it, "id long").count()
+    run_benchmarks(spark, sf_dir, image_path, epochs=1)
+    # the sandbox shares a host (nonzero steal time): take the per-query
+    # min over trials as the steady-state estimate
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    times, rows = run_benchmarks(spark, sf_dir, image_path, epochs=epochs)
+    for _ in range(trials - 1):
+        t2, _r2 = run_benchmarks(spark, sf_dir, image_path, epochs=epochs)
+        times = {k: min(times[k], t2[k]) for k in times}
+    total = sum(times.values())
+    # throughput measured on the throughput-bound pipeline stages;
+    # knn is latency-bound (iterative rounds) and reported separately
+    tp_sec = times["tile_pipeline"] + times["pip_join"]
+    work_rows = rows["tile_pipeline"] + rows["pip_join"]
+    return {
+        "cores": cores,
+        "times": times,
+        "rows": rows,
+        "total_sec": total,
+        "throughput_sec": tp_sec,
+        "throughput_rows_per_sec": work_rows / max(tp_sec, 1e-9),
+    }
+
+
+def _calibration_work(n):
+    s = 0
+    for i in range(n):
+        s += i * i % 7
+    return s
+
+
+def host_calibration(low_cores: int, high_cores: int) -> dict:
+    """Measure what THIS box can deliver for perfectly parallel work
+    (pure-python loops via multiprocessing — no Spark, no memory-bw).
+    Engine scaling efficiency is meaningful relative to this ceiling:
+    a shared-host VM does not hand out 32 real cores."""
+    import multiprocessing as mp
+
+    work = _calibration_work
+
+    def bench_procs(procs: int) -> float:
+        t0 = time.perf_counter()
+        with mp.Pool(procs) as p:
+            p.map(work, [3_000_000] * procs)
+        return time.perf_counter() - t0
+
+    t1 = min(bench_procs(1) for _ in range(2))
+    tl = min(bench_procs(low_cores) for _ in range(2))
+    th = min(bench_procs(high_cores) for _ in range(2))
+    sp_low = t1 * low_cores / tl
+    sp_high = t1 * high_cores / th
+    return {
+        "ideal_speedup_low": round(sp_low, 2),
+        "ideal_speedup_high": round(sp_high, 2),
+        "host_max_ratio": round(sp_high / sp_low, 3),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    if "--one" in sys.argv:  # single isolated measurement (fresh JVM)
+        cores = int(sys.argv[sys.argv.index("--one") + 1])
+        epochs = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "4"))
+        res = one_run(cores, sf_dir, epochs=epochs)
+        print(json.dumps(res))
+        return
+
+    if "--scaling" in sys.argv:
+        epochs = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "8"))
+        trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+        # N vs 4N below this box's concurrency knee: each Spark slot uses
+        # ~2 processes (JVM task thread + Python worker), and host
+        # calibration shows parallel efficiency collapsing past ~8 procs
+        # — see BENCH.md. Override with SPARK_GRAFT_SCALING_CORES=a,b.
+        pair = os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8")
+        low_cores, cpus = (int(v) for v in pair.split(","))
+        only = ("tile_pipeline", "pip_join")
+
+        def measured(cores: int):
+            spark = _build_session(cores)
+            image_path = _ensure_fixture(spark, BENCH_IMAGE_ROWS)
+            spark.range(256).repartition(cores).mapInPandas(lambda it: it, "id long").count()
+            run_benchmarks(spark, sf_dir, image_path, epochs=1, only=only)  # warm
+            t, r = run_benchmarks(spark, sf_dir, image_path, epochs=epochs, only=only)
+            return t, r
+
+        # interleave core levels so slow host-speed drift cancels;
+        # per-level min over trials is the steady-state estimate
+        best: dict[int, dict] = {}
+        rows_at: dict[int, dict] = {}
+        for _trial in range(trials):
+            for cores in (low_cores, cpus):
+                t, r = measured(cores)
+                if cores not in best:
+                    best[cores], rows_at[cores] = t, r
+                else:
+                    best[cores] = {k: min(best[cores][k], t[k]) for k in t}
+
+        def pack(cores):
+            tp = best[cores]["tile_pipeline"] + best[cores]["pip_join"]
+            wr = rows_at[cores]["tile_pipeline"] + rows_at[cores]["pip_join"]
+            return {"times": best[cores], "throughput_sec": tp,
+                    "throughput_rows_per_sec": wr / max(tp, 1e-9),
+                    "total_sec": sum(best[cores].values())}
+
+        low, high = pack(low_cores), pack(cpus)
+        # one full-query pass at the high level for the per-query table
+        full = one_run(cpus, sf_dir, epochs=epochs)
+        high["times"] = {**full["times"], **high["times"]}
+        high["total_sec"] = sum(full["times"].values())
+        calib = host_calibration(low_cores, cpus)
+        speedup = low["throughput_sec"] / high["throughput_sec"]
+        efficiency = speedup / (cpus / low_cores)
+        out = {
+            "metric": "tiles+join-rows/sec",
+            "value": round(high["total_sec"], 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in high["times"].items()},
+            "sf": sf,
+            "bench_image_rows": BENCH_IMAGE_ROWS * epochs,
+            "low": {"cores": low_cores, "sec": round(low["throughput_sec"], 3),
+                    "rows_per_sec": round(low["throughput_rows_per_sec"], 1)},
+            "high": {"cores": cpus, "sec": round(high["throughput_sec"], 3),
+                     "rows_per_sec": round(high["throughput_rows_per_sec"], 1)},
+            "speedup": round(speedup, 3),
+            "scaling_efficiency": round(efficiency, 3),
+            "host_calibration": calib,
+            "host_normalized_efficiency": round(
+                min(1.0, speedup / max(calib["host_max_ratio"], 1e-9)), 3
+            ),
+        }
+        print(json.dumps(out))
+        return
+
+    res = one_run(cpus, sf_dir)
+    out = {
+        "metric": "tiles+join-rows/sec",
+        "value": round(res["total_sec"], 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in res["times"].items()},
+        "sf": sf,
+        "bench_image_rows": BENCH_IMAGE_ROWS,
+        "rows_per_sec": round(res["throughput_rows_per_sec"], 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

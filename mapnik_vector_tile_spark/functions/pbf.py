@@ -318,3 +318,196 @@ def decode_feature(data: bytes) -> dict:
         else:
             pos = skip_field(data, pos, wire)
     return out
+
+
+# --- vectorized packing (hot path for point layers) ---------------------------
+
+def varint_matrix(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 array -> ((N,W) uint8 matrix, (N,) byte lengths), with W
+    sized to the batch maximum (varints are <=2 bytes for tile deltas —
+    no point carrying (N,10)).
+
+    Row-major flatten of matrix[i, :lengths[i]] is the varint encoding.
+    """
+    a = np.asarray(vals, dtype=np.uint64)
+    m = int(a.max()) if len(a) else 0
+    width = 1
+    while m >= (1 << (7 * width)):
+        width += 1
+    shifts = (np.uint64(7) * np.arange(width, dtype=np.uint64))[None, :]
+    chunks = ((a[:, None] >> shifts) & np.uint64(0x7F)).astype(np.uint8)
+    lengths = np.ones(len(a), dtype=np.int64)
+    for t in range(1, width):
+        lengths += (a >= (np.uint64(1) << np.uint64(7 * t))).astype(np.int64)
+    cont_mask = np.arange(width)[None, :] < (lengths - 1)[:, None]
+    chunks |= cont_mask.astype(np.uint8) << 7
+    return chunks, lengths
+
+
+def _flatten_segments(segments: list[tuple[np.ndarray, np.ndarray]]) -> bytes:
+    """segments: [(matrix (N,k), lengths (N,)), ...] laid out per row in
+    order -> packed bytes (row-major, masked flatten)."""
+    mats = []
+    masks = []
+    for mat, lens in segments:
+        mats.append(mat)
+        masks.append(np.arange(mat.shape[1])[None, :] < lens[:, None])
+    big = np.concatenate(mats, axis=1)
+    mask = np.concatenate(masks, axis=1)
+    return big[mask].tobytes()
+
+
+def const_segment(n: int, *byte_vals: int) -> tuple[np.ndarray, np.ndarray]:
+    k = len(byte_vals)
+    mat = np.tile(np.array(byte_vals, dtype=np.uint8), (n, 1))
+    return mat, np.full(n, k, dtype=np.int64)
+
+
+def encode_point_features_packed(
+    tags: np.ndarray,
+    zz: np.ndarray,
+    feature_ids: np.ndarray | None = None,
+    return_lengths: bool = False,
+):
+    """All point features of a layer in one numpy pass, each framed as a
+    Layer.features (field 2) submessage.
+
+    tags: (N, 2c) int64, no negatives (fixed schema, no nulls)
+    zz:   (N, 2) uint32 zigzag deltas of the single MoveTo
+    """
+    n = len(tags)
+    if n == 0:
+        return b""
+    segs_data: list[tuple[np.ndarray, np.ndarray]] = []
+
+    # geometry varints: 9, zzx, zzy
+    gx_m, gx_l = varint_matrix(zz[:, 0].astype(np.uint64))
+    gy_m, gy_l = varint_matrix(zz[:, 1].astype(np.uint64))
+    geom_len = 1 + gx_l + gy_l  # the '9' + deltas
+    glen_m, glen_l = varint_matrix(geom_len.astype(np.uint64))
+
+    # tags varints
+    tag_mats = []
+    tag_lens = np.zeros(n, dtype=np.int64)
+    for j in range(tags.shape[1]):
+        m, l = varint_matrix(tags[:, j].astype(np.uint64))
+        tag_mats.append((m, l))
+        tag_lens += l
+    tlen_m, tlen_l = varint_matrix(tag_lens.astype(np.uint64))
+
+    if feature_ids is not None:
+        fid_m, fid_l = varint_matrix(np.asarray(feature_ids, dtype=np.uint64))
+        id_total = 1 + fid_l
+    else:
+        id_total = np.zeros(n, dtype=np.int64)
+
+    # feature message length = id + tags + type(2) + geometry framing
+    feat_len = (
+        id_total
+        + 1 + tlen_l + tag_lens       # 0x12, len, tags
+        + 2                            # 0x18 0x01
+        + 1 + glen_l + geom_len        # 0x22, len, geometry
+    )
+    flen_m, flen_l = varint_matrix(feat_len.astype(np.uint64))
+
+    # layer field-2 frame: 0x12, feat_len varint
+    segs_data.append(const_segment(n, 0x12))
+    segs_data.append((flen_m, flen_l))
+    if feature_ids is not None:
+        segs_data.append(const_segment(n, 0x08))
+        segs_data.append((fid_m, fid_l))
+    segs_data.append(const_segment(n, 0x12))
+    segs_data.append((tlen_m, tlen_l))
+    for m, l in tag_mats:
+        segs_data.append((m, l))
+    segs_data.append(const_segment(n, 0x18, 0x01))
+    segs_data.append(const_segment(n, 0x22))
+    segs_data.append((glen_m, glen_l))
+    segs_data.append(const_segment(n, 0x09))
+    segs_data.append((gx_m, gx_l))
+    segs_data.append((gy_m, gy_l))
+    blob = _flatten_segments(segs_data)
+    if return_lengths:
+        return blob, (1 + flen_l + feat_len)
+    return blob
+
+
+def encode_layer_packed(
+    name: str,
+    features_blob: bytes,
+    keys: list[str],
+    values: list[bytes],
+    extent: int = 4096,
+    version: int = 2,
+) -> bytes:
+    """Layer whose features are already framed (field-2 headers included)
+    by encode_point_features_packed."""
+    buf = bytearray()
+    add_len_field(buf, 1, name.encode("utf-8"))
+    for k in keys:
+        add_len_field(buf, 3, k.encode("utf-8"))
+    for v in values:
+        add_len_field(buf, 4, v)
+    buf.extend(features_blob)
+    add_varint_field(buf, 5, extent)
+    add_varint_field(buf, 15, version)
+    return bytes(buf)
+
+
+def ragged_gather(buf: np.ndarray, offs: np.ndarray, lens: np.ndarray, order: np.ndarray):
+    """Gather variable-length byte segments in `order` into one buffer.
+    Returns (out uint8 array, segment offsets incl. end)."""
+    lens_o = lens[order]
+    offs_o = offs[order]
+    ends = np.cumsum(lens_o)
+    total = int(ends[-1]) if len(ends) else 0
+    starts = ends - lens_o
+    if total == 0:
+        return np.empty(0, dtype=np.uint8), np.zeros(len(order) + 1, dtype=np.int64)
+    pos = np.arange(total, dtype=np.int64) + np.repeat(offs_o - starts, lens_o)
+    return buf[pos], np.concatenate([[0], ends])
+
+
+def encode_string_value_fields(strings) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized Layer.values fields for string values.
+
+    Per value: 0x22 <varint inner_len> 0x0A <varint str_len> <utf8>.
+    Returns (buf uint8, offsets, lengths) — one segment per input string.
+    Uses pyarrow's string buffer layout to avoid per-string Python.
+    """
+    import pyarrow as pa
+
+    arr = pa.array(strings, type=pa.string())
+    if arr.null_count:
+        raise ValueError("nulls not allowed here")
+    bufs = arr.buffers()
+    soff = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    payload = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    slen = np.diff(soff)
+    sl_m, sl_l = varint_matrix(slen.astype(np.uint64))
+    inner_len = 1 + sl_l + slen  # 0x0A + len varint + utf8
+    il_m, il_l = varint_matrix(inner_len.astype(np.uint64))
+    head_segs = [
+        const_segment(len(slen), 0x22),
+        (il_m, il_l),
+        const_segment(len(slen), 0x0A),
+        (sl_m, sl_l),
+    ]
+    header = np.frombuffer(_flatten_segments(head_segs), dtype=np.uint8)
+    hlen = 2 + il_l + sl_l
+    hoff = np.concatenate([[0], np.cumsum(hlen)[:-1]])
+    total_len = hlen + slen
+    out_end = np.cumsum(total_len)
+    out_start = out_end - total_len
+    out = np.empty(int(out_end[-1]) if len(out_end) else 0, dtype=np.uint8)
+    # scatter headers (single-repeat base-shift trick)
+    hstart = np.concatenate([[0], np.cumsum(hlen)[:-1]])
+    out[np.arange(int(np.sum(hlen)), dtype=np.int64) + np.repeat(out_start - hstart, hlen)] = header
+    # scatter payloads
+    if len(payload):
+        pstart = np.concatenate([[0], np.cumsum(slen)[:-1]])
+        ppos = np.arange(int(np.sum(slen)), dtype=np.int64)
+        out[ppos + np.repeat(out_start + hlen - pstart, slen)] = payload[
+            ppos + np.repeat(soff[:-1] - pstart, slen)
+        ]
+    return out, out_start.astype(np.int64), total_len.astype(np.int64)

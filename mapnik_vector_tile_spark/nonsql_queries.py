@@ -123,10 +123,68 @@ def q_knn_ring_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.knn_ring_expansion(located, queries, k=5, z=9)
 
 
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (scale path); exactness vs brute force is
+    pinned in tests — here the driver pins rows/schema."""
+    from mapnik_vector_tile_spark.operators import ann
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = vecs.orderBy("vec_id").limit(10).select("vec_id")
+    return ann.lsh_topk(vecs, qs, k=5, n_planes=4, n_tables=6)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapnik_vector_tile_spark.operators import ann
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = vecs.orderBy("vec_id").limit(10).select("vec_id")
+    return ann.ivf_topk(vecs, qs, k=5, n_lists=16, nprobe=4)
+
+
+def q_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapnik_vector_tile_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_candidates(docs, n_perm=8, bands=4)
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapnik_vector_tile_spark.operators import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textops.language_id(textops.quality_score(textops.token_count(docs)))
+    return out.select(
+        "doc_id", "n_tokens_ws", "n_tokens_bpe_est", "punct_ratio",
+        "quality", "lang_pred",
+    )
+
+
+def q_build_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage rows of a tile build (north rule)."""
+    from mapnik_vector_tile_spark.operators import assign, encode
+    from mapnik_vector_tile_spark.plans import lineage as L
+    from mapnik_vector_tile_spark.sources import images as IMG
+
+    path = IMG.ensure_images(spark, _fixture_rows(sf_dir))
+    located = IMG.with_location(spark.read.parquet(path))
+    tiles = encode.build_point_tiles(
+        assign.assign_tiles(located, 13),
+        prop_cols=["image_id", "caption", "fmt"], order_col="image_id",
+    )
+    snap = L.input_snapshot_id(spark, path)
+    _, lineage = L.tiles_with_lineage(tiles, snap)
+    return lineage
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_encode_roundtrip": q_tile_encode_roundtrip,
     "geom_kernel_goldens": q_geom_kernel_goldens,
     "raster_invariants": q_raster_invariants,
     "composite_merge": q_composite_merge,
     "knn_ring_expansion": q_knn_ring_expansion,
+    "ann_lsh_topk": q_ann_lsh,
+    "ann_ivf_topk": q_ann_ivf,
+    "dedup_lsh_candidates": q_dedup_lsh_candidates,
+    "text_features": q_text_features,
+    "build_lineage": q_build_lineage,
 }

@@ -1,0 +1,166 @@
+"""Deduplication operators for training-data pipelines (brief: exact,
+MinHash+LSH, SimHash, n-gram Jaccard). DataFrame-API forms of the SQL
+twins in queries.py (which the driver oracle-checks); these add the
+*scale* mechanics: LSH banding joins instead of all-pairs, dedup before
+the expensive verify, map-side combines everywhere.
+
+All hashes are md5-derived 60-bit ints (portable, seedable by constant
+mixing) — no Python UDFs anywhere; everything is Column math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MERSENNE = 2147483647
+
+
+def _hash60(col) -> object:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def _tokens(df: DataFrame, text_col: str) -> DataFrame:
+    return df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).withColumn("th", _hash60(F.col("word")))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact content dedup: hash-group, keep min doc_id as representative."""
+    h = _hash60(F.col(text_col))
+    return (
+        df.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("representative"))
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", n_perm: int = 8) -> DataFrame:
+    """MinHash over whitespace shingles: n_perm universal-hash minima.
+    One explode + one map-side-combined agg; no per-row Python."""
+    toks = _tokens(df, text_col)
+    a_b = [(40503 + 2 * i * 1013, 17 + i * 29) for i in range(n_perm)]
+    aggs = [
+        F.min(((F.col("th") % MERSENNE) * a + b) % MERSENNE).alias(f"h{i}")
+        for i, (a, b) in enumerate(a_b)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, text_col: str = "text", n_perm: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH banding: signatures -> band keys -> self-equi-join per band.
+    The join is on the band hash (equi, shuffle-prunable); all-pairs
+    never materializes. Returns candidate (doc_a, doc_b, n_bands_hit)."""
+    rows_per_band = n_perm // bands
+    sig = minhash_signatures(df, text_col, n_perm)
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.selectExpr(
+        "doc_id",
+        "stack({n}, {pairs}) as (band_idx, band_key)".format(
+            n=bands, pairs=", ".join(f"{b}, band{b}" for b in range(bands))
+        ),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands_hit"))
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame, text_col: str = "text", candidates: DataFrame | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verified near-dup scores for candidate pairs (token-set Jaccard).
+    candidates: (doc_a, doc_b); default = LSH candidates. Filter-and-
+    refine: LSH coarse (equi-join) -> exact Jaccard via distinct-token
+    intersection counts (again an equi-join on token hash, no UDF)."""
+    if candidates is None:
+        candidates = minhash_lsh_candidates(df, text_col)
+    toks = _tokens(df, text_col).select("doc_id", "th").distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("th").alias("tha"))
+    tb = toks.select(F.col("doc_id").alias("_doc_b2"), F.col("th").alias("thb"))
+    inter = (
+        candidates.join(ta, "doc_a")
+        .join(tb, (F.col("doc_b") == F.col("_doc_b2")) & (F.col("tha") == F.col("thb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    scored = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+        )
+    )
+    return scored.where(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: per-bit signed votes of token hashes."""
+    toks = _tokens(df, text_col)
+    bit_sum = sum(
+        F.when(
+            F.sum(
+                F.when((F.col("th") % (2 ** (b + 1))) >= 2**b, 1).otherwise(-1)
+            ) > 0,
+            2**b,
+        ).otherwise(0)
+        for b in range(bits)
+    )
+    return toks.groupBy("doc_id").agg(bit_sum.alias(f"simhash{bits}"))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text", max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded on the two
+    8-bit halves (any pair within hamming<=2 of 16 bits shares at least
+    one exact half when the 2 flips land in one half; standard
+    pigeonhole banding)."""
+    sh = simhash(df, text_col, bits=16)
+    halves = sh.select(
+        "doc_id",
+        F.col("simhash16").alias("sig"),
+        (F.col("simhash16") % 256).alias("lo"),
+        F.floor(F.col("simhash16") / 256).alias("hi"),
+    )
+    pairs = None
+    for part in ("lo", "hi"):
+        a = halves.alias("a")
+        b = halves.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.{part}") == F.col(f"b.{part}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
+        "doc_a", "doc_b", "hamming"
+    )

@@ -1,28 +1,35 @@
-"""Tile encode — groupBy(z,x,y).applyInPandas (SURVEY.md §2.10 tile_encode).
+"""Tile encode — shuffle-to-tile + batch kernel (SURVEY.md §2.10).
 
 Replaces the reference's per-tile pull pipeline
 (processor::create_tile -> layer_builder_pbf, src/vector_tile_processor.ipp
-+ src/vector_tile_layer.ipp:84-126) with one shuffle-to-tile stage:
++ src/vector_tile_layer.ipp:84-126) with:
 
-  assigned rows --shuffle on (z,x,y[,salt])--> per-group kernel:
-      mercator -> tile px (vectorized quantize, std::round semantics)
-      -> in-buffer mask (transform_visitor envelope check)
-      -> first-seen key/value dictionaries (row-major scan order, exactly
-         the builder's insertion order, vector_tile_layer.ipp:92-124)
-      -> per-feature command streams (points vectorized; paths via the
-         geometry kernel)
-      -> layer pbf -> tile pbf -> zlib (S5 + S7)
+  assigned rows --one window shuffle (per-tile counts + row numbers +
+  (z,x,y)-clustered sort)--> cold/hot routing:
 
-Skew: pass salt_buckets > 1 to pre-encode hotspot tiles per salt and
-merge with operators.composite (the reference's composite slow path,
-src/vector_tile_composite.hpp:78-97) — two-phase encode.
+  COLD (size <= hot_threshold): mapInPandas kernel, many tiles per
+  Arrow batch — batch-wide vectorized quantize (std::round semantics,
+  per-row tile origin), segmented per-group first-seen dictionaries
+  (batch-global factorize + first-occurrence ranking, insertion-order
+  parity with vector_tile_layer.ipp:92-124), whole-batch packed feature
+  stream, per-tile assembly = two byte slices + zlib. Tiles straddling
+  Arrow batches carry (as a frame list, no quadratic copy).
+
+  HOT (skewed city-scale tiles — north rule): salted two-phase encode.
+  Phase 1 packs contiguous row-number chunks of a hot tile in parallel
+  tasks (per-occurrence dictionary slots = global stream index, so no
+  cross-chunk dictionary merge); phase 2 concatenates chunk blobs into
+  the layer and compresses (adaptive deflate level for huge layers —
+  the single zlib stream is the only serial stage).
 """
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 from mapnik_vector_tile_spark import tilemath
 from mapnik_vector_tile_spark.functions import commands as Cmd
@@ -33,11 +40,15 @@ from mapnik_vector_tile_spark.functions import pbf
 TILE_SCHEMA = "z int, x long, y long, tile binary, n_features long, n_layers int, painted boolean"
 
 
+# ---------------------------------------------------------------------------
+# dictionaries (A1/A2)
+# ---------------------------------------------------------------------------
+
 def build_value_dicts(pdf: pd.DataFrame, prop_cols: list[str]):
     """First-seen (row-major, column-within-row) key/value dictionaries —
-    byte-order parity with layer_builder_pbf::add_feature
+    order parity with layer_builder_pbf::add_feature
     (vector_tile_layer.ipp:84-126). Returns (keys, value_list, tags_array)
-    where tags_array is (n_rows, 2*n_cols) uint32 (key_idx, val_idx pairs),
+    where tags_array is (n_rows, 2*n_cols) int64 (key_idx, val_idx pairs),
     with -1 marking dropped nulls."""
     n = len(pdf)
     ncols = len(prop_cols)
@@ -45,25 +56,23 @@ def build_value_dicts(pdf: pd.DataFrame, prop_cols: list[str]):
     val_index: dict[tuple, int] = {}
     values: list = []
     tags = np.full((n, 2 * ncols), -1, dtype=np.int64)
-    # column-wise factorize, then assign dict slots in row-major first-seen order
     col_codes = []
     col_uniques = []
     for c in prop_cols:
         codes, uniques = pd.factorize(pdf[c], use_na_sentinel=True)
         col_codes.append(codes)
         col_uniques.append(list(uniques))
-    # first occurrence rank of each (col, code): row*ncols + col
+    # first occurrence rank of each (col, code): row*ncols + col (vectorized)
     order = []
     for j in range(ncols):
         codes = col_codes[j]
-        seen = {}
-        for i, code in enumerate(codes):
-            if code >= 0 and code not in seen:
-                seen[code] = i * ncols + j
-        order.extend(((rank, j, code) for code, rank in seen.items()))
+        valid = codes >= 0
+        uniq, first_idx = np.unique(codes[valid], return_index=True)
+        rows_idx = np.nonzero(valid)[0][first_idx]
+        order.extend(zip((rows_idx * ncols + j).tolist(), [j] * len(uniq), uniq.tolist()))
     order.sort()
     slot_of: dict[tuple[int, int], int] = {}
-    for rank, j, code in order:
+    for _rank, j, code in order:
         v = col_uniques[j][code]
         tagged = (pbf.value_type_tag(v), v)
         if tagged not in val_index:
@@ -77,6 +86,242 @@ def build_value_dicts(pdf: pd.DataFrame, prop_cols: list[str]):
         tags[valid, 2 * j + 1] = [slot_of[(j, c)] for c in codes[valid]]
     return keys, values, tags
 
+
+# ---------------------------------------------------------------------------
+# batch-wide vectorized quantization
+# ---------------------------------------------------------------------------
+
+def _quantize_batch(pdf: pd.DataFrame, extent: int, buffer_px: int):
+    """mercator (mx,my) -> per-row tile px ints + keep mask, vectorized
+    across heterogeneous (z,x,y). std::round + hiRange guard (P2) and the
+    transform_visitor buffered-envelope check (P4)."""
+    z = pdf["z"].to_numpy(dtype=np.float64)
+    x = pdf["x"].to_numpy(dtype=np.float64)
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    mx = pdf["mx"].to_numpy(dtype=np.float64)
+    my = pdf["my"].to_numpy(dtype=np.float64)
+    ts = tilemath.EARTH_CIRCUMFERENCE / np.power(2.0, z)
+    ox = -tilemath.HALF_OF_EQUATOR + x * ts
+    oy = tilemath.HALF_OF_EQUATOR - y * ts  # top edge (y down)
+    px = G.round_half_away((mx - ox) / ts * extent)
+    py = G.round_half_away((oy - my) / ts * extent)
+    ok = (
+        (px > G.COORD_MIN) & (px < G.COORD_MAX) & (py > G.COORD_MIN) & (py < G.COORD_MAX)
+        & (px >= -buffer_px) & (px <= extent + buffer_px)
+        & (py >= -buffer_px) & (py <= extent + buffer_px)
+    )
+    return px.astype(np.int64), py.astype(np.int64), ok
+
+
+# ---------------------------------------------------------------------------
+# group lane
+# ---------------------------------------------------------------------------
+
+def _encode_group_prequantized(
+    pdf: pd.DataFrame,
+    layer_name: str,
+    prop_cols: list[str],
+    extent: int,
+    version: int,
+    raster_col: str | None,
+) -> tuple[bytes, int]:
+    keys, values, tags = build_value_dicts(pdf, prop_cols)
+    vals = [pbf.encode_value(v) for v in values]
+    zz = np.column_stack(
+        [Cmd.zigzag32(pdf["_px"].to_numpy()), Cmd.zigzag32(pdf["_py"].to_numpy())]
+    )
+    rasters = pdf[raster_col] if raster_col else None
+    if rasters is None and (tags >= 0).all():
+        blob = pbf.encode_point_features_packed(tags, zz)
+        layer = pbf.encode_layer_packed(
+            layer_name, blob, keys, vals, extent=extent, version=version
+        )
+        return layer, len(pdf)
+    feats = []
+    for i in range(len(pdf)):
+        trow = tags[i]
+        tag_list = [int(t) for t in trow[trow >= 0]]
+        r = rasters.iloc[i] if rasters is not None else None
+        feats.append(
+            pbf.encode_feature(
+                None, tag_list, Cmd.POINT,
+                [9, int(zz[i, 0]), int(zz[i, 1])],
+                raster=bytes(r) if r is not None else None,
+            )
+        )
+    layer = pbf.encode_layer(layer_name, feats, keys, vals, extent=extent, version=version)
+    return layer, len(feats)
+
+
+def _value_field_bytes(v) -> bytes:
+    enc = pbf.encode_value(v)
+    head = bytearray()
+    pbf.write_varint(head, pbf.tag(4, pbf.WT_LEN))
+    pbf.write_varint(head, len(enc))
+    return bytes(head) + enc
+
+
+# ---------------------------------------------------------------------------
+# segmented vectorized lane: all tiles of a batch at once
+# ---------------------------------------------------------------------------
+
+def _encode_tiles_segmented(
+    pdf: pd.DataFrame,
+    layer_name: str,
+    prop_cols: list[str],
+    extent: int,
+    version: int,
+    compress_tiles: bool,
+) -> list[tuple]:
+    """Encode every (z,x,y) group of a sorted batch without per-group
+    pandas work. Per-group first-seen dictionaries are computed with
+    batch-global factorize + a segmented first-occurrence ranking, the
+    feature stream is packed once for the whole batch, and per-group
+    assembly is a couple of byte slices + zlib.
+
+    Requires: rows sorted by (z,x,y); columns _px/_py present; no raster.
+    Null property values fall back to the caller's group lane.
+    """
+    n = len(pdf)
+    c = len(prop_cols)
+    # group ids over the sorted batch
+    zxy = np.column_stack(
+        [pdf["z"].to_numpy(np.int64), pdf["x"].to_numpy(np.int64), pdf["y"].to_numpy(np.int64)]
+    )
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (zxy[1:] != zxy[:-1]).any(axis=1)
+    gid = np.cumsum(change) - 1
+    n_groups = int(gid[-1]) + 1
+    group_start = np.flatnonzero(change)
+    group_rows = np.diff(np.append(group_start, n))
+    local_row = np.arange(n) - group_start[gid]
+
+    # batch-global per-column value dictionaries. NOTE (documented
+    # deviation): unlike the group lane, identical values appearing in
+    # *different columns* each get their own dictionary slot here —
+    # decoded properties are identical, the tile is just a few bytes
+    # larger in that rare case. Within a column dedup is exact.
+    col_codes = []
+    col_base = []
+    bufs: list[np.ndarray] = []
+    offs: list[np.ndarray] = []
+    lens: list[np.ndarray] = []
+    base = 0
+    buf_bytes = 0
+    has_null = False
+    for col in prop_cols:
+        codes, uniques = pd.factorize(pdf[col], use_na_sentinel=True)
+        if (codes < 0).any():
+            has_null = True
+            break
+        uniques = list(uniques)
+        try:
+            b, o, l = pbf.encode_string_value_fields(uniques)
+        except Exception:  # non-string column -> scalar value encoding
+            pieces = [_value_field_bytes(v) for v in uniques]
+            b = np.frombuffer(b"".join(pieces), dtype=np.uint8)
+            l = np.array([len(p) for p in pieces], dtype=np.int64)
+            o = np.concatenate([[0], np.cumsum(l)[:-1]]).astype(np.int64)
+        col_codes.append(codes)
+        col_base.append(base)
+        bufs.append(b)
+        offs.append(o + buf_bytes)
+        lens.append(l)
+        base += len(uniques)
+        buf_bytes += len(b)
+    if has_null:
+        return []  # caller falls back to the group lane
+    val_buf = np.concatenate(bufs) if bufs else np.empty(0, np.uint8)
+    val_off = np.concatenate(offs) if offs else np.empty(0, np.int64)
+    val_len = np.concatenate(lens) if lens else np.empty(0, np.int64)
+
+    U = base
+    # entry stream: (gid, gvid, stream_pos) for every row x column
+    ent_gid = np.tile(gid, c)
+    ent_gvid = np.concatenate([col_base[j] + col_codes[j] for j in range(c)])
+    ent_stream = np.concatenate([local_row * c + j for j in range(c)])
+
+    # first occurrence of each (gid, gvid): sort by (gid, gvid, stream)
+    order1 = np.lexsort((ent_stream, ent_gvid, ent_gid))
+    sg, sv, ss = ent_gid[order1], ent_gvid[order1], ent_stream[order1]
+    first = np.empty(len(sg), dtype=bool)
+    first[0] = True
+    first[1:] = (sg[1:] != sg[:-1]) | (sv[1:] != sv[:-1])
+    dict_gid, dict_gvid, dict_stream = sg[first], sv[first], ss[first]
+    # slots: rank by stream within group
+    order2 = np.lexsort((dict_stream, dict_gid))
+    dg, dv = dict_gid[order2], dict_gvid[order2]
+    grp_change = np.empty(len(dg), dtype=bool)
+    if len(dg):
+        grp_change[0] = True
+        grp_change[1:] = dg[1:] != dg[:-1]
+    slot_rank = np.arange(len(dg)) - np.maximum.accumulate(
+        np.where(grp_change, np.arange(len(dg)), 0)
+    )
+    # lookup (gid, gvid) -> slot via sorted combined key
+    key_sorted = dg.astype(np.int64) * U + dv
+    key_order = np.argsort(key_sorted, kind="stable")
+    key_sorted_sorted = key_sorted[key_order]
+    slot_sorted = slot_rank[key_order]
+    ent_key = ent_gid.astype(np.int64) * U + ent_gvid
+    pos = np.searchsorted(key_sorted_sorted, ent_key)
+    ent_slot = slot_sorted[pos]
+
+    # tags matrix (n, 2c)
+    tags = np.empty((n, 2 * c), dtype=np.int64)
+    for j in range(c):
+        tags[:, 2 * j] = j
+        tags[:, 2 * j + 1] = ent_slot[j * n : (j + 1) * n]
+
+    zz = np.column_stack(
+        [Cmd.zigzag32(pdf["_px"].to_numpy()), Cmd.zigzag32(pdf["_py"].to_numpy())]
+    )
+    blob, flens = pbf.encode_point_features_packed(tags, zz, return_lengths=True)
+    feat_off = np.concatenate([[0], np.cumsum(flens)])
+
+    # constant layer pieces
+    prefix = bytearray()
+    pbf.add_len_field(prefix, 1, layer_name.encode("utf-8"))
+    for k in prop_cols:
+        pbf.add_len_field(prefix, 3, k.encode("utf-8"))
+    prefix = bytes(prefix)
+    suffix = bytearray()
+    pbf.add_varint_field(suffix, 5, extent)
+    pbf.add_varint_field(suffix, 15, version)
+    suffix = bytes(suffix)
+
+    # per-group values blob: dict entries (dg, dv) are sorted by
+    # (group, slot) — exactly layer insertion order
+    dict_counts = np.bincount(dg, minlength=n_groups)
+    dict_off = np.concatenate([[0], np.cumsum(dict_counts)])
+    gathered, gat_off = pbf.ragged_gather(val_buf, val_off, val_len, dv)
+    gathered_b = gathered.tobytes()
+    zs = zxy[group_start, 0]
+    xs = zxy[group_start, 1]
+    ys = zxy[group_start, 2]
+    fs = feat_off[group_start]
+    fe = feat_off[np.append(group_start[1:], n)]
+    out: list[tuple] = []
+    compress = zlib.compress
+    for g in range(n_groups):
+        vals = gathered_b[gat_off[dict_off[g]] : gat_off[dict_off[g + 1]]]
+        layer = prefix + vals + blob[fs[g] : fe[g]] + suffix
+        head = bytearray()
+        pbf.write_varint(head, pbf.tag(3, pbf.WT_LEN))
+        pbf.write_varint(head, len(layer))
+        tile = bytes(head) + layer
+        if compress_tiles:
+            tile = compress(tile, 6)
+        out.append(
+            (int(zs[g]), int(xs[g]), int(ys[g]), tile, int(group_rows[g]), 1, True)
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
 
 def encode_point_layer(
     pdf: pd.DataFrame,
@@ -92,44 +337,15 @@ def encode_point_layer(
     version: int = 2,
 ) -> tuple[bytes, int]:
     """One tile-layer from point rows (mx, my mercator cols required).
-    Returns (layer_bytes, n_features). Fully vectorized — points need no
-    per-feature geometry loop."""
-    minx, miny, maxx, maxy = tilemath.tile_mercator_bbox_np(x, y, z)
-    vt = G.ViewTransform(float(minx), float(miny), float(maxx), float(maxy), extent, extent)
-    coords = np.column_stack([pdf["mx"].to_numpy(), pdf["my"].to_numpy()])
-    px, ok = G.quantize(coords, vt)
-    # transform_visitor buffered-envelope check (strategy.hpp:133-150)
-    inbuf = (
-        (px[:, 0] >= -buffer_px)
-        & (px[:, 0] <= extent + buffer_px)
-        & (px[:, 1] >= -buffer_px)
-        & (px[:, 1] <= extent + buffer_px)
-    )
-    keep = ok & inbuf
-    pdf = pdf.loc[keep].reset_index(drop=True)
-    px = px[keep]
-    if len(pdf) == 0:
+    Returns (layer_bytes, n_features)."""
+    tmp = pdf.copy()
+    tmp["z"], tmp["x"], tmp["y"] = z, x, y
+    px, py, ok = _quantize_batch(tmp, extent, buffer_px)
+    tmp = tmp.loc[ok].reset_index(drop=True)
+    if len(tmp) == 0:
         return b"", 0
-    keys, values, tags = build_value_dicts(pdf, prop_cols)
-    zz = Cmd.zigzag32(px)  # (n, 2) uint32 — whole-layer vectorized
-    feats = []
-    ids = pdf[id_col].to_numpy() if id_col else None
-    rasters = pdf[raster_col] if raster_col else None
-    for i in range(len(pdf)):
-        trow = tags[i]
-        tag_list = [int(t) for t in trow[trow >= 0]]
-        feats.append(
-            pbf.encode_feature(
-                int(ids[i]) if ids is not None else None,
-                tag_list,
-                Cmd.POINT,
-                [9, int(zz[i, 0]), int(zz[i, 1])],
-                raster=bytes(rasters.iloc[i]) if rasters is not None and rasters.iloc[i] is not None else None,
-            )
-        )
-    vals = [pbf.encode_value(v) for v in values]
-    layer = pbf.encode_layer(layer_name, feats, keys, vals, extent=extent, version=version)
-    return layer, len(feats)
+    tmp["_px"], tmp["_py"] = px[ok], py[ok]
+    return _encode_group_prequantized(tmp, layer_name, prop_cols, extent, version, raster_col)
 
 
 def encode_geom_layer(
@@ -155,7 +371,7 @@ def encode_geom_layer(
     keys, values, tags = build_value_dicts(pdf, prop_cols)
     feats = []
     ids = pdf[id_col].to_numpy() if id_col else None
-    kept_rows = 0
+    kept = 0
     for i, wkt in enumerate(pdf[wkt_col]):
         g = G.from_wkt(wkt)
         tg = G.world_to_tile_geom(
@@ -167,16 +383,25 @@ def encode_geom_layer(
         trow = tags[i]
         tag_list = [int(t) for t in trow[trow >= 0]]
         feats.append(
-            pbf.encode_feature(
-                int(ids[i]) if ids is not None else None, tag_list, gtype, cmds
-            )
+            pbf.encode_feature(int(ids[i]) if ids is not None else None, tag_list, gtype, cmds)
         )
-        kept_rows += 1
+        kept += 1
     if not feats:
         return b"", 0
     vals = [pbf.encode_value(v) for v in values]
     layer = pbf.encode_layer(layer_name, feats, keys, vals, extent=extent, version=version)
-    return layer, kept_rows
+    return layer, kept
+
+
+def _layer_prefix_suffix(layer_name: str, prop_cols: list[str], extent: int, version: int):
+    prefix = bytearray()
+    pbf.add_len_field(prefix, 1, layer_name.encode("utf-8"))
+    for k in prop_cols:
+        pbf.add_len_field(prefix, 3, k.encode("utf-8"))
+    suffix = bytearray()
+    pbf.add_varint_field(suffix, 5, extent)
+    pbf.add_varint_field(suffix, 15, version)
+    return bytes(prefix), bytes(suffix)
 
 
 def build_point_tiles(
@@ -189,41 +414,294 @@ def build_point_tiles(
     raster_col: str | None = None,
     compress_tiles: bool = True,
     order_col: str | None = None,
+    hot_threshold: int = 120_000,
 ) -> DataFrame:
     """assigned: DataFrame with z,x,y + lon/lat + prop columns.
-    One output row per tile: zlib'd Tile pbf + painted stats (A4)."""
+    One output row per tile: zlib'd Tile pbf + painted stats (A4).
+
+    Skew handling (north rule): tiles with more than ``hot_threshold``
+    rows take the *salted* two-phase path — contiguous row-number chunks
+    of a hot tile pack their feature/value blobs in parallel tasks
+    (per-occurrence dictionary slots need no cross-chunk coordination),
+    and a per-tile second phase just concatenates chunk blobs into the
+    layer. Cold tiles take the dense-dictionary single-phase kernel."""
     from mapnik_vector_tile_spark.operators.assign import _mercator_cols
 
     mx, my = _mercator_cols("lon", "lat")
     slim_cols = ["z", "x", "y", *prop_cols]
-    if id_col:
-        slim_cols.append(id_col)
     if raster_col:
         slim_cols.append(raster_col)
     if order_col and order_col not in slim_cols:
         slim_cols.append(order_col)
     slim = assigned.withColumn("mx", mx).withColumn("my", my).select(*slim_cols, "mx", "my")
     sort_col = order_col or id_col
+    cols = ["z", "x", "y", "tile", "n_features", "n_layers", "painted"]
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        z, x, y = int(key[0]), int(key[1]), int(key[2])
+    def encode_group(z: int, x: int, y: int, grp: pd.DataFrame):
         if sort_col:  # deterministic feature order (SURVEY.md §2.5)
-            pdf = pdf.sort_values(sort_col, kind="mergesort").reset_index(drop=True)
-        layer, n = encode_point_layer(
-            pdf, z, x, y, layer_name, prop_cols,
-            extent=extent, buffer_px=buffer_px, id_col=None, raster_col=raster_col,
+            grp = grp.sort_values(sort_col, kind="mergesort").reset_index(drop=True)
+        layer, nf = _encode_group_prequantized(
+            grp, layer_name, prop_cols, extent, 2, raster_col
         )
-        if n == 0:
-            tile = b""
-            painted = False
-        else:
-            tile = pbf.encode_tile([layer])
-            if compress_tiles:
-                tile = Z.compress(tile)
-            painted = True
+        if nf == 0:
+            return (z, x, y, b"", 0, 0, False)
+        tile = pbf.encode_tile([layer])
+        if compress_tiles:
+            tile = Z.compress(tile)
+        return (z, x, y, tile, nf, 1, True)
+
+    def process_chunk(pdf: pd.DataFrame) -> list[tuple]:
+        px, py, ok = _quantize_batch(pdf, extent, buffer_px)
+        pdf = pdf.loc[ok].reset_index(drop=True)
+        if len(pdf) == 0:
+            return []
+        pdf["_px"], pdf["_py"] = px[ok], py[ok]
+        if raster_col is None:
+            out = _encode_tiles_segmented(
+                pdf, layer_name, prop_cols, extent, 2, compress_tiles
+            )
+            if out:  # [] means nulls present -> group lane fallback
+                return out
+        out = []
+        for (gz, gx, gy), grp in pdf.groupby(["z", "x", "y"], sort=False):
+            out.append(encode_group(int(gz), int(gx), int(gy), grp))
+        return out
+
+    def kernel(iterator):
+        """Tiles straddling Arrow batches carry into the next batch
+        (list of frames, concat only at group close — no quadratic copy)."""
+        carry: list[pd.DataFrame] = []
+        carry_key = None
+
+        def keys_of(pdf, i):
+            return (pdf["z"].iloc[i], pdf["x"].iloc[i], pdf["y"].iloc[i])
+
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            if carry:
+                if keys_of(pdf, 0) == carry_key:
+                    same = (
+                        (pdf["z"] == carry_key[0])
+                        & (pdf["x"] == carry_key[1])
+                        & (pdf["y"] == carry_key[2])
+                    ).to_numpy()
+                    split = int(np.argmin(same)) if not same.all() else len(pdf)
+                    carry.append(pdf.iloc[:split])
+                    if split == len(pdf):
+                        continue  # whole batch belongs to the carried group
+                    full = pd.concat(carry, ignore_index=True)
+                    carry, carry_key = [], None
+                    rows = process_chunk(full)
+                    if rows:
+                        yield pd.DataFrame(rows, columns=cols)
+                    pdf = pdf.iloc[split:].reset_index(drop=True)
+                else:
+                    full = pd.concat(carry, ignore_index=True)
+                    carry, carry_key = [], None
+                    rows = process_chunk(full)
+                    if rows:
+                        yield pd.DataFrame(rows, columns=cols)
+            lk = keys_of(pdf, len(pdf) - 1)
+            tail_mask = (
+                (pdf["z"] == lk[0]) & (pdf["x"] == lk[1]) & (pdf["y"] == lk[2])
+            ).to_numpy()
+            n_tail = int(tail_mask[::-1].argmin()) if not tail_mask.all() else len(pdf)
+            carry = [pdf.iloc[len(pdf) - n_tail :]]
+            carry_key = lk
+            body = pdf.iloc[: len(pdf) - n_tail]
+            if len(body):
+                rows = process_chunk(body)
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+        if carry:
+            full = pd.concat(carry, ignore_index=True)
+            rows = process_chunk(full)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    from pyspark.sql import Window, functions as F
+
+    npart = int(slim.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if raster_col is not None or hot_threshold <= 0:
+        clustered = slim.repartition(npart, "z", "x", "y").sortWithinPartitions(
+            "z", "x", "y", *([sort_col] if sort_col else [])
+        )
+        return clustered.mapInPandas(kernel, schema=TILE_SCHEMA)
+
+    # hot/cold routing: map-side-combined counts identify skewed tiles;
+    # the hot list is tiny and broadcasts. The routed projection feeds
+    # three consumers (counts, cold branch, hot branch) — persist it so
+    # the scan + location math run once (spills to disk at scale;
+    # ContextCleaner reclaims it when the plan is GC'd).
+    from pyspark import StorageLevel
+
+    slim = slim.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = slim.groupBy("z", "x", "y").agg(F.count("*").alias("_cnt"))
+    hot_list = F.broadcast(counts.where(F.col("_cnt") > hot_threshold).select("z", "x", "y"))
+    cold = slim.join(hot_list, ["z", "x", "y"], "left_anti")
+    cold_tiles = (
+        cold.repartition(npart, "z", "x", "y")
+        .sortWithinPartitions("z", "x", "y", *([sort_col] if sort_col else []))
+        .mapInPandas(kernel, schema=TILE_SCHEMA)
+    )
+
+    hot = slim.join(hot_list, ["z", "x", "y"], "left_semi")
+    hot_tiles = _build_hot_tiles(
+        hot, prop_cols, layer_name, extent, buffer_px, compress_tiles, npart,
+        sort_col=sort_col,
+    )
+    return cold_tiles.unionByName(hot_tiles)
+
+
+def _build_hot_tiles(
+    hot: DataFrame,
+    prop_cols: list[str],
+    layer_name: str,
+    extent: int,
+    buffer_px: int,
+    compress_tiles: bool,
+    npart: int,
+    sort_col: str | None = None,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Salted two-phase encode for skewed tiles (north rule).
+
+    Salt = hash(sort key) % buckets, so even the per-bucket row
+    numbering (window) parallelizes — no single-task stage touches a
+    whole hot tile except the final byte concat + deflate.
+
+    Phase 1 (parallel over (z,x,y,salt)): pack the bucket's features
+    with per-occurrence dictionary slots (slot = global stream index =
+    (bucket offset + row-in-bucket) * ncols + col — needs no cross-
+    bucket dictionary merge; decoded properties are identical, the
+    uncompressed layer is a little larger when values repeat) plus the
+    bucket's values blob. Bucket offsets come from a tiny per-bucket
+    count table (broadcast).
+
+    Phase 2 (per tile, #buckets rows): concatenate bucket blobs in salt
+    order -> layer -> tile pbf -> zlib. Feature order = (salt, sort
+    key): deterministic, though not globally sorted by the sort key.
+    """
+    from pyspark.sql import Window, functions as F
+
+    c = len(prop_cols)
+    prefix, suffix = _layer_prefix_suffix(layer_name, prop_cols, extent, 2)
+    salt_src = sort_col if sort_col else "mx"
+    hot = hot.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(salt_buckets)))
+    # bucket offsets: one narrow map-side-combined agg + a window over
+    # the tiny per-bucket count table (broadcast back) — no window over
+    # the data itself; row numbers are assigned inside the pack kernel
+    bucket_counts = hot.groupBy("z", "x", "y", "_salt").agg(F.count("*").alias("_bcnt"))
+    woff = (
+        Window.partitionBy("z", "x", "y")
+        .orderBy("_salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_counts.withColumn(
+        "_boff", F.coalesce(F.sum("_bcnt").over(woff), F.lit(0))
+    ).select("z", "x", "y", "_salt", "_boff")
+    hot = hot.join(F.broadcast(offsets), ["z", "x", "y", "_salt"], "inner").withColumn(
+        "_chunk", F.col("_salt")
+    )
+    part_schema = (
+        "z int, x long, y long, chunk long, seq long, n long, "
+        "fblob binary, vblob binary"
+    )
+
+    def pack_chunk(iterator):
+        seen: dict[tuple, int] = {}  # rows already packed per bucket (batch straddle)
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for (gz, gx, gy, gchunk), grp in pdf.groupby(
+                ["z", "x", "y", "_chunk"], sort=False
+            ):
+                grp = grp.reset_index(drop=True)
+                gkey = (gz, gx, gy, gchunk)
+                start = seen.get(gkey, 0)
+                seen[gkey] = start + len(grp)
+                grp = grp.assign(
+                    _rn=grp["_boff"].to_numpy(dtype=np.int64) + start + np.arange(len(grp))
+                )
+                px, py, ok = _quantize_batch(grp, extent, buffer_px)
+                kept = grp.loc[ok].reset_index(drop=True)
+                rn = kept["_rn"].to_numpy(dtype=np.int64)
+                n = len(kept)
+                if n:
+                    tags = np.empty((n, 2 * c), dtype=np.int64)
+                    for j in range(c):
+                        tags[:, 2 * j] = j
+                        # slot = global stream index over ALL tile rows
+                        tags[:, 2 * j + 1] = rn * c + j
+                    zz = np.column_stack(
+                        [Cmd.zigzag32(px[ok]), Cmd.zigzag32(py[ok])]
+                    )
+                    fblob = pbf.encode_point_features_packed(tags, zz)
+                else:
+                    fblob = b""
+                # values blob covers every (pre-mask) row so global slot
+                # positions stay aligned across chunks even when the
+                # buffer mask drops a feature
+                bufs, offs, lens = [], [], []
+                bbase = 0
+                n_all = len(grp)
+                for col in prop_cols:
+                    vals = list(grp[col])
+                    try:
+                        b, o, l = pbf.encode_string_value_fields(vals)
+                    except Exception:
+                        pieces = [_value_field_bytes(v) for v in vals]
+                        b = np.frombuffer(b"".join(pieces), dtype=np.uint8)
+                        l = np.array([len(p) for p in pieces], dtype=np.int64)
+                        o = np.concatenate([[0], np.cumsum(l)[:-1]]).astype(np.int64)
+                    bufs.append(b)
+                    offs.append(o + bbase)
+                    lens.append(l)
+                    bbase += len(b)
+                vbuf = np.concatenate(bufs)
+                voff = np.concatenate(offs)
+                vlen = np.concatenate(lens)
+                order = (np.arange(n_all * c) % c) * n_all + (np.arange(n_all * c) // c)
+                gathered, _ = pbf.ragged_gather(vbuf, voff, vlen, order)
+                out.append(
+                    (int(gz), int(gx), int(gy), int(gchunk), start, n,
+                     fblob, gathered.tobytes())
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["z", "x", "y", "chunk", "seq", "n", "fblob", "vblob"],
+                )
+
+    packed = (
+        hot.repartition(npart, "z", "x", "y", "_chunk")
+        .sortWithinPartitions(
+            "z", "x", "y", "_chunk", *([sort_col] if sort_col else ["mx"])
+        )
+        .mapInPandas(pack_chunk, schema=part_schema)
+    )
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        z, x, y = int(key[0]), int(key[1]), int(key[2])
+        pdf = pdf.sort_values(["chunk", "seq"], kind="mergesort")
+        values = b"".join(bytes(b) for b in pdf["vblob"])
+        feats = b"".join(bytes(b) for b in pdf["fblob"])
+        layer = prefix + values + feats + suffix
+        head = bytearray()
+        pbf.write_varint(head, pbf.tag(3, pbf.WT_LEN))
+        pbf.write_varint(head, len(layer))
+        tile = bytes(head) + layer
+        if compress_tiles:
+            # huge hotspot layers: drop to fast deflate — the single
+            # zlib stream is the only serial stage of the salted path
+            level = 6 if len(tile) < (4 << 20) else 1
+            tile = Z.compress(tile, level=level)
+        n = int(pdf["n"].sum())
         return pd.DataFrame(
-            [(z, x, y, tile, n, 1 if painted else 0, painted)],
+            [(z, x, y, tile, n, 1 if n else 0, bool(n))],
             columns=["z", "x", "y", "tile", "n_features", "n_layers", "painted"],
         )
 
-    return slim.groupBy("z", "x", "y").applyInPandas(kernel, schema=TILE_SCHEMA)
+    return packed.groupBy("z", "x", "y").applyInPandas(assemble, schema=TILE_SCHEMA)

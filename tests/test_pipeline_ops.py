@@ -1,0 +1,181 @@
+"""Training-data pipeline operators: dedup (exact/MinHash-LSH/SimHash/
+Jaccard), ANN (brute/LSH/IVF), text analysis — plus resumable builds,
+lineage, and the streaming extension."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mapnik_vector_tile_spark.operators import ann, dedup, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),          # near dup
+        (3, "der schnelle braune fuchs springt und der hund ist"),
+        (4, "completely different content about spark pipelines"),
+        (5, "the quick brown fox jumps over a sleepy dog"),          # near dup
+        (6, "le renard brun et le chien est la les des"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+@pytest.fixture(scope="module")
+def vectors(spark, sf_small):
+    return spark.read.parquet(f"{sf_small}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).toPandas()
+    dups = out[out["n_dups"] > 1]
+    assert len(dups) == 1 and dups.iloc[0]["representative"] == 0 and dups.iloc[0]["n_dups"] == 2
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    cand = dedup.minhash_lsh_candidates(docs, n_perm=8, bands=4).toPandas()
+    pairs = set(map(tuple, cand[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 1) in pairs  # exact dup always collides on every band
+
+
+def test_ngram_jaccard_scores(docs):
+    out = dedup.ngram_jaccard(docs, threshold=0.5).toPandas()
+    pairs = {(a, b): j for a, b, j in out.to_numpy()}
+    assert pairs[(0, 1)] == 1.0
+    assert any((a, b) in pairs for (a, b) in [(0, 2), (1, 2)])
+
+
+def test_simhash_near_dups(docs):
+    sh = dedup.simhash(docs).toPandas().set_index("doc_id")["simhash16"]
+    assert sh[0] == sh[1]  # identical docs -> identical fingerprints
+    out = dedup.simhash_near_dups(docs, max_hamming=2).toPandas()
+    assert ((out["doc_a"] == 0) & (out["doc_b"] == 1)).any()
+
+
+def test_ann_lsh_recall_vs_brute(vectors):
+    qs = vectors.orderBy("vec_id").limit(8).select("vec_id")
+    exact = ann.brute_force_topk(vectors, qs, k=5).toPandas()
+    approx = ann.lsh_topk(vectors, qs, k=5, n_planes=4, n_tables=6).toPandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].to_numpy()))
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].to_numpy()))
+    recall = len(e & a) / len(e)
+    # synthetic near-orthogonal embeddings are LSH-adversarial; the bar
+    # is "far better than random candidates", not production recall
+    assert recall >= 0.3, recall
+
+
+def test_ann_ivf_recall_vs_brute(vectors):
+    qs = vectors.orderBy("vec_id").limit(8).select("vec_id")
+    exact = ann.brute_force_topk(vectors, qs, k=5).toPandas()
+    approx = ann.ivf_topk(vectors, qs, k=5, n_lists=8, nprobe=4).toPandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].to_numpy()))
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].to_numpy()))
+    assert len(e & a) / len(e) >= 0.5
+
+
+def test_text_quality_and_tokens(docs):
+    out = textops.quality_score(textops.token_count(docs)).toPandas().set_index("doc_id")
+    assert (out["n_tokens_ws"] == out["n_tokens"]).all()
+    assert out.loc[0, "n_tokens"] == 9
+    assert out.loc[0, "stopword_hits"] >= 2
+
+
+def test_language_id(docs):
+    out = textops.language_id(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[3, "lang_pred"] == "de"
+    assert out.loc[6, "lang_pred"] == "fr"
+
+
+def test_doc_fingerprint_deterministic(docs):
+    a = textops.doc_fingerprint(docs).toPandas().set_index("doc_id")["fingerprint"]
+    b = textops.doc_fingerprint(docs).toPandas().set_index("doc_id")["fingerprint"]
+    pd.testing.assert_series_equal(a, b)
+    assert a[0] == a[1] and a[0] != a[2]
+
+
+# --- resumable builds / lineage / streaming ---------------------------------
+
+def test_resumable_build_skips_completed_shards(spark, images_small, tmp_path_factory):
+    from mapnik_vector_tile_spark.operators import assign
+    from mapnik_vector_tile_spark.plans import checkpoints as CK
+    from mapnik_vector_tile_spark.sources import images as IMG
+
+    out_dir = str(tmp_path_factory.mktemp("tiles_out"))
+    located = IMG.with_location(images_small.limit(500))
+    assigned = assign.assign_tiles(located, 3)
+    input_path = IMG.fixture_path(2000)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        CK.build_tiles_resumable(
+            spark, assigned, ["image_id"], out_dir, input_path,
+            n_shards=4, fail_after_shards=2, order_col="image_id",
+        )
+    summary = CK.build_tiles_resumable(
+        spark, assigned, ["image_id"], out_dir, input_path,
+        n_shards=4, order_col="image_id",
+    )
+    assert sorted(summary["skipped"]) and len(summary["skipped"]) == 2
+    assert len(summary["built"]) == 2
+    total = CK.read_all_shards(spark, out_dir).agg(F.sum("n_features")).collect()[0][0]
+    # limit(500) collapses to one partition; count decoded features instead
+    assert total == 500
+
+
+def test_lineage_rows(spark, images_small):
+    from mapnik_vector_tile_spark.operators import assign, encode
+    from mapnik_vector_tile_spark.plans import lineage as L
+    from mapnik_vector_tile_spark.sources import images as IMG
+
+    located = IMG.with_location(images_small)
+    tiles = encode.build_point_tiles(
+        assign.assign_tiles(located, 3), ["image_id"], order_col="image_id"
+    )
+    snap = L.input_snapshot_id(spark, IMG.fixture_path(2000))
+    assert snap.startswith("files:")
+    _, lineage = L.tiles_with_lineage(tiles, snap)
+    pdf = lineage.toPandas()
+    assert pdf["n_rows"].sum() == 2000
+    assert (pdf["snapshot_id"] == snap).all()
+    assert (pdf["min_z"] == 3).all()
+
+
+def test_streaming_tile_counts(spark, images_small, tmp_path_factory):
+    from mapnik_vector_tile_spark.streaming import incremental as S
+    from mapnik_vector_tile_spark.sources import images as IMG
+
+    out = str(tmp_path_factory.mktemp("stream"))
+    q = S.stream_tile_counts(
+        spark, IMG.fixture_path(2000), os.path.join(out, "ck1"), z=3, query_name="tc1"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n_rows) FROM tc1").collect()[0][0]
+    assert got == 2000
+
+
+def test_streaming_rebuild_resume(spark, images_small, tmp_path_factory):
+    """foreachBatch sink + checkpoint: a second availableNow run sees no
+    new files and emits no new epochs (exactly-once resume)."""
+    from mapnik_vector_tile_spark.streaming import incremental as S
+    from mapnik_vector_tile_spark.sources import images as IMG
+
+    base = str(tmp_path_factory.mktemp("stream_rebuild"))
+    ck = os.path.join(base, "ck")
+    out = os.path.join(base, "tiles")
+    q = S.stream_rebuild_tiles(spark, IMG.fixture_path(2000), ck, out, ["image_id"], z=3)
+    q.awaitTermination(180)
+    epochs_first = set(os.listdir(out))
+    assert epochs_first
+    feats = spark.read.parquet(os.path.join(out, "epoch=*")).agg(
+        F.sum("n_features")
+    ).collect()[0][0]
+    assert feats == 2000
+    q2 = S.stream_rebuild_tiles(spark, IMG.fixture_path(2000), ck, out, ["image_id"], z=3)
+    q2.awaitTermination(180)
+    assert set(os.listdir(out)) == epochs_first  # nothing new processed

@@ -163,3 +163,32 @@ def test_features_at_point(tiles, located):
         tiles, src["lon"], src["lat"], tol_merc=ts / 4096.0 * 2
     ).toPandas()
     assert any(m["image_id"] == src["image_id"] for m in hits["props"])
+
+
+def test_hot_path_salted_equals_cold_path(spark, located):
+    """Two-phase salted encode (skew path) decodes to the same features
+    and properties as the single-phase dense-dictionary path."""
+    from mapnik_vector_tile_spark.operators import assign as A, decode as D, encode as E
+
+    assigned = A.assign_tiles(located, Z_TEST)
+    cold = E.build_point_tiles(
+        assigned, prop_cols=["image_id", "caption"], order_col="image_id",
+        hot_threshold=10**9,
+    )
+    hot = E.build_point_tiles(
+        assigned, prop_cols=["image_id", "caption"], order_col="image_id",
+        hot_threshold=50,  # forces hotspot tiles through the salted path
+    )
+    dc = D.decode_tiles(cold).toPandas()
+    dh = D.decode_tiles(hot).toPandas()
+    assert len(dc) == len(dh) == 2000
+
+    def norm(df):
+        out = pd.DataFrame({
+            "image_id": [m["image_id"] for m in df["props"]],
+            "caption": [m["caption"] for m in df["props"]],
+            "z": df["z"], "x": df["x"], "y": df["y"], "wkt": df["geom_wkt"],
+        })
+        return out.sort_values("image_id").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(norm(dc), norm(dh))
