@@ -176,7 +176,49 @@ def q_build_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lineage
 
 
+def q_geom_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-geometry (WKT) tile pipeline: transform/simplify/clip/
+    encode distributed, then decode round-trip counts per tile."""
+    from mapnik_vector_tile_spark import tilemath
+    from mapnik_vector_tile_spark.operators import decode, geom_tiles
+
+    h = tilemath.HALF_OF_EQUATOR
+    q = h / 4.0
+    rows = [
+        ("line_eq", f"LINESTRING(-{2.5 * q} 1000,{2.5 * q} 1000)"),
+        ("poly_one", f"POLYGON(({q * 0.1} {q * 0.1},{q * 0.9} {q * 0.1},"
+                     f"{q * 0.9} {q * 0.9},{q * 0.1} {q * 0.9},{q * 0.1} {q * 0.1}))"),
+        ("pt", f"POINT({q * 1.5} -{q * 1.5})"),
+        ("zig", "LINESTRING(" + ",".join(
+            f"{q * 0.1 + i * q * 0.05} {1000 + (i % 2)}" for i in range(10)) + ")"),
+    ]
+    geoms = spark.createDataFrame(rows, "gid string, geom_wkt string")
+    tiles = geom_tiles.build_geom_tiles(
+        geoms, ["gid"], z=3, simplify_distance=50.0, id_col="gid"
+    )
+    return (
+        decode.decode_tiles(tiles)
+        .groupBy("z", "x", "y", "geom_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_tile_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K12 validity checker over freshly built tiles: per-layer feature-
+    type counters (findings asserted empty in tests)."""
+    from mapnik_vector_tile_spark.operators import assign, encode, validity
+
+    located = _located(spark, sf_dir)
+    tiles = encode.build_point_tiles(
+        assign.assign_tiles(located, 3), ["image_id"], order_col="image_id"
+    )
+    _findings, stats = validity.validate_tiles(tiles)
+    return stats
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "geom_tiles_roundtrip": q_geom_tiles,
+    "tile_validity_stats": q_tile_validity,
     "tile_encode_roundtrip": q_tile_encode_roundtrip,
     "geom_kernel_goldens": q_geom_kernel_goldens,
     "raster_invariants": q_raster_invariants,

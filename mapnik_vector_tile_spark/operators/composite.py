@@ -24,7 +24,7 @@ def merge_tiles_fast(tiles: DataFrame, source_order_col: str = "source") -> Data
     """Byte-append merge per (z,x,y): layers concatenated in source
     order; duplicate layer names keep the first occurrence."""
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key, pdf):
         z, x, y = int(key[0]), int(key[1]), int(key[2])
         pdf = pdf.sort_values(source_order_col, kind="mergesort")
         seen: set[str] = set()

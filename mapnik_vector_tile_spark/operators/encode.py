@@ -683,7 +683,7 @@ def _build_hot_tiles(
         .mapInPandas(pack_chunk, schema=part_schema)
     )
 
-    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def assemble(key, pdf):
         z, x, y = int(key[0]), int(key[1]), int(key[2])
         pdf = pdf.sort_values(["chunk", "seq"], kind="mergesort")
         values = b"".join(bytes(b) for b in pdf["vblob"])

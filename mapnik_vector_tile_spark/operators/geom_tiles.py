@@ -1,0 +1,139 @@
+"""General-geometry tile pipeline: WKT rows -> tiles (the full
+create_geom_layer path of the reference, src/vector_tile_processor.ipp:41-177,
+distributed).
+
+Unlike the point fast path (operators.encode), each feature runs the
+fused geometry kernel: transform+quantize -> optional Douglas-Peucker
+-> box clip (functions.geometry) -> command-stream encode
+(functions.commands). Multi-tile membership comes from the geometry's
+envelope: a feature enters every tile whose buffered extent its bbox
+intersects (the reference's per-tile bbox query, vector_tile_layer.hpp:283-311,
+inverted into an explode over the covering cell range).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from mapnik_vector_tile_spark import tilemath
+from mapnik_vector_tile_spark.functions import commands as Cmd
+from mapnik_vector_tile_spark.functions import compression as Z
+from mapnik_vector_tile_spark.functions import geometry as G
+from mapnik_vector_tile_spark.functions import pbf
+
+TILE_SCHEMA = "z int, x long, y long, tile binary, n_features long, n_layers int, painted boolean"
+
+
+def with_envelope(df: DataFrame, wkt_col: str = "geom_wkt") -> DataFrame:
+    """Add mercator envelope columns (vectorized WKT parse per batch)."""
+
+    def kernel(iterator):
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            envs = np.empty((len(pdf), 4), dtype=np.float64)
+            for i, wkt in enumerate(pdf[wkt_col]):
+                kind, val = G.from_wkt(wkt)
+                if kind == "empty":
+                    envs[i] = (np.nan,) * 4
+                    continue
+                if kind == "point":
+                    arr = np.asarray(val, dtype=np.float64)[None, :]
+                elif kind in ("multipoint", "linestring"):
+                    arr = np.asarray(val, dtype=np.float64)
+                elif kind == "multilinestring":
+                    arr = np.vstack(val)
+                elif kind == "polygon":
+                    arr = np.vstack(val)
+                else:  # multipolygon
+                    arr = np.vstack([r for poly in val for r in poly])
+                envs[i] = (arr[:, 0].min(), arr[:, 1].min(), arr[:, 0].max(), arr[:, 1].max())
+            yield pdf.assign(
+                env_minx=envs[:, 0], env_miny=envs[:, 1],
+                env_maxx=envs[:, 2], env_maxy=envs[:, 3],
+            )
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    schema += ", env_minx double, env_miny double, env_maxx double, env_maxy double"
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def assign_tiles_by_envelope(
+    df: DataFrame, z: int, buffer_px: int = 0, extent: int = 4096
+) -> DataFrame:
+    """Explode each geometry row into every (z,x,y) whose buffered
+    mercator extent intersects its envelope (pure Column math +
+    sequence explode — no UDF)."""
+    n = 2**z
+    ts = tilemath.EARTH_CIRCUMFERENCE / float(n)
+    buf_m = buffer_px / float(extent) * ts
+    half = tilemath.HALF_OF_EQUATOR
+
+    def cell_x(col):
+        return F.floor((col + F.lit(half)) / F.lit(ts))
+
+    def cell_y(col):
+        return F.floor((F.lit(half) - col) / F.lit(ts))
+
+    x0 = F.greatest(F.lit(0), F.least(F.lit(n - 1), cell_x(F.col("env_minx") - F.lit(buf_m))))
+    x1 = F.greatest(F.lit(0), F.least(F.lit(n - 1), cell_x(F.col("env_maxx") + F.lit(buf_m))))
+    y0 = F.greatest(F.lit(0), F.least(F.lit(n - 1), cell_y(F.col("env_maxy") + F.lit(buf_m))))
+    y1 = F.greatest(F.lit(0), F.least(F.lit(n - 1), cell_y(F.col("env_miny") - F.lit(buf_m))))
+    return (
+        df.withColumn("x", F.explode(F.sequence(x0.cast("long"), x1.cast("long"))))
+        .withColumn("y", F.explode(F.sequence(y0.cast("long"), y1.cast("long"))))
+        .withColumn("z", F.lit(z))
+    )
+
+
+def build_geom_tiles(
+    geoms: DataFrame,
+    prop_cols: list[str],
+    z: int,
+    layer_name: str = "layer",
+    extent: int = 4096,
+    buffer_px: int = 0,
+    simplify_distance: float = 0.0,
+    area_threshold: float = 0.1,
+    wkt_col: str = "geom_wkt",
+    id_col: str | None = None,
+    compress_tiles: bool = True,
+) -> DataFrame:
+    """geoms: rows with a mercator-WKT geometry column + props.
+    One tile row per painted (z,x,y)."""
+    from mapnik_vector_tile_spark.operators.encode import encode_geom_layer
+
+    enveloped = with_envelope(geoms, wkt_col)
+    assigned = assign_tiles_by_envelope(enveloped, z, buffer_px=buffer_px, extent=extent)
+    slim_cols = ["z", "x", "y", wkt_col, *prop_cols]
+    if id_col:
+        slim_cols.append(id_col)
+    slim = assigned.select(*dict.fromkeys(slim_cols))
+    cols = ["z", "x", "y", "tile", "n_features", "n_layers", "painted"]
+
+    def kernel(key, grp):
+        gz, gx, gy = int(key[0]), int(key[1]), int(key[2])
+        grp = grp.reset_index(drop=True)
+        if id_col:
+            grp = grp.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        layer, nf = encode_geom_layer(
+            grp, gz, gx, gy, layer_name, prop_cols,
+            wkt_col=wkt_col, extent=extent, buffer_px=buffer_px,
+            simplify_distance=simplify_distance,
+            area_threshold=area_threshold,
+            id_col=None,
+        )
+        if nf == 0:
+            row = (gz, gx, gy, b"", 0, 0, False)
+        else:
+            tile = pbf.encode_tile([layer])
+            if compress_tiles:
+                tile = Z.compress(tile)
+            row = (gz, gx, gy, tile, nf, 1, True)
+        return pd.DataFrame([row], columns=cols)
+
+    # geometry tiles are few and heavy -> per-group applyInPandas is the
+    # right altitude (unlike the point path's segmented mapInPandas)
+    return slim.groupBy("z", "x", "y").applyInPandas(kernel, schema=TILE_SCHEMA)

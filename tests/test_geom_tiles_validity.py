@@ -1,0 +1,143 @@
+"""Distributed general-geometry tiles, validity checker, general-polygon
+PIP refine, buffered assignment."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mapnik_vector_tile_spark import tilemath
+from mapnik_vector_tile_spark.functions import geometry as G
+from mapnik_vector_tile_spark.operators import assign, decode, geom_tiles, pip, validity
+from mapnik_vector_tile_spark.sources import images as IMG
+
+
+@pytest.fixture(scope="module")
+def geoms(spark):
+    """Mercator-space WKT fixtures: a line crossing several z3 tiles, a
+    polygon inside one tile, a point."""
+    h = tilemath.HALF_OF_EQUATOR
+    q = h / 4.0
+    rows = [
+        ("line_eq", f"LINESTRING(-{2.5*q} 1000,{2.5*q} 1000)"),       # crosses 6 z3 tiles
+        ("poly_one", f"POLYGON(({q*0.1} {q*0.1},{q*0.9} {q*0.1},{q*0.9} {q*0.9},{q*0.1} {q*0.9},{q*0.1} {q*0.1}))"),
+        ("pt", f"POINT({q*1.5} -{q*1.5})"),
+    ]
+    return spark.createDataFrame(rows, "gid string, geom_wkt string")
+
+
+def test_envelope_assignment_explodes_crossing_line(spark, geoms):
+    enveloped = geom_tiles.with_envelope(geoms)
+    assigned = geom_tiles.assign_tiles_by_envelope(enveloped, 3)
+    counts = {r["gid"]: r["n"] for r in assigned.groupBy("gid").agg(F.count("*").alias("n")).collect()}
+    assert counts["pt"] == 1
+    assert counts["poly_one"] == 1
+    assert counts["line_eq"] >= 5  # spans most of the equator row
+
+
+def test_geom_tiles_clip_and_roundtrip(spark, geoms):
+    tiles = geom_tiles.build_geom_tiles(
+        geoms, prop_cols=["gid"], z=3, id_col="gid"
+    ).cache()
+    assert tiles.where(F.col("painted")).count() >= 7
+    decoded = decode.decode_tiles(tiles).toPandas()
+    # every decoded piece of the line stays within its tile's bbox
+    for _, row in decoded.iterrows():
+        if row["props"]["gid"] != "line_eq":
+            continue
+        kind, val = G.from_wkt(row["geom_wkt"])
+        assert kind in ("linestring", "multilinestring")
+        minx, miny, maxx, maxy = tilemath.tile_mercator_bbox_np(row["x"], row["y"], row["z"])
+        arr = val if kind == "linestring" else np.vstack(val)
+        ts = (maxx - minx) / 4096.0
+        assert arr[:, 0].min() >= minx - ts and arr[:, 0].max() <= maxx + ts
+    # polygon decodes as polygon with 5 ring points (square)
+    poly_rows = [r for _, r in decoded.iterrows() if r["props"]["gid"] == "poly_one"]
+    assert len(poly_rows) == 1 and poly_rows[0]["geom_type"] == 3
+
+
+def test_geom_tiles_simplification_applies(spark):
+    h = tilemath.HALF_OF_EQUATOR
+    q = h / 4.0
+    # zigzag line with sub-tolerance wiggles -> simplified to 2 points
+    pts = ",".join(f"{q*0.1 + i*q*0.05} {1000 + (i % 2)}" for i in range(10))
+    df = spark.createDataFrame([("zig", f"LINESTRING({pts})")], "gid string, geom_wkt string")
+    tiles = geom_tiles.build_geom_tiles(df, ["gid"], z=3, simplify_distance=50.0, id_col="gid")
+    decoded = decode.decode_tiles(tiles).toPandas()
+    kind, val = G.from_wkt(decoded.iloc[0]["geom_wkt"])
+    assert kind == "linestring" and len(val) == 2
+
+
+def test_validity_clean_tiles(spark, images_small):
+    located = IMG.with_location(images_small.limit(300))
+    from mapnik_vector_tile_spark.operators import encode
+
+    tiles = encode.build_point_tiles(
+        assign.assign_tiles(located, 3), ["image_id"], order_col="image_id"
+    )
+    findings, stats = validity.validate_tiles(tiles)
+    assert findings.count() == 0
+    st = stats.toPandas()
+    assert st["n_point"].sum() == 300
+    assert (st["version"] == 2).all() and (st["extent"] == 4096).all()
+
+
+def test_validity_flags_corrupt_tile(spark):
+    import zlib
+
+    from mapnik_vector_tile_spark.functions import pbf
+
+    # layer without required name; feature with OOB tag + bad geometry
+    bad_feature = pbf.encode_feature(7, [5, 9], 1, [0])  # zero-count MoveTo
+    buf = bytearray()
+    pbf.add_len_field(buf, 2, bad_feature)
+    pbf.add_varint_field(buf, 15, 2)
+    noname_layer = bytes(buf)
+    named = pbf.encode_layer("ok", [bad_feature], ["k"], [pbf.encode_value("v")])
+    tile = zlib.compress(pbf.encode_tile([noname_layer, named]))
+    df = spark.createDataFrame([(0, 0, 0, tile)], "z int, x long, y long, tile binary")
+    findings, _ = validity.validate_tiles(df)
+    codes = {r["code"] for r in findings.collect()}
+    assert "LAYER_MISSING_NAME" in codes
+    assert "FEATURE_TAG_KEY_OOB" in codes and "FEATURE_TAG_VALUE_OOB" in codes
+    assert "FEATURE_GEOMETRY_INVALID" in codes
+
+
+def test_pip_refine_general_polygon(spark):
+    """Filter-and-refine against a non-rectangular polygon (triangle)."""
+    tri_x = [0.0, 10.0, 5.0, 0.0]
+    tri_y = [0.0, 0.0, 10.0, 0.0]
+    pts = [
+        ("in_center", 5.0, 3.0),
+        ("out_left", 1.0, 8.0),
+        ("out_right", 9.0, 8.0),
+        ("in_low", 2.0, 1.0),
+    ]
+    pdf = spark.createDataFrame(
+        [(pid, x, y, 1, tri_x, tri_y) for pid, x, y in pts],
+        "pid string, mx double, my double, poly_id int, ring_x array<double>, ring_y array<double>",
+    )
+    out = pip.pip_refine_polygons(pdf, None).toPandas().set_index("pid")
+    assert bool(out.loc["in_center", "inside"]) is True
+    assert bool(out.loc["in_low", "inside"]) is True
+    assert bool(out.loc["out_left", "inside"]) is False
+    assert bool(out.loc["out_right", "inside"]) is False
+
+
+def test_buffered_assignment_includes_neighbors(spark):
+    """A point just inside a tile edge also lands in the neighbour when
+    the buffer covers it (reference buffered-extent rule)."""
+    z = 3
+    minx, miny, maxx, maxy = tilemath.tile_mercator_bbox_np(4, 3, z)
+    # point 1/10000 of a tile inside the left edge of tile (4,3)
+    eps = (maxx - minx) / 10000.0
+    lon = float(np.degrees((minx + eps) / tilemath.EARTH_RADIUS))
+    lat = 5.0
+    df = spark.createDataFrame([("p1", lon, lat)], "pid string, lon double, lat double")
+    no_buf = assign.assign_tiles_buffered(df, z, buffer_px=0).select("x", "y").collect()
+    assert {(r["x"], r["y"]) for r in no_buf} == {(4, 3)}
+    buffered = assign.assign_tiles_buffered(df, z, buffer_px=128).select("x", "y").collect()
+    cells = {(r["x"], r["y"]) for r in buffered}
+    assert (4, 3) in cells and (3, 3) in cells  # neighbour across the edge
