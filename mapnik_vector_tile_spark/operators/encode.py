@@ -306,7 +306,7 @@ def _encode_tiles_segmented(
     compress = zlib.compress
     for g in range(n_groups):
         vals = gathered_b[gat_off[dict_off[g]] : gat_off[dict_off[g + 1]]]
-        layer = prefix + vals + blob[fs[g] : fe[g]] + suffix
+        layer = prefix + vals + suffix + blob[fs[g] : fe[g]]
         head = bytearray()
         pbf.write_varint(head, pbf.tag(3, pbf.WT_LEN))
         pbf.write_varint(head, len(layer))
@@ -688,7 +688,7 @@ def _build_hot_tiles(
         pdf = pdf.sort_values(["chunk", "seq"], kind="mergesort")
         values = b"".join(bytes(b) for b in pdf["vblob"])
         feats = b"".join(bytes(b) for b in pdf["fblob"])
-        layer = prefix + values + feats + suffix
+        layer = prefix + values + suffix + feats
         head = bytearray()
         pbf.write_varint(head, pbf.tag(3, pbf.WT_LEN))
         pbf.write_varint(head, len(layer))

@@ -192,3 +192,24 @@ def test_hot_path_salted_equals_cold_path(spark, located):
         return out.sort_values("image_id").reset_index(drop=True)
 
     pd.testing.assert_frame_equal(norm(dc), norm(dh))
+
+
+def test_columnar_decode_matches_generic(tiles, located):
+    """Vectorized columnar decode returns the same ids/props/positions
+    as the generic per-feature walk."""
+    from mapnik_vector_tile_spark.operators import decode as D
+
+    col = D.decode_tiles_columnar(tiles, ["image_id", "caption", "fmt"]).toPandas()
+    gen = D.decode_tiles(tiles).toPandas()
+    assert len(col) == len(gen) == 2000
+    gsrc = pd.DataFrame(
+        {
+            "image_id": [m["image_id"] for m in gen["props"]],
+            "caption": [m["caption"] for m in gen["props"]],
+            "fmt": [m["fmt"] for m in gen["props"]],
+        }
+    ).sort_values("image_id").reset_index(drop=True)
+    csrc = col[["image_id", "caption", "fmt"]].sort_values("image_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(csrc, gsrc)
+    # positions finite and inside each tile bbox
+    assert np.isfinite(col["mx"]).all() and np.isfinite(col["my"]).all()
