@@ -523,8 +523,19 @@ def clip_geom(
     area_threshold: float = 0.1,
     multi_polygon_union: bool = False,
     process_all_rings: bool = False,
+    fill_type: str = "even_odd",
 ):
-    """geometry_clipper dispatch (clipper.hpp:109-366)."""
+    """geometry_clipper dispatch (clipper.hpp:109-366).
+
+    fill_type in {even_odd, non_zero, positive, negative} mirrors the
+    Wagyu union fill rule (clipper.hpp:47-63). DEVIATION: this engine
+    resolves rings via box clip + winding normalization only — for
+    non-self-intersecting inputs (the reference's own fill-type test
+    corpus, test/system/round_trip_fill_type.cpp) all four rules yield
+    identical output, which the goldens pin; genuinely self-intersecting
+    rings are not re-normalized (documented gap)."""
+    if fill_type not in ("even_odd", "non_zero", "positive", "negative"):
+        raise ValueError(f"unknown fill_type {fill_type!r}")
     kind, val = geom
     if kind == "empty":
         return geom
@@ -582,6 +593,7 @@ def world_to_tile_geom(
     area_threshold: float = 0.1,
     multi_polygon_union: bool = False,
     process_all_rings: bool = False,
+    fill_type: str = "even_odd",
 ):
     """transform -> [simplify] -> clip, one fused pass per feature."""
     g = transform_geom(geom_world, vt)
@@ -593,4 +605,5 @@ def world_to_tile_geom(
         area_threshold=area_threshold,
         multi_polygon_union=multi_polygon_union,
         process_all_rings=process_all_rings,
+        fill_type=fill_type,
     )

@@ -231,3 +231,26 @@ def test_line_reentry_splits_to_multiline():
     out = G.clip_geom(("linestring", line), (0, 0, 100, 100))
     assert out[0] == "multilinestring"
     assert len(out[1]) == 2
+
+
+@pytest.mark.parametrize("fill_type", ["even_odd", "non_zero", "positive", "negative"])
+def test_round_trip_fill_types(fill_type):
+    """test/system/round_trip_fill_type.cpp: all four fill rules give
+    the same result on the (non-self-intersecting) hole polygon."""
+    got = round_trip(
+        "POLYGON((0 0,-10 0,-10 10,0 10,0 0),(-7 7,-7 3,-3 3,-3 7,-7 7))",
+        0.0,
+        fill_type=fill_type,
+    )
+    expected = (
+        "POLYGON((128 -113.778,120.889 -113.778,120.889 -128,128 -128,128 -113.778),"
+        "(123.022 -123.733,123.022 -118.044,125.867 -118.044,125.867 -123.733,"
+        "123.022 -123.733))"
+    )
+    assert norm_poly_wkt(got) == norm_poly_wkt(expected)
+
+
+def test_unknown_fill_type_rejected():
+    with pytest.raises(ValueError):
+        G.clip_geom(("polygon", [np.array([[0, 0], [10, 0], [5, 8]])]), (0, 0, 100, 100),
+                    fill_type="bogus")
