@@ -141,3 +141,38 @@ def test_buffered_assignment_includes_neighbors(spark):
     buffered = assign.assign_tiles_buffered(df, z, buffer_px=128).select("x", "y").collect()
     cells = {(r["x"], r["y"]) for r in buffered}
     assert (4, 3) in cells and (3, 3) in cells  # neighbour across the edge
+
+
+def test_pip_join_matches_numpy_oracle_with_buffers(spark, images_small):
+    """FIXTURES §5 expected_join_rows: PIP against tile_boundaries at
+    buffer 0 and 128 px, pinned by a pure-numpy oracle."""
+    located = IMG.with_location(images_small).cache()
+    src = located.select("image_id", "lon", "lat").toPandas()
+    mx, my = tilemath.mercator_np(src["lon"].to_numpy(), src["lat"].to_numpy())
+
+    for buffer_px in (0, 128):
+        boundaries = IMG.tile_boundaries(spark, zooms=(3,), buffer_px=buffer_px)
+        got = (
+            pip.pip_join_rect(located, boundaries, z=3)
+            .select("image_id", "x", "y", "inside")
+            .toPandas()
+            .sort_values(["image_id", "x", "y"])
+            .reset_index(drop=True)
+        )
+        # numpy oracle: containment in the buffered bbox of the point's
+        # own z3 cell (the join is cell-keyed, so exactly one row each)
+        xt, yt = tilemath.lonlat_to_tile_np(src["lon"].to_numpy(), src["lat"].to_numpy(), 3)
+        minx, miny, maxx, maxy = tilemath.tile_mercator_bbox_np(xt, yt, 3)
+        buf = buffer_px / 4096.0 * (maxx - minx)
+        inside = (
+            (mx >= minx - buf) & (mx < maxx + buf) & (my >= miny - buf) & (my < maxy + buf)
+        )
+        exp = (
+            pd.DataFrame({"image_id": src["image_id"], "x": xt, "y": yt, "inside": inside})
+            .sort_values(["image_id", "x", "y"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp) == 2000
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        if buffer_px == 0:
+            assert got["inside"].all()  # a point is inside its own cell

@@ -156,3 +156,22 @@ def test_raster_feature_carries_bytes(located, spark):
     src = {r["image_id"]: bytes(r["bytes"]) for r in located.limit(60).collect()}
     row = decoded.iloc[0]
     assert bytes(row["raster"]) == src[row["props"]["image_id"]]
+
+
+def test_knn_haversine_matches_brute_force(located):
+    """FIXTURES §5 expected_knn semantics: great-circle distance, k=5,
+    hotspot-cluster queries, ties by image_id."""
+    from mapnik_vector_tile_spark.operators import knn as K
+
+    hot = (
+        located.where(
+            (F.col("lon") > -123) & (F.col("lon") < -122)
+            & (F.col("lat") > 37) & (F.col("lat") < 38)
+        )
+        .orderBy("image_id")
+        .limit(12)
+        .select("image_id", "lon", "lat")
+    )
+    fast = K.knn_ring_expansion_haversine(located, hot, k=5, z=9).toPandas()
+    slow = K.brute_force_knn_haversine(located, hot, k=5).toPandas()
+    pd.testing.assert_frame_equal(_norm(fast), _norm(slow))
