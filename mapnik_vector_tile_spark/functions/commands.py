@@ -92,6 +92,12 @@ def encode_geometry(geom, cursor: list[int] | None = None):
     out: list[int] = []
     if kind == "empty":
         return None, []
+    if kind == "geometrycollection":
+        # parity with encoder_visitor (vector_tile_geometry_encoder_pbf.ipp:62-65)
+        raise ValueError(
+            "Geometry collections can not be encoded as they may contain "
+            "different geometry types"
+        )
     if kind == "point":
         pts = np.asarray(val, dtype=np.int64).reshape(1, 2)
         out.append(9)

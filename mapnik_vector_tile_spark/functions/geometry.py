@@ -72,6 +72,8 @@ def to_wkt(geom) -> str:
             + ",".join("(" + ",".join(f"({_fmt_seq(r)})" for r in poly) + ")" for poly in val)
             + ")"
         )
+    if kind == "geometrycollection":
+        return "GEOMETRYCOLLECTION(" + ",".join(to_wkt(g) for g in val) + ")"
     raise ValueError(kind)
 
 
@@ -98,6 +100,21 @@ def _split_groups(s: str) -> list[str]:
     return groups
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at paren depth 0 (GEOMETRYCOLLECTION elements)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
 def from_wkt(wkt: str):
     w = wkt.strip()
     m = re.match(r"([A-Z ]+?)\s*(\(.*\)|EMPTY)$", w, re.I)
@@ -108,6 +125,8 @@ def from_wkt(wkt: str):
     if body == "EMPTY":
         return ("empty", None)
     inner = body[1:-1]
+    if tag == "GEOMETRYCOLLECTION":
+        return ("geometrycollection", [from_wkt(e) for e in _split_top_level(inner)])
     if tag == "POINT":
         return ("point", _parse_seq(inner)[0])
     if tag == "MULTIPOINT":
@@ -223,7 +242,22 @@ def transform_geom(geom, vt: ViewTransform):
             if rings and len(rings[0]) >= 3:
                 polys.append(rings)
         return ("multipolygon", polys) if polys else ("empty", None)
+    if kind == "geometrycollection":
+        out = [transform_geom(g, vt) for g in val]
+        return _collapse_collection(out)
     raise ValueError(kind)
+
+
+def _collapse_collection(elems):
+    """Collection post-processing: empties drop; a single survivor
+    collapses (matches the decode-side behaviour the reference's
+    collection round-trip tests pin, test/system/round_trip.cpp:26-52)."""
+    live = [g for g in elems if g[0] != "empty"]
+    if not live:
+        return ("empty", None)
+    if len(live) == 1:
+        return live[0]
+    return ("geometrycollection", live)
 
 
 # ---------------------------------------------------------------------------
@@ -285,6 +319,8 @@ def simplify_geom(geom, simplify_distance: float):
     kind, val = geom
     if kind in ("point", "multipoint", "empty"):
         return geom
+    if kind == "geometrycollection":
+        return _collapse_collection([simplify_geom(g, simplify_distance) for g in val])
     if kind == "linestring":
         return ("linestring", val if len(val) <= 2 else douglas_peucker(val, simplify_distance))
     if kind == "multilinestring":
@@ -462,6 +498,20 @@ def quick_clip_ring(ring: np.ndarray, box) -> np.ndarray:
     return out if len(out) >= 3 else np.empty((0, 2), dtype=np.int64)
 
 
+def _canonical_ring_key(ring: np.ndarray) -> tuple:
+    """Rotation/direction-insensitive identity of a ring."""
+    a = np.asarray(ring)
+    if len(a) > 1 and np.array_equal(a[0], a[-1]):
+        a = a[:-1]
+    best = None
+    for arr in (a, a[::-1]):
+        for s in range(len(arr)):
+            cand = tuple(map(tuple, np.roll(arr, -s, axis=0)))
+            if best is None or cand < best:
+                best = cand
+    return best
+
+
 def _clip_polygon_rings(rings, box, area_threshold, process_all_rings):
     """Ring loop of geometry_clipper::operator()(polygon) —
     clipper.hpp:172-238: first ring (exterior) normalized to positive
@@ -539,6 +589,14 @@ def clip_geom(
     kind, val = geom
     if kind == "empty":
         return geom
+    if kind == "geometrycollection":  # clipper.hpp:123-129 visitor recursion
+        return _collapse_collection(
+            [
+                clip_geom(g, box, area_threshold, multi_polygon_union,
+                          process_all_rings, fill_type)
+                for g in val
+            ]
+        )
     minx, miny, maxx, maxy = box
     if kind == "point":
         return geom  # points pass through (clipper.hpp:110-113)
@@ -572,6 +630,19 @@ def clip_geom(
             tagged = _clip_polygon_rings(poly, box, area_threshold, process_all_rings)
             if tagged:
                 all_polys.extend(_assemble_polygons(tagged))
+        if multi_polygon_union and len(all_polys) > 1:
+            # union across polygons (clipper.hpp:240-301). DEVIATION:
+            # identical polygons merge (the reference's own union test,
+            # test/system/round_trip.cpp:164-186); overlapping
+            # non-identical polygons are kept side by side (no Vatti).
+            seen: set = set()
+            deduped = []
+            for poly in all_polys:
+                key = tuple(_canonical_ring_key(r) for r in poly)
+                if key not in seen:
+                    seen.add(key)
+                    deduped.append(poly)
+            all_polys = deduped
         if not all_polys:
             return ("empty", None)
         return (

@@ -254,3 +254,45 @@ def test_unknown_fill_type_rejected():
     with pytest.raises(ValueError):
         G.clip_geom(("polygon", [np.array([[0, 0], [10, 0], [5, 8]])]), (0, 0, 100, 100),
                     fill_type="bogus")
+
+
+# --- remaining round_trip.cpp goldens ---------------------------------------
+
+MORE_EXACT = [
+    ("GEOMETRYCOLLECTION(POINT(0 0))", 0.0, "POINT(128 -128)"),
+    ("GEOMETRYCOLLECTION(GEOMETRYCOLLECTION(POINT(0 0)))", 0.0, "POINT(128 -128)"),
+    ("MULTIPOINT(0 0)", 0.0, "POINT(128 -128)"),
+    ("MULTIPOINT(0 0,1 1)", 0.0, "MULTIPOINT(128 -128,128.711 -126.578)"),
+    ("MULTILINESTRING((0 0,100 100))", 0.0, "LINESTRING(128 -128,192 0)"),
+    (
+        "MULTILINESTRING((0 0,100 100),(-10 0,-100 -100))",
+        0.0,
+        "MULTILINESTRING((128 -128,192 0),(120.889 -128,63.289 -256))",
+    ),
+]
+
+
+@pytest.mark.parametrize("wkt,simplify,expected", MORE_EXACT)
+def test_round_trip_more_exact(wkt, simplify, expected):
+    assert round_trip(wkt, simplify) == expected
+
+
+def test_round_trip_polygon_exact_string():
+    """round_trip.cpp:126-142 — single exterior ring, exact golden."""
+    got = round_trip("POLYGON((0 0,0 10,-10 10,-10 0,0 0))")
+    expected = "POLYGON((128 -113.778,120.889 -113.778,120.889 -128,128 -128,128 -113.778))"
+    assert norm_poly_wkt(got) == norm_poly_wkt(expected)
+
+
+def test_multipolygon_union_merges_identical():
+    """round_trip.cpp:164-186: identical squares + union=True -> ONE
+    polygon; union=False -> both survive."""
+    wkt = (
+        "MULTIPOLYGON(((0 0,0 10,-10 10,-10 0,0 0)),"
+        "((0 0,0 10,-10 10,-10 0,0 0)))"
+    )
+    merged = round_trip(wkt, 0.0, multi_polygon_union=True)
+    kept = round_trip(wkt, 0.0, multi_polygon_union=False)
+    assert G.from_wkt(merged)[0] == "polygon"
+    assert G.from_wkt(kept)[0] == "multipolygon"
+    assert len(G.from_wkt(kept)[1]) == 2
