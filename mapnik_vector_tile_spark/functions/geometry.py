@@ -550,12 +550,55 @@ def _clip_polygon_rings(rings, box, area_threshold, process_all_rings):
     return out
 
 
-def _assemble_polygons(tagged_rings):
-    """Post-clip union stand-in: rings already normalized (ext positive /
-    int negative) assemble into polygons by first-ring-is-exterior order.
-    NOTE: unlike Wagyu this does not resolve self-intersections or
-    cross-ring overlaps (see module docstring 'deviation'); the
-    reference's own test geometries are simple and covered by goldens."""
+RESOLVE_VERTEX_BUDGET = 512  # run the O(E^2) fill resolver below this
+
+
+def _segments_intersect(a0, a1, b0, b1) -> bool:
+    d1 = (b1[0] - b0[0]) * (a0[1] - b0[1]) - (b1[1] - b0[1]) * (a0[0] - b0[0])
+    d2 = (b1[0] - b0[0]) * (a1[1] - b0[1]) - (b1[1] - b0[1]) * (a1[0] - b0[0])
+    d3 = (a1[0] - a0[0]) * (b0[1] - a0[1]) - (a1[1] - a0[1]) * (b0[0] - a0[0])
+    d4 = (a1[0] - a0[0]) * (b1[1] - a0[1]) - (a1[1] - a0[1]) * (b1[0] - a0[0])
+    return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0))
+
+
+def _needs_fill_resolution(tagged_rings) -> bool:
+    """Proper self-intersections or cross-ring crossings require the
+    boolean resolver; plain exterior+holes assembly does not."""
+    rings = [np.asarray(r, dtype=np.float64) for _t, r in tagged_rings]
+    total = sum(len(r) for r in rings)
+    if total > RESOLVE_VERTEX_BUDGET:
+        return False  # stay on the fast path (documented budget gate)
+    segs = []
+    for ri, r in enumerate(rings):
+        rr = np.vstack([r, r[:1]])
+        for i in range(len(r)):
+            segs.append((ri, i, rr[i], rr[i + 1]))
+    n_by_ring = [len(r) for r in rings]
+    for i in range(len(segs)):
+        ri, ii, a0, a1 = segs[i]
+        for j in range(i + 1, len(segs)):
+            rj, jj, b0, b1 = segs[j]
+            if ri == rj:
+                # skip adjacent segments of the same ring (shared vertex)
+                if abs(ii - jj) <= 1 or abs(ii - jj) == n_by_ring[ri] - 1:
+                    continue
+            if _segments_intersect(a0, a1, b0, b1):
+                return True
+    return False
+
+
+def _assemble_polygons(tagged_rings, fill_type: str = "even_odd"):
+    """Post-clip ring assembly. Simple inputs (the common case) use
+    first-ring-is-exterior order; rings that self-intersect or cross
+    each other go through the boolean fill resolver
+    (functions.booleans — the Wagyu-union role, clipper.hpp:226-231)
+    when under the vertex budget."""
+    if _needs_fill_resolution(tagged_rings):
+        from mapnik_vector_tile_spark.functions.booleans import resolve_fill
+
+        resolved = resolve_fill([r for _t, r in tagged_rings], fill_type)
+        if resolved:
+            return resolved
     polys = []
     for tag, ring in tagged_rings:
         # re-check orientation survived clipping; SH clip preserves order
@@ -620,16 +663,28 @@ def clip_geom(
         tagged = _clip_polygon_rings(val, box, area_threshold, process_all_rings)
         if not tagged:
             return ("empty", None)
-        polys = _assemble_polygons(tagged)
+        polys = _assemble_polygons(tagged, fill_type)
         if not polys:
             return ("empty", None)
         return ("polygon", polys[0]) if len(polys) == 1 else ("multipolygon", polys)
     if kind == "multipolygon":
         all_polys = []
+        all_tagged = []
         for poly in val:
             tagged = _clip_polygon_rings(poly, box, area_threshold, process_all_rings)
             if tagged:
-                all_polys.extend(_assemble_polygons(tagged))
+                all_tagged.extend(tagged)
+                all_polys.extend(_assemble_polygons(tagged, fill_type))
+        if multi_polygon_union and len(all_polys) > 1:
+            # union across polygons feeds ONE resolver, like one wagyu
+            # instance taking every ring (clipper.hpp:240-301)
+            total_v = sum(len(r) for _t, r in all_tagged)
+            if total_v <= RESOLVE_VERTEX_BUDGET:
+                from mapnik_vector_tile_spark.functions.booleans import resolve_fill
+
+                resolved = resolve_fill([r for _t, r in all_tagged], fill_type)
+                if resolved:
+                    all_polys = resolved
         if multi_polygon_union and len(all_polys) > 1:
             # union across polygons (clipper.hpp:240-301). DEVIATION:
             # identical polygons merge (the reference's own union test,

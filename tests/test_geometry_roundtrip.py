@@ -296,3 +296,42 @@ def test_multipolygon_union_merges_identical():
     assert G.from_wkt(merged)[0] == "polygon"
     assert G.from_wkt(kept)[0] == "multipolygon"
     assert len(G.from_wkt(kept)[1]) == 2
+
+
+# --- boolean fill resolution (Wagyu-union role, functions/booleans) ---------
+
+def test_fill_rules_distinguish_double_wound_ring():
+    """A single ring that winds twice around its inner region (bridge
+    connected): even_odd excludes the winding-2 core, non_zero keeps it.
+    The canonical rule-separating case AFTER the clipper's ring
+    normalization (the reference normalizes later rings to holes, so
+    plain nesting cannot separate the rules; a self-overlapping ring
+    can — wagyu fill semantics)."""
+    ring = np.array([
+        [0, 0], [100, 0], [100, 100], [0, 100], [0, 0],
+        [20, 20], [80, 20], [80, 80], [20, 80], [20, 20],
+    ])
+    box = (-10, -10, 200, 200)
+    eo = G.clip_geom(("polygon", [ring]), box, fill_type="even_odd")
+    nz = G.clip_geom(("polygon", [ring]), box, fill_type="non_zero")
+    assert eo[0] == "polygon" and len(eo[1]) == 2  # annulus: core excluded
+    assert G.ring_area(eo[1][1]) < 0
+    assert nz[0] == "polygon" and len(nz[1]) == 1  # solid: core kept
+    assert abs(G.ring_area(nz[1][0]) - 10000) < 5
+
+
+def test_bowtie_resolves_to_two_triangles():
+    bow = [np.array([[0, 0], [100, 100], [100, 0], [0, 100]])]
+    out = G.clip_geom(("polygon", bow), (-10, -10, 200, 200), area_threshold=0.0)
+    assert out[0] == "multipolygon" and len(out[1]) == 2
+    areas = sorted(abs(G.ring_area(p[0])) for p in out[1])
+    assert all(abs(a - 2500) < 5 for a in areas)
+
+
+def test_overlapping_multipolygon_union_merges():
+    sq = lambda x0, y0, s: np.array([[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]])
+    mp = [[sq(0, 0, 100)], [sq(50, 50, 100)]]
+    out = G.clip_geom(("multipolygon", mp), (-10, -10, 300, 300),
+                      multi_polygon_union=True, fill_type="non_zero")
+    assert out[0] == "polygon"
+    assert abs(G.ring_area(out[1][0]) - 17500) < 5  # 2*10000 - 2500 overlap
