@@ -16,6 +16,8 @@ array ops.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 MOVE_TO, LINE_TO, CLOSE = 1, 2, 7
@@ -291,6 +293,18 @@ def _scale_pt(x, y, tile_x, tile_y, scale_x, scale_y):
     return tile_x + x / scale_x, tile_y + y / scale_y
 
 
+_scale_pt_active = None  # set per decode_geometry call
+
+
+def _scale_pt_int(x, y, tile_x, tile_y, scale_x, scale_y):
+    """int64 decode specialization (decoder.ipp:49-56): per-coordinate
+    std::round of val/scale, added to the integer tile origin."""
+    def r(v):
+        return math.floor(abs(v) + 0.5) * (1 if v >= 0 else -1)
+
+    return tile_x + r(x / scale_x), tile_y + r(y / scale_y)
+
+
 # decode assembly (decoder.ipp:74-566)
 
 def decode_geometry(
@@ -302,10 +316,14 @@ def decode_geometry(
     scale_x: float = 1.0,
     scale_y: float = 1.0,
     bbox=None,
+    value_type: str = "double",
 ):
     """-> geometry in decoded space (("kind", arrays)); raises DecodeError
     per the v1/v2 matrix. bbox (minx,miny,maxx,maxy) filters parts like
-    the decoder's part-level envelope check."""
+    the decoder's part-level envelope check. value_type="int64" applies
+    the integer decode rounding (get_point_value<int64>, decoder.ipp:49-56)."""
+    global _scale_pt_active
+    _scale_pt_active = _scale_pt_int if value_type == "int64" else _scale_pt
     cur = _Cursor(commands)
     if geom_type == POINT:
         return _decode_point(cur, tile_x, tile_y, scale_x, scale_y, bbox)
@@ -332,7 +350,7 @@ def _decode_point(cur, tx, ty, sx, sy, bbox):
         cmd, x, y = cur.point_next()
         if cmd == "end":
             break
-        px, py = _scale_pt(x, y, tx, ty, sx, sy)
+        px, py = _scale_pt_active(x, y, tx, ty, sx, sy)
         if _bbox_pt(bbox, px, py):
             pts.append((px, py))
     if not pts:
@@ -360,12 +378,12 @@ def _decode_linestring(cur, tx, ty, sx, sy, bbox, version):
                 if version == 1:
                     break
                 raise DecodeError("LINESTRING MOVETO with no LINETO following")
-        line = [_scale_pt(x0, y0, tx, ty, sx, sy), _scale_pt(x1, y1, tx, ty, sx, sy)]
+        line = [_scale_pt_active(x0, y0, tx, ty, sx, sy), _scale_pt_active(x1, y1, tx, ty, sx, sy)]
         while True:
             cmd, x1, y1 = cur.line_next(True)
             if cmd != "line_to":
                 break
-            line.append(_scale_pt(x1, y1, tx, ty, sx, sy))
+            line.append(_scale_pt_active(x1, y1, tx, ty, sx, sy))
         arr = np.array(line, dtype=np.float64)
         env = (arr[:, 0].min(), arr[:, 1].min(), arr[:, 0].max(), arr[:, 1].max())
         if _bbox_env(bbox, env):
@@ -425,9 +443,9 @@ def _decode_polygon(cur, tx, ty, sx, sy, bbox, version):
             raise DecodeError("POLYGON MOVETO without two LINETOs and CLOSE")
 
         ring = [
-            _scale_pt(x0, y0, tx, ty, sx, sy),
-            _scale_pt(x1, y1, tx, ty, sx, sy),
-            _scale_pt(x2, y2, tx, ty, sx, sy),
+            _scale_pt_active(x0, y0, tx, ty, sx, sy),
+            _scale_pt_active(x1, y1, tx, ty, sx, sy),
+            _scale_pt_active(x2, y2, tx, ty, sx, sy),
         ]
         ring_area_acc += _seg_area(x0, y0, x1, y1)
         ring_area_acc += _seg_area(x1, y1, x2, y2)
@@ -436,12 +454,12 @@ def _decode_polygon(cur, tx, ty, sx, sy, bbox, version):
             cmd, x2, y2 = cur.ring_next(True)
             if cmd != "line_to":
                 break
-            ring.append(_scale_pt(x2, y2, tx, ty, sx, sy))
+            ring.append(_scale_pt_active(x2, y2, tx, ty, sx, sy))
             ring_area_acc += _seg_area(xp, yp, x2, y2)
             xp, yp = x2, y2
         if cmd != "close":
             raise DecodeError("POLYGON ring not closed by CLOSE")
-        first_pt = _scale_pt(x0, y0, tx, ty, sx, sy)
+        first_pt = _scale_pt_active(x0, y0, tx, ty, sx, sy)
         if ring[-1] != first_pt:
             ring.append(first_pt)
             ring_area_acc += _seg_area(xp, yp, x0, y0)

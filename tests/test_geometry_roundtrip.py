@@ -335,3 +335,52 @@ def test_overlapping_multipolygon_union_merges():
                       multi_polygon_union=True, fill_type="non_zero")
     assert out[0] == "polygon"
     assert abs(G.ring_area(out[1][0]) - 17500) < 5  # 2*10000 - 2500 overlap
+
+
+# --- polygon scaling goldens (test/unit/decoding/polygon_scaling.cpp) -------
+
+_SCALE_STREAM = [9, 0, 0, 26, 0, 20, 19, 0, 0, 19, 15]  # the shared polygon
+
+
+@pytest.mark.parametrize("scale_x,scale_y,vt,expected", [
+    (2.0, 2.0, "double", "POLYGON((0 0,0 5,-5 5,-5 0,0 0))"),
+    (2.0, 2.0, "int64", "POLYGON((0 0,0 5,-5 5,-5 0,0 0))"),
+    (3.214, 3.214, "double",
+     "POLYGON((0 0,0 3.11138767890479,-3.11138767890479 3.11138767890479,"
+     "-3.11138767890479 0,0 0))"),
+    (3.214, 3.214, "int64", "POLYGON((0 0,0 3,-3 3,-3 0,0 0))"),
+    (0.46, 0.46, "double",
+     "POLYGON((0 0,0 21.7391304347826,-21.7391304347826 21.7391304347826,"
+     "-21.7391304347826 0,0 0))"),
+    (0.46, 0.46, "int64", "POLYGON((0 0,0 22,-22 22,-22 0,0 0))"),
+    (1.0, -1.0, "double", "POLYGON((0 0,-10 0,-10 -10,0 -10,0 0))"),
+    (-1.0, 1.0, "double", "POLYGON((0 0,10 0,10 10,0 10,0 0))"),
+    (-1.0, -1.0, "double", "POLYGON((0 0,0 -10,10 -10,10 0,0 0))"),
+])
+@pytest.mark.parametrize("version", [1, 2])
+def test_polygon_scaling_goldens(scale_x, scale_y, vt, expected, version):
+    got = C.decode_geometry(
+        _SCALE_STREAM, C.POLYGON, version=version,
+        scale_x=scale_x, scale_y=scale_y, value_type=vt,
+    )
+
+    def rounded(geom):
+        kind, val = geom
+        return (kind, [_norm_ring(np.round(r, 9)) for r in val])
+
+    assert rounded(got) == rounded(G.from_wkt(expected))
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_polygon_with_hole_inverted_y(version):
+    ext = np.array([[0, 0], [0, 10], [-10, 10], [-10, 0]])
+    # hole must wind opposite to the exterior in the stream (the decoder
+    # classifies by raw command-stream winding, decoder.ipp:482-515)
+    hole = np.array([[-7, 7], [-3, 7], [-3, 3], [-7, 3]])
+    gtype, cmds = C.encode_geometry(("polygon", [ext, hole]))
+    got = C.decode_geometry(cmds, gtype, version=version, scale_x=1.0, scale_y=-1.0)
+    expected = (
+        "POLYGON((0 0,-10 0,-10 -10,0 -10,0 0),"
+        "(-7 -7,-7 -3,-3 -3,-3 -7,-7 -7))"
+    )
+    assert norm_poly_wkt(G.to_wkt(got)) == norm_poly_wkt(expected)
