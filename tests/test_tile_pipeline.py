@@ -213,3 +213,29 @@ def test_columnar_decode_matches_generic(tiles, located):
     pd.testing.assert_frame_equal(csrc, gsrc)
     # positions finite and inside each tile bbox
     assert np.isfinite(col["mx"]).all() and np.isfinite(col["my"]).all()
+
+
+def test_composite_reencode_upgrades_v1_to_v2(spark):
+    """Slow-path merge re-encodes v1 tiles as v2 (the merge_from_buffer
+    upgrade, src/vector_tile_load_tile.hpp:53-137)."""
+    import zlib
+
+    # hand-build a v1 tile: one point feature at tile px (2048, 2048) of
+    # z3 (1,3) with a caption property
+    feat = pbf.encode_feature(1, [0, 0], 1, [9, 2 * 2048, 2 * 2048])
+    layer_v1 = pbf.encode_layer(
+        "layer", [feat], ["caption"], [pbf.encode_value("cap-1")], version=1
+    )
+    tile_v1 = zlib.compress(pbf.encode_tile([layer_v1]))
+    tiles = spark.createDataFrame(
+        [(3, 1, 3, tile_v1, 1, 1, True)],
+        "z int, x long, y long, tile binary, n_features long, n_layers int, painted boolean",
+    )
+    upgraded = composite.merge_tiles_reencode(tiles, prop_cols=["caption"])
+    row = upgraded.where(F.col("painted")).first()
+    layers = pbf.decode_tile(Z.decompress(bytes(row["tile"])))
+    meta = pbf.decode_layer(layers[0])
+    assert meta["version"] == 2
+    assert meta["keys"] == ["caption"] and meta["values"] == ["cap-1"]
+    decoded = decode.decode_tile_rows(3, 1, 3, row["tile"])
+    assert len(decoded) == 1 and decoded[0][7]["caption"] == "cap-1"
