@@ -515,13 +515,16 @@ def encode_string_value_fields(strings) -> tuple[np.ndarray, np.ndarray, np.ndar
     return out, out_start.astype(np.int64), total_len.astype(np.int64)
 
 
-def decode_varints_vec(data: bytes) -> np.ndarray:
+def decode_varints_vec(data: bytes, return_lengths: bool = False):
     """Decode a pure varint stream to uint64 values, fully vectorized
     (<= 10 masked passes over byte positions — no per-value Python).
-    Raises ValueError if the buffer ends mid-varint."""
+    Raises ValueError if the buffer ends mid-varint.
+    With return_lengths, also returns the per-value encoded byte length
+    (used by the columnar decoder to verify declared frame lengths)."""
     buf = np.frombuffer(data, dtype=np.uint8)
     if len(buf) == 0:
-        return np.empty(0, dtype=np.uint64)
+        empty = np.empty(0, dtype=np.uint64)
+        return (empty, np.empty(0, dtype=np.int64)) if return_lengths else empty
     ends = (buf & 0x80) == 0
     if not ends[-1]:
         raise ValueError("truncated varint stream")
@@ -535,6 +538,8 @@ def decode_varints_vec(data: bytes) -> np.ndarray:
     for k in range(int(lengths.max())):
         m = lengths > k
         vals[m] |= payload[starts[m] + k] << np.uint64(7 * k)
+    if return_lengths:
+        return vals, lengths.astype(np.int64)
     return vals
 
 

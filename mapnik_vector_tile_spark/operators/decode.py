@@ -30,46 +30,60 @@ DECODED_SCHEMA = (
 )
 
 
+def decode_layer_rows(
+    z: int, x: int, y: int, layer_bytes: bytes, bbox=None, bounds=None
+) -> list[tuple]:
+    """One layer message -> decoded feature rows (mercator coordinates).
+    `bounds` is the tile mercator bbox (computed from z/x/y if absent) —
+    passing it lets callers amortize it across a tile's layers."""
+    if bounds is None:
+        bounds = tilemath.tile_mercator_bbox_np(x, y, z)
+    minx, miny, maxx, maxy = bounds
+    layer = pbf.decode_layer(bytes(layer_bytes))
+    extent = layer["extent"]
+    # decode transform: px -> mercator (datasource_pbf scale semantics)
+    scale = extent / (float(maxx) - float(minx))
+    rows = []
+    for fmsg in layer["features"]:
+        feat = pbf.decode_feature(fmsg)
+        props = {}
+        tags = feat["tags"]
+        for i in range(0, len(tags) - 1, 2):
+            k = layer["keys"][tags[i]]
+            v = layer["values"][tags[i + 1]]
+            props[k] = None if v is None else str(v)
+        if feat["geometry"]:
+            g = Cmd.decode_geometry(
+                feat["geometry"],
+                feat["type"],
+                version=layer["version"],
+                tile_x=float(minx),
+                tile_y=float(maxy),
+                scale_x=scale,
+                scale_y=-scale,  # y down in tile space
+                bbox=bbox,
+            )
+            wkt = G.to_wkt(g) if g[0] != "empty" else None
+        else:
+            wkt = None
+        rows.append(
+            (
+                z, x, y, layer["name"], feat["id"], feat["type"],
+                wkt, props, feat["raster"],
+            )
+        )
+    return rows
+
+
 def decode_tile_rows(z: int, x: int, y: int, tile: bytes, bbox=None) -> list[tuple]:
     """One tile -> decoded feature rows (mercator coordinates)."""
     if not tile:
         return []
     data = Z.decompress(bytes(tile))
-    minx, miny, maxx, maxy = tilemath.tile_mercator_bbox_np(x, y, z)
+    bounds = tilemath.tile_mercator_bbox_np(x, y, z)
     rows = []
     for layer_bytes in pbf.decode_tile(data):
-        layer = pbf.decode_layer(layer_bytes)
-        extent = layer["extent"]
-        # decode transform: px -> mercator (datasource_pbf scale semantics)
-        scale = extent / (float(maxx) - float(minx))
-        for fmsg in layer["features"]:
-            feat = pbf.decode_feature(fmsg)
-            props = {}
-            tags = feat["tags"]
-            for i in range(0, len(tags) - 1, 2):
-                k = layer["keys"][tags[i]]
-                v = layer["values"][tags[i + 1]]
-                props[k] = None if v is None else str(v)
-            if feat["geometry"]:
-                g = Cmd.decode_geometry(
-                    feat["geometry"],
-                    feat["type"],
-                    version=layer["version"],
-                    tile_x=float(minx),
-                    tile_y=float(maxy),
-                    scale_x=scale,
-                    scale_y=-scale,  # y down in tile space
-                    bbox=bbox,
-                )
-                wkt = G.to_wkt(g) if g[0] != "empty" else None
-            else:
-                wkt = None
-            rows.append(
-                (
-                    z, x, y, layer["name"], feat["id"], feat["type"],
-                    wkt, props, feat["raster"],
-                )
-            )
+        rows.extend(decode_layer_rows(z, x, y, layer_bytes, bbox=bbox, bounds=bounds))
     return rows
 
 
@@ -124,6 +138,49 @@ def features_at_point(tiles: DataFrame, lon: float, lat: float, tol_merc: float 
 # benchmark direction, bench/readme.md:24-30)
 # ---------------------------------------------------------------------------
 
+def _wkt_point_xy(wkt) -> tuple[float, float]:
+    """POINT(x y) -> (x, y); anything else -> (nan, nan)."""
+    if isinstance(wkt, str) and wkt.startswith("POINT"):
+        lp, rp = wkt.find("("), wkt.rfind(")")
+        if 0 < lp < rp:
+            parts = wkt[lp + 1 : rp].split()
+            if len(parts) == 2:
+                try:
+                    return float(parts[0]), float(parts[1])
+                except ValueError:
+                    pass
+    return (float("nan"), float("nan"))
+
+
+def _packed_rows_ok(m: np.ndarray, ml: np.ndarray, c: int) -> np.ndarray:
+    """Per-row structural verification of the packed point framing.
+
+    Beyond the constant frame bytes, every declared length (feature,
+    tags, geometry) is checked against the actual varint byte lengths,
+    and tag key indices must equal their column position — so a foreign
+    layer whose byte stream merely *parses* as varints cannot slip
+    through the reshape (closes the layer_features_region early-return
+    trust gap)."""
+    mi = m.astype(np.int64, copy=False)
+    ok = (
+        (mi[:, 0] == 0x12)
+        & (mi[:, 2] == 0x12)
+        & (mi[:, 4 + 2 * c] == 0x18)
+        & (mi[:, 5 + 2 * c] == Cmd.POINT)
+        & (mi[:, 6 + 2 * c] == 0x22)
+        & (mi[:, 8 + 2 * c] == 0x09)
+        # declared feature length == bytes of everything after its varint
+        & (mi[:, 1] == ml[:, 2:].sum(axis=1))
+        # declared tags length == bytes of the 2c tag varints
+        & (mi[:, 3] == ml[:, 4 : 4 + 2 * c].sum(axis=1))
+        # declared geometry length == MoveTo byte + zigzag coord bytes
+        & (mi[:, 7 + 2 * c] == 1 + ml[:, 9 + 2 * c] + ml[:, 10 + 2 * c])
+    )
+    for j in range(c):
+        ok &= mi[:, 4 + 2 * j] == j
+    return ok
+
+
 def decode_point_layer_vec(layer: dict, region: bytes):
     """Uniform point layers (this engine's packed framing) decode as one
     varint stream + reshape: per feature
@@ -134,21 +191,15 @@ def decode_point_layer_vec(layer: dict, region: bytes):
     if c == 0 or region is None:
         return None
     try:
-        vals = pbf.decode_varints_vec(region)
+        vals, vlens = pbf.decode_varints_vec(region, return_lengths=True)
     except ValueError:
         return None
     w = 11 + 2 * c
     if len(vals) == 0 or len(vals) % w != 0:
         return None
     m = vals.reshape(-1, w)
-    if not (
-        (m[:, 0] == 0x12).all()
-        and (m[:, 2] == 0x12).all()
-        and (m[:, 4 + 2 * c] == 0x18).all()
-        and (m[:, 5 + 2 * c] == Cmd.POINT).all()
-        and (m[:, 6 + 2 * c] == 0x22).all()
-        and (m[:, 8 + 2 * c] == 0x09).all()
-    ):
+    ml = vlens.reshape(-1, w)
+    if not _packed_rows_ok(m, ml, c).all():
         return None
     tags = m[:, 4 : 4 + 2 * c].astype(np.int64)
     zz = m[:, 9 + 2 * c : 11 + 2 * c].astype(np.uint32)
@@ -179,15 +230,20 @@ def decode_tiles_columnar(tiles: DataFrame, prop_keys: list[str]) -> DataFrame:
             ys = pdf["y"].to_numpy()
             tiles_col = pdf["tile"].to_numpy()
             regions: list[bytes] = []
-            metas: list = []  # (z, x, y, name, extent, values, n_vals_in_region)
+            # (z, x, y, name, extent, values, n_vals_in_region, layer_bytes)
+            metas: list = []
             fallback_rows: list[tuple] = []
             for t in range(n_tiles):
                 tile = tiles_col[t]
                 if not tile:
                     continue
                 data = Z.decompress(bytes(tile))
+                # per-LAYER routing: vectorized-path layers never re-decode
+                # through the fallback, so multi-layer tiles emit each
+                # feature exactly once
                 for layer_bytes in pbf.decode_tile(data):
-                    layer, region = pbf.layer_features_region(bytes(layer_bytes))
+                    lb = bytes(layer_bytes)
+                    layer, region = pbf.layer_features_region(lb)
                     uniform = (
                         region is not None
                         and layer["keys"] == prop_keys
@@ -200,37 +256,34 @@ def decode_tiles_columnar(tiles: DataFrame, prop_keys: list[str]) -> DataFrame:
                             regions.append(region)
                             metas.append(
                                 (int(zs[t]), int(xs[t]), int(ys[t]), layer["name"],
-                                 layer["extent"], layer["values"], nvals, t)
+                                 layer["extent"], layer["values"], nvals, lb)
                             )
                             continue
                     fallback_rows.extend(
-                        decode_tile_rows(int(zs[t]), int(xs[t]), int(ys[t]), tile)
+                        decode_layer_rows(int(zs[t]), int(xs[t]), int(ys[t]), lb)
                     )
 
             frames = []
             if regions:
                 big = b"".join(regions)
-                vals = pbf.decode_varints_vec(big)
+                vals, vlens = pbf.decode_varints_vec(big, return_lengths=True)
                 m = vals.reshape(-1, w)
-                ok = (
-                    (m[:, 0] == 0x12).all()
-                    and (m[:, 2] == 0x12).all()
-                    and (m[:, 4 + 2 * c_expected] == 0x18).all()
-                    and (m[:, 5 + 2 * c_expected] == Cmd.POINT).all()
-                    and (m[:, 6 + 2 * c_expected] == 0x22).all()
-                    and (m[:, 8 + 2 * c_expected] == 0x09).all()
-                )
-                if not ok:  # exotic framing in at least one layer
-                    for mt in metas:
-                        t = mt[7]
-                        fallback_rows.extend(
-                            decode_tile_rows(int(zs[t]), int(xs[t]), int(ys[t]), tiles_col[t])
-                        )
-                else:
-                    feat_counts = np.array([mt[6] // w for mt in metas], dtype=np.int64)
-                    n_feats = int(feat_counts.sum())
-                    # per-feature tile attribution
-                    rep = np.repeat(np.arange(len(metas)), feat_counts)
+                ml = vlens.reshape(-1, w)
+                feat_counts = np.array([mt[6] // w for mt in metas], dtype=np.int64)
+                rep = np.repeat(np.arange(len(metas)), feat_counts)
+                row_ok = _packed_rows_ok(m, ml, c_expected)
+                if not row_ok.all():
+                    # exotic framing: fall back ONLY the offending layers
+                    bad_meta = np.zeros(len(metas), dtype=bool)
+                    np.logical_or.at(bad_meta, rep, ~row_ok)
+                    for mi_, mt in enumerate(metas):
+                        if bad_meta[mi_]:
+                            fallback_rows.extend(
+                                decode_layer_rows(mt[0], mt[1], mt[2], mt[7])
+                            )
+                    keep = ~bad_meta[rep]
+                    m, rep = m[keep], rep[keep]
+                if len(m):
                     tz = np.array([mt[0] for mt in metas])[rep]
                     tx = np.array([mt[1] for mt in metas])[rep]
                     ty = np.array([mt[2] for mt in metas])[rep]
@@ -261,6 +314,9 @@ def decode_tiles_columnar(tiles: DataFrame, prop_keys: list[str]) -> DataFrame:
                         )
                     )
             if fallback_rows:
+                # recover point coordinates from the decoded WKT instead of
+                # nulling them (non-point geometries keep NaN by design)
+                fmx, fmy = zip(*(_wkt_point_xy(r[6]) for r in fallback_rows))
                 frames.append(
                     pd.DataFrame(
                         {
@@ -268,8 +324,8 @@ def decode_tiles_columnar(tiles: DataFrame, prop_keys: list[str]) -> DataFrame:
                             "x": [r[1] for r in fallback_rows],
                             "y": [r[2] for r in fallback_rows],
                             "layer": [r[3] for r in fallback_rows],
-                            "mx": np.nan,
-                            "my": np.nan,
+                            "mx": np.array(fmx, dtype=np.float64),
+                            "my": np.array(fmy, dtype=np.float64),
                             **{k: [r[7].get(k) for r in fallback_rows] for k in prop_keys},
                         }
                     )

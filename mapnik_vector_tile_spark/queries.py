@@ -156,9 +156,9 @@ def q_painted_stats(dialect: str) -> str:
     return f"""
 SELECT {cell['x']} AS x, {cell['y']} AS y,
        count(*) AS n_features,
-       sum(CASE WHEN s_suppkey % 3 = 0 THEN 1 ELSE 0 END) AS n_points,
-       sum(CASE WHEN s_suppkey % 3 = 1 THEN 1 ELSE 0 END) AS n_lines,
-       sum(CASE WHEN s_suppkey % 3 = 2 THEN 1 ELSE 0 END) AS n_polys,
+       cast(sum(CASE WHEN s_suppkey % 3 = 0 THEN 1 ELSE 0 END) as bigint) AS n_points,
+       cast(sum(CASE WHEN s_suppkey % 3 = 1 THEN 1 ELSE 0 END) as bigint) AS n_lines,
+       cast(sum(CASE WHEN s_suppkey % 3 = 2 THEN 1 ELSE 0 END) as bigint) AS n_polys,
        count(DISTINCT s_nationkey) AS n_layers
 FROM supplier
 GROUP BY 1, 2
@@ -385,7 +385,7 @@ WITH toks AS (
   {sel}
 )
 SELECT doc_id,
-       sum((th % 1000003) * (pos + 1)) % 2147483647 AS fingerprint
+       cast(sum((th % 1000003) * (pos + 1)) % 2147483647 as bigint) AS fingerprint
 FROM toks GROUP BY doc_id
 """
 

@@ -215,6 +215,66 @@ def test_columnar_decode_matches_generic(tiles, located):
     assert np.isfinite(col["mx"]).all() and np.isfinite(col["my"]).all()
 
 
+def _handmade_layer(name, fid, px, py, prop_keys):
+    """Layer via the generic builders (extent/version after features →
+    always routed to the columnar decoder's fallback path)."""
+    tags = [v for j in range(len(prop_keys)) for v in (j, j)]
+    feat = pbf.encode_feature(fid, tags, 1, [9, 2 * px, 2 * py])
+    vals = [pbf.encode_value(v) for v in (f"im-{fid}", f"cap-{fid}", "png")]
+    return pbf.encode_layer(name, [feat], prop_keys, vals, version=2)
+
+
+def test_columnar_decode_multilayer_no_duplicates(spark):
+    """Regression (r1 ADVICE): a tile with multiple fallback layers must
+    emit each feature exactly once (the old code re-decoded the WHOLE
+    tile per non-uniform layer), and fallback point rows must carry real
+    mx/my recovered from the decoded geometry, not NaN."""
+    import zlib
+
+    pk = ["image_id", "caption", "fmt"]
+    la = _handmade_layer("a", 1, 100, 200, pk)
+    lb = _handmade_layer("b", 2, 300, 400, pk)
+    tile2 = zlib.compress(pbf.encode_tile([la, lb]))
+    tiles2 = spark.createDataFrame(
+        [(3, 1, 3, tile2)], "z int, x long, y long, tile binary"
+    )
+    col = decode.decode_tiles_columnar(tiles2, pk).toPandas()
+    assert sorted(col["image_id"]) == ["im-1", "im-2"]  # exactly once each
+    assert np.isfinite(col["mx"]).all() and np.isfinite(col["my"]).all()
+    # fallback coordinates agree with the generic decoder's WKT
+    gen = decode.decode_tiles(tiles2).toPandas()
+    gxy = {
+        m["image_id"]: tuple(
+            float(v) for v in w[w.find("(") + 1 : w.rfind(")")].split()
+        )
+        for m, w in zip(gen["props"], gen["geom_wkt"])
+    }
+    for _, r in col.iterrows():
+        ex, ey = gxy[r["image_id"]]
+        assert abs(r["mx"] - ex) < 1e-6 and abs(r["my"] - ey) < 1e-6
+
+
+def test_columnar_decode_mixed_uniform_and_fallback(spark, tiles):
+    """Regression (r1 ADVICE): a tile mixing a vectorized-path (packed)
+    layer with a fallback layer must not emit the packed layer's rows
+    twice."""
+    import zlib
+
+    pk = ["image_id", "caption", "fmt"]
+    row = tiles.where(F.col("n_features") == 1).first()
+    packed_layers = pbf.decode_tile(Z.decompress(bytes(row["tile"])))
+    extra = _handmade_layer("extra", 999, 10, 20, pk)
+    mixed = zlib.compress(pbf.encode_tile(list(packed_layers) + [extra]))
+    tiles_m = spark.createDataFrame(
+        [(int(row["z"]), int(row["x"]), int(row["y"]), mixed)],
+        "z int, x long, y long, tile binary",
+    )
+    col = decode.decode_tiles_columnar(tiles_m, pk).toPandas()
+    assert len(col) == 2  # 1 packed + 1 fallback, no duplicates
+    assert (col["image_id"] == "im-999").sum() == 1
+    assert np.isfinite(col["mx"]).all() and np.isfinite(col["my"]).all()
+
+
 def test_composite_reencode_upgrades_v1_to_v2(spark):
     """Slow-path merge re-encodes v1 tiles as v2 (the merge_from_buffer
     upgrade, src/vector_tile_load_tile.hpp:53-137)."""
