@@ -35,7 +35,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: Q.oracle_sql_for(name) for name in Q.SQL_QUERIES}
+    out = {name: Q.oracle_sql_for(name) for name in Q.SQL_QUERIES}
+    try:
+        from mapnik_vector_tile_spark import nonsql_queries as NQ
+
+        out.update(NQ.oracle_sql())
+    except Exception:
+        pass  # pipeline twins are additive; the SQL surface stands alone
+    return out
 
 
 def _nonsql_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

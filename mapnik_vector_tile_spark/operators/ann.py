@@ -159,7 +159,9 @@ def ivf_topk(
             M = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
             sims = M @ bC.value.T
-            idx = np.argsort(-sims, axis=1)[:, :probes]
+            # stable sort: exact-tie lists resolve to the lower centroid
+            # index (matches the SQL oracle's row_number tie-break)
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :probes]
             yield pd.DataFrame({id_col: pdf[id_col], "lists": [list(map(int, r)) for r in idx]})
 
     data_lists = df.select(id_col, vec_col).mapInPandas(

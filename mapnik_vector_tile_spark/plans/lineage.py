@@ -28,14 +28,9 @@ LINEAGE_SCHEMA = (
 )
 
 
-def input_snapshot_id(spark: SparkSession, path: str) -> str:
-    """Stable identifier of the input set: Iceberg snapshot when
-    available, else a fingerprint of the file listing."""
-    try:  # Iceberg path (jars absent in this sandbox)
-        snap = spark.sql(f"SELECT snapshot_id FROM {path}.snapshots ORDER BY committed_at DESC LIMIT 1")
-        return str(snap.collect()[0][0])
-    except Exception:
-        pass
+def snapshot_id_for_path(path: str) -> str:
+    """Spark-free file-listing fingerprint (name+size) — the parquet
+    stand-in for an Iceberg snapshot id."""
     names = []
     for root, _dirs, files in os.walk(path):
         for f in sorted(files):
@@ -46,12 +41,44 @@ def input_snapshot_id(spark: SparkSession, path: str) -> str:
     return f"files:{digest}"
 
 
+def input_snapshot_id(spark: SparkSession, path: str) -> str:
+    """Stable identifier of the input set: Iceberg snapshot when
+    available, else a fingerprint of the file listing."""
+    try:  # Iceberg path (jars absent in this sandbox)
+        snap = spark.sql(f"SELECT snapshot_id FROM {path}.snapshots ORDER BY committed_at DESC LIMIT 1")
+        return str(snap.collect()[0][0])
+    except Exception:
+        pass
+    return snapshot_id_for_path(path)
+
+
 def tiles_with_lineage(tiles: DataFrame, snapshot_id: str):
     """Wrap a tile DataFrame so each partition also emits a lineage row.
 
     Returns (tiles_df, lineage_df) — two passes over the cached tiles
     (caller persists if the input is expensive)."""
     lineage = tiles.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.lit(snapshot_id).alias("snapshot_id"),
+        F.min("z").alias("min_z"), F.min("x").alias("min_x"), F.min("y").alias("min_y"),
+        F.max("z").alias("max_z"), F.max("x").alias("max_x"), F.max("y").alias("max_y"),
+        F.sum("n_features").alias("n_rows"),
+        F.count("*").alias("n_tiles"),
+    )
+    return tiles, lineage
+
+
+def tiles_with_shard_lineage(tiles: DataFrame, snapshot_id: str, n_shards: int = 32):
+    """Lineage keyed by a DATA-derived shard (portable md5 of the cell
+    key) instead of spark_partition_id — the manifest is then stable
+    across executions/cluster sizes and independently recomputable by
+    any engine (the driver's DuckDB oracle checks it)."""
+    cell = F.concat_ws(
+        ":", F.col("z").cast("string"), F.col("x").cast("string"), F.col("y").cast("string")
+    )
+    shard = (
+        F.conv(F.substring(F.md5(cell), 1, 15), 16, 10).cast("long") % F.lit(n_shards)
+    ).cast("int")
+    lineage = tiles.groupBy(shard.alias("shard_id")).agg(
         F.lit(snapshot_id).alias("snapshot_id"),
         F.min("z").alias("min_z"), F.min("x").alias("min_x"), F.min("y").alias("min_y"),
         F.max("z").alias("max_z"), F.max("x").alias("max_x"), F.max("y").alias("max_y"),

@@ -146,6 +146,42 @@ def ensure_images(spark: SparkSession, n_rows: int, base: str | None = None) -> 
     return path
 
 
+def ensure_images_local(n_rows: int, base: str | None = None) -> str:
+    """Spark-free twin of ensure_images (pure pandas/pyarrow writer).
+
+    Used by the oracle side of the driver contract: oracle_sql() must be
+    able to guarantee the parity fixture exists on disk without a
+    SparkSession, whatever order the driver materializes things in.
+    Values are identical to the Spark writer's (same deterministic
+    generator); only the file layout differs, which neither reader
+    cares about."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = fixture_path(n_rows, base)
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(path, exist_ok=True)
+    pdf = generate_images_pandas(n_rows)
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+            ("caption", pa.string()),
+            ("phash", pa.int64()),
+        ]
+    )
+    table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+    with open(marker, "w"):
+        pass
+    return path
+
+
 def tile_boundaries(spark: SparkSession, zooms=(0, 3, 13, 14), buffer_px: int = 0) -> DataFrame:
     """tile_boundaries join table (FIXTURES.md §2): full grid at z<=3,
     and at deep zooms only tiles that can receive fixture rows would be

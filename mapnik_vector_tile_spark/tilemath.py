@@ -104,6 +104,38 @@ def phash_lonlat_sql(phash: str) -> dict[str, str]:
     }
 
 
+def images_lonlat_sql(image_id: str = "image_id", phash: str = "phash") -> dict[str, str]:
+    """Exact-integer portable SQL form of the FIXTURES.md §1 location
+    rule INCLUDING the hotspot skew clause — bit-identical to the Spark
+    Column forms (phash_lonlat_cols / hotspot_lonlat_cols), so the
+    DuckDB oracle and the engine agree to the last ulp.
+
+    Unsigned 64-bit split without shifts (portable):
+      v  = phash & 0xFFFFFFFF                      (non-negative both engines)
+      u  = (phash - v) / 2^32  (+ 2^32 if phash<0) (exact: multiple of 2^32
+                                                    fits a double mantissa)
+    Hotspot modular identities (from hotspot_lonlat_cols):
+      uph % 1000        = (u*296 + v) % 1000         (2^32 % 1000 = 296)
+      (uph // 1000)%1000 = floor(((u*967296 + v) % 1000000) / 1000)
+    """
+    v = f"(({phash}) & 4294967295)"
+    u_signed = f"cast((({phash}) - {v}) / 4294967296.0 as bigint)"
+    u = f"({u_signed} + case when ({phash}) < 0 then 4294967296 else 0 end)"
+    base_lon = f"(cast({u} as double) / 4294967296.0 * 360.0 - 180.0)"
+    base_lat = f"(cast({v} as double) / 4294967296.0 * 170.0 - 85.0)"
+    mod1000 = f"(({u} * 296 + {v}) % 1000)"
+    mod1e6 = f"(({u} * 967296 + {v}) % 1000000)"
+    div1000 = f"cast(floor({mod1e6} / 1000.0) as bigint)"
+    hot_lon = f"(-122.42 + cast({mod1000} as double) * 1e-06)"
+    hot_lat = f"(37.77 + cast({div1000} as double) * 1e-06)"
+    is_hot = f"((cast(substr({image_id}, 4, 12) as bigint) % 10) < 3)"
+    return {
+        "lon": f"(case when {is_hot} then {hot_lon} else {base_lon} end)",
+        "lat": f"(case when {is_hot} then {hot_lat} else {base_lat} end)",
+        "row_idx": f"cast(substr({image_id}, 4, 12) as bigint)",
+    }
+
+
 def key_lonlat_sql(key: str) -> dict[str, str]:
     """Deterministic lon/lat derived from any BIGINT key (for the TPC-H
     oracle tables, which carry no coordinates). Knuth multiplicative

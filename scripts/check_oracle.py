@@ -58,11 +58,27 @@ def main() -> int:
                 print(f"{name:28s} ERROR (rows-only): {exc}")
             continue
         try:
-            got = normalize(fn(spark, sf_dir).toPandas())
-            exp = normalize(con.execute(oracles[name]).df())
+            got_raw = fn(spark, sf_dir).toPandas()
+            exp_raw = con.execute(oracles[name]).df()
+            got, exp = normalize(got_raw), normalize(exp_raw)
         except Exception as exc:
             failures.append(name)
             print(f"{name:28s} ERROR: {type(exc).__name__}: {str(exc)[:300]}")
+            continue
+        # the driver's value hash is dtype-sensitive where this checker
+        # normalizes (r1: DuckDB HUGEINT vs Spark BIGINT) — so fail on
+        # dtype-KIND mismatches (int vs float vs object) up front
+        kinds_g = {c: got_raw[c].dtype.kind for c in got_raw.columns}
+        kinds_e = {c: exp_raw[c].dtype.kind for c in exp_raw.columns}
+        kind_diff = {
+            c: (kinds_g.get(c), kinds_e.get(c))
+            for c in set(kinds_g) | set(kinds_e)
+            if kinds_g.get(c) != kinds_e.get(c)
+            and {kinds_g.get(c), kinds_e.get(c)} != {"i", "u"}
+        }
+        if kind_diff:
+            failures.append(name)
+            print(f"{name:28s} DTYPE-KIND MISMATCH: {kind_diff}")
             continue
         if list(got.columns) != list(exp.columns):
             failures.append(name)
