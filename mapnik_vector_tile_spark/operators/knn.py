@@ -1,45 +1,435 @@
 """kNN via cell-ring expansion (J5 — absent in the reference; required
 by the north rule).
 
-Shape per round: the (small, broadcastable) pending-query set explodes
-into the (2r+1)^2 cell block around each query's cell at zoom z ->
-broadcast equi-join against the (huge) candidate side on the cell key
--> per-query window top-k. A query *resolves* when its k-th neighbour
-distance fits inside the searched block (guaranteed radius = distance
-from the query point to the block edge, infinite at world edges);
-unresolved queries re-run with the ring doubled.
+Shape per round: the pending-query set explodes into the (2r+1)^2 cell
+block around each query's cell at zoom z -> broadcast equi-join against
+the (huge) candidate side on the cell key -> per-query window top-k. A
+query *resolves* when its k-th neighbour distance fits inside the
+searched block (guaranteed radius = distance from the query point to
+the block edge, infinite at world edges); unresolved queries re-run
+with the ring doubled.
 
-Only O(|queries| * k) rows ever reach the driver; the candidate side is
-touched once per round through a cell-key join that prunes to the
-exploded block (predicate on the join key -> partition-prunable at
-scale when candidates are stored bucketed/sorted by cell).
+Everything stays distributed: the pending set, the per-round top-k and
+the resolution guard are DataFrames/Columns end to end (the round-1
+driver-pandas loop is gone) — the only driver-side values per round are
+a pending COUNT. Rounds cut lineage with localCheckpoint so the plan
+doesn't recompute earlier rounds. At a realistic "kNN for every row"
+workload the pending set can be millions of queries and nothing
+materializes on the driver.
+
+The candidate side is touched once per round through a cell-key join
+that prunes to the exploded block (predicate on the join key ->
+partition-prunable at scale when candidates are stored bucketed/sorted
+by cell).
 
 Metric: squared euclidean on (lon, lat) — matches the SQL oracle twin
-(queries.q_knn_k5); ties broken by neighbour id.
+(queries.q_knn_k5); ties broken by neighbour id. A haversine variant
+backs FIXTURES.md §5 expected_knn.
 """
 
 from __future__ import annotations
 
 import math
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from mapnik_vector_tile_spark import tilemath
 
-
-def _cell_np(lon, lat, z):
-    return tilemath.lonlat_to_tile_np(lon, lat, z)
+EARTH_R_M = 6371008.8  # mean earth radius
 
 
-def _lon_of(xc, n):
-    return np.asarray(xc, dtype=np.float64) / n * 360.0 - 180.0
+def _lon_of_col(xc, n: int):
+    return xc.cast("double") / F.lit(float(n)) * 360.0 - 180.0
 
 
-def _lat_of(yc, n):
-    t = math.pi * (1.0 - 2.0 * np.asarray(yc, dtype=np.float64) / n)
-    return np.degrees(np.arctan(np.sinh(t)))
+def _lat_of_col(yc, n: int):
+    t = F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * yc.cast("double") / F.lit(float(n)))
+    return F.degrees(F.atan(F.sinh(t)))
+
+
+def _euclid_d2(lon_a, lon_b, lat_a, lat_b):
+    # explicit multiplication (not pow) so the DuckDB twin is bit-safe
+    dlon = lon_a - lon_b
+    dlat = lat_a - lat_b
+    return dlon * dlon + dlat * dlat
+
+
+def _haversine(lat1, lon1, lat2, lon2):
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) ** 2
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) ** 2
+    )
+    return F.lit(2.0 * EARTH_R_M) * F.asin(F.sqrt(a))
+
+
+def _guard_col(metric: str):
+    """Guaranteed-covered radius of the searched block, as a Column over
+    (lon, lat, cx, cy, ring, zq) — zq is the per-query grid zoom, so the
+    guard is exact at every ladder level. Infinite on axes where the
+    block already spans the world edge (nothing can lie beyond it)."""
+    cx, cy, ring = F.col("cx"), F.col("cy"), F.col("ring")
+    lon, lat = F.col("lon"), F.col("lat")
+    n = F.pow(F.lit(2.0), F.col("zq").cast("double"))
+    blk_lon_min = (cx - ring).cast("double") / n * 360.0 - 180.0
+    blk_lon_max = (cx + ring + 1).cast("double") / n * 360.0 - 180.0
+    t_hi = F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * (cy - ring).cast("double") / n)
+    t_lo = F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * (cy + ring + 1).cast("double") / n)
+    blk_lat_max = F.degrees(F.atan(F.sinh(t_hi)))
+    blk_lat_min = F.degrees(F.atan(F.sinh(t_lo)))
+    inf = F.lit(float("inf"))
+    edge_x = (cx - ring <= 0) & (cx + ring >= n - 1)
+    if metric == "euclid":
+        g_lon = F.least(lon - blk_lon_min, blk_lon_max - lon)
+        g_lon = F.when(edge_x, inf).otherwise(g_lon)
+        g_lat_low = F.when(cy + ring >= n - 1, inf).otherwise(lat - blk_lat_min)
+        g_lat_high = F.when(cy - ring <= 0, inf).otherwise(blk_lat_max - lat)
+        g = F.least(g_lon, g_lat_low, g_lat_high)
+        return g * g
+    # metres: lon degrees shrink by cos(lat); smallest cos in the block
+    deg_m = F.lit(math.pi * EARTH_R_M / 180.0)
+    cos_min = F.least(
+        F.cos(F.radians(F.abs(blk_lat_max))), F.cos(F.radians(F.abs(blk_lat_min)))
+    )
+    g_lon = F.least(lon - blk_lon_min, blk_lon_max - lon) * deg_m * cos_min
+    g_lon = F.when(edge_x, inf).otherwise(g_lon)
+    g_lat_low = F.when(cy + ring >= n - 1, inf).otherwise((lat - blk_lat_min) * deg_m)
+    g_lat_high = F.when(cy - ring <= 0, inf).otherwise((blk_lat_max - lat) * deg_m)
+    return F.least(g_lon, g_lat_low, g_lat_high)
+
+
+def _one_shot_probe(
+    base: DataFrame,
+    cands: DataFrame,
+    pend0: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    ladder: list[int],
+    zf: int,
+    base_ring: int,
+    metric: str,
+    dist,
+    dist_name: str,
+    cand_id: str,
+) -> DataFrame:
+    """Single-join multi-level kNN: every query probes a fixed block at
+    EVERY ladder level at once; per (query, level) top-k is exact within
+    its block, and a level whose guard covers its k-th distance is an
+    exact global answer. Each query keeps its finest resolved level;
+    queries no level resolves (deep-sparse regions) fall back to the
+    exact brute-force scan. Collapses the round loop into 3 jobs."""
+    rings = [base_ring, 2, 1][3 - len(ladder):]
+    lv_arr = F.array(
+        *[
+            F.struct(F.lit(lv).alias("zq"), F.lit(r).alias("ring"))
+            for lv, r in zip(ladder, rings)
+        ]
+    )
+    levels = (
+        pend0.withColumn("_l", F.explode(lv_arr))
+        .select(
+            "query_id", "lon", "lat", "fx", "fy",
+            F.col("_l.zq").alias("zq"), F.col("_l.ring").alias("ring"),
+        )
+        .withColumn("cx", F.expr(f"shiftright(fx, {zf} - zq)"))
+        .withColumn("cy", F.expr(f"shiftright(fy, {zf} - zq)"))
+    )
+    nq = F.pow(F.lit(2.0), F.col("zq").cast("double"))
+    exploded = (
+        levels.withColumn(
+            "jx", F.explode(F.sequence(F.col("cx") - F.col("ring"), F.col("cx") + F.col("ring")))
+        )
+        .withColumn(
+            "jy", F.explode(F.sequence(F.col("cy") - F.col("ring"), F.col("cy") + F.col("ring")))
+        )
+        .where((F.col("jx") >= 0) & (F.col("jx") < nq) & (F.col("jy") >= 0) & (F.col("jy") < nq))
+        .select("query_id", "lon", "lat", "zq", "jx", "jy")
+    )
+    w = Window.partitionBy("query_id", "zq").orderBy(dist_name, "neighbor_id")
+    topk_all = (
+        F.broadcast(exploded)
+        .join(cands, ["zq", "jx", "jy"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(dist_name, dist)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "zq", "neighbor_id", "rank", dist_name)
+        .localCheckpoint(eager=True)
+    )
+    stats = topk_all.groupBy("query_id", "zq").agg(
+        F.max(dist_name).alias("_kth"), F.count("*").alias("_found")
+    )
+    ring_case = F.lit(rings[-1])
+    for lv, r in zip(ladder[:-1], rings[:-1]):
+        ring_case = F.when(F.col("zq") == lv, F.lit(r)).otherwise(ring_case)
+    guarded = (
+        stats.join(F.broadcast(pend0), "query_id")
+        .withColumn("ring", ring_case)
+        .withColumn("cx", F.expr(f"shiftright(fx, {zf} - zq)"))
+        .withColumn("cy", F.expr(f"shiftright(fy, {zf} - zq)"))
+    )
+    ok = guarded.where(
+        (F.col("_found") >= k) & (F.col("_kth") <= _guard_col(metric))
+    )
+    sel = ok.groupBy("query_id").agg(F.max("zq").alias("zq"))
+    resolved = topk_all.join(F.broadcast(sel), ["query_id", "zq"]).select(
+        "query_id", "neighbor_id", "rank", dist_name
+    )
+    stragglers = pend0.join(
+        F.broadcast(sel.select("query_id")), "query_id", "left_anti"
+    ).select("query_id", "lon", "lat")
+    brute_fn = brute_force_knn if metric == "euclid" else brute_force_knn_haversine
+    brute = brute_fn(
+        candidates, stragglers, k=k, query_id="query_id", cand_id=cand_id
+    ).select("query_id", "neighbor_id", "rank", dist_name)
+    return resolved.unionByName(brute)
+
+
+def _ring_expansion(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int,
+    z: int,
+    initial_ring: int,
+    max_iters: int,
+    max_ring: int,
+    query_id: str,
+    cand_id: str,
+    metric: str,
+) -> DataFrame:
+    dist_name = "d2" if metric == "euclid" else "dist_m"
+    # density-adaptive hierarchical grid: coarse base zoom z, plus two
+    # finer ladder levels so a point-mass hotspot cell (which can hold a
+    # large fraction of ALL candidates) joins through cells sized to its
+    # own density instead of funnelling the whole cluster per query
+    ladder = sorted({z, min(z + 7, 24), min(z + 15, 24)})
+    zf = ladder[-1]
+    dense_threshold = max(64 * k, 512)
+
+    base = candidates.select(
+        F.col(cand_id).alias("neighbor_id"),
+        F.col("lon").alias("n_lon"),
+        F.col("lat").alias("n_lat"),
+    )
+    fx, fy = tilemath.lonlat_to_tile_cols(F.col("n_lon"), F.col("n_lat"), zf)
+    base = base.withColumn("fx", fx).withColumn("fy", fy)
+
+    # candidate cells at every ladder level: a UNION of flat projections
+    # (whole-stage codegen) rather than an array-of-structs explode,
+    # whose per-row object churn dominated the probe stage
+    def _cands_of(src: DataFrame) -> DataFrame:
+        parts = [
+            src.select(
+                "neighbor_id", "n_lon", "n_lat",
+                F.lit(lv).alias("zq"),
+                F.shiftright("fx", zf - lv).alias("jx"),
+                F.shiftright("fy", zf - lv).alias("jy"),
+            )
+            for lv in ladder
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    cands = _cands_of(base)
+
+    if metric == "euclid":
+        dist = _euclid_d2(F.col("lon"), F.col("n_lon"), F.col("lat"), F.col("n_lat"))
+    else:
+        dist = _haversine(F.col("lat"), F.col("lon"), F.col("n_lat"), F.col("n_lon"))
+
+    qfx, qfy = tilemath.lonlat_to_tile_cols(F.col("lon"), F.col("lat"), zf)
+    pend0 = (
+        queries.select(F.col(query_id).alias("query_id"), "lon", "lat")
+        .withColumn("fx", qfx)
+        .withColumn("fy", qfy)
+        .localCheckpoint(eager=True)
+    )
+    qn = pend0.count()
+
+    if qn <= 50_000:
+        # one-shot path for modest query sets: probe ALL ladder levels in
+        # a single join (fixed block sizes), keep each query's finest
+        # RESOLVED level, brute-force only the residual — 3 Spark jobs
+        # instead of a multi-round loop whose per-round latency dominates.
+        # base scans exactly once here, so it is NOT persisted.
+        out = _one_shot_probe(
+            base, cands, pend0, candidates, k, ladder, zf, max(4, initial_ring),
+            metric, dist, dist_name, cand_id,
+        )
+        return out.select(
+            "query_id", "neighbor_id", "rank",
+            F.round(dist_name, 12 if metric == "euclid" else 6).alias(dist_name),
+        )
+
+    base = base.persist()
+    cands = _cands_of(base)
+    # density sketch: ONE pass over a deterministic 1-in-RATE sample,
+    # grouped at the finest ladder level; coarser levels re-aggregate
+    # the (tiny) sketch, never the data. The sketch only steers the
+    # per-query level/initial-ring HEURISTIC — the resolution guard
+    # below is exact regardless of sketch error.
+    rate = 20
+    sketch = (
+        base.where(F.pmod(F.xxhash64("neighbor_id"), F.lit(rate)) == 0)
+        .groupBy("fx", "fy")
+        .agg((F.count("*") * rate).alias("_cnt"))
+        .localCheckpoint(eager=True)
+    )
+    counts: dict[int, DataFrame] = {zf: sketch}
+    for lv in reversed(ladder[:-1]):
+        counts[lv] = (
+            sketch.select(
+                F.shiftright("fx", zf - lv).alias("fx"),
+                F.shiftright("fy", zf - lv).alias("fy"),
+                "_cnt",
+            )
+            .groupBy("fx", "fy")
+            .agg(F.sum("_cnt").alias("_cnt"))
+        )
+
+    # per-query level: the coarsest ladder level whose cell holds at most
+    # dense_threshold candidates (the guard below stays exact regardless)
+    pend = pend0
+    for lv in ladder:
+        cl = counts[lv].select(
+            F.col("fx").alias("_jfx"), F.col("fy").alias("_jfy"),
+            F.col("_cnt").alias(f"_cnt{lv}"),
+        )
+        pend = pend.join(
+            cl,  # no broadcast hint: the fine-level count table scales
+            (F.shiftright(F.col("fx"), zf - lv) == F.col("_jfx"))  # with the data; AQE
+            & (F.shiftright(F.col("fy"), zf - lv) == F.col("_jfy")),  # broadcasts if small
+            "left",
+        ).drop("_jfx", "_jfy")
+    zq_expr = F.lit(ladder[-1])
+    for lv in reversed(ladder[:-1]):
+        zq_expr = F.when(
+            F.coalesce(F.col(f"_cnt{lv}"), F.lit(0)) <= dense_threshold, F.lit(lv)
+        ).otherwise(zq_expr)
+    pend = pend.withColumn("zq", zq_expr)
+    cnt_at = F.lit(None).cast("long")
+    for lv in ladder:
+        cnt_at = F.when(F.col("zq") == lv, F.col(f"_cnt{lv}")).otherwise(cnt_at)
+    # initial ring: block expected to hold >= ~4k candidates
+    need = F.ceil(
+        (F.sqrt(F.lit(4.0 * k) / F.greatest(cnt_at, F.lit(1)).cast("double")) - 1.0) / 2.0
+    ).cast("int")
+    ring0 = F.least(
+        F.greatest(F.coalesce(need, F.lit(4)), F.lit(initial_ring)), F.lit(max_ring)
+    )
+    pend = (
+        pend.withColumn("ring", ring0)
+        .withColumn("cx", F.expr(f"shiftright(fx, {zf} - zq)"))
+        .withColumn("cy", F.expr(f"shiftright(fy, {zf} - zq)"))
+        .select("query_id", "lon", "lat", "fx", "fy", "zq", "cx", "cy", "ring")
+        .localCheckpoint(eager=True)
+    )
+    pend_n = pend.count()
+
+    w = Window.partitionBy("query_id").orderBy(dist_name, "neighbor_id")
+
+    resolved: DataFrame | None = None
+    exhausted = False
+    for it in range(max_iters):
+        nq = F.pow(F.lit(2.0), F.col("zq").cast("double"))
+        exploded = (
+            pend.withColumn(
+                "jx", F.explode(F.sequence(F.col("cx") - F.col("ring"), F.col("cx") + F.col("ring")))
+            )
+            .withColumn(
+                "jy", F.explode(F.sequence(F.col("cy") - F.col("ring"), F.col("cy") + F.col("ring")))
+            )
+            .where((F.col("jx") >= 0) & (F.col("jx") < nq) & (F.col("jy") >= 0) & (F.col("jy") < nq))
+            .select("query_id", "lon", "lat", "zq", "jx", "jy")
+        )
+        # broadcast the query side only while it is actually small;
+        # a per-row kNN workload (millions of queries) shuffle-joins on
+        # the cell key instead (AQE re-plans from checkpoint stats)
+        probe = F.broadcast(exploded) if pend_n <= 50_000 else exploded
+        topk = (
+            probe
+            .join(cands, ["zq", "jx", "jy"])
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn(dist_name, dist)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", dist_name)
+            .localCheckpoint(eager=True)
+        )
+        stats = topk.groupBy("query_id").agg(
+            F.max(dist_name).alias("_kth"), F.count("*").alias("_found")
+        )
+        decided = pend.join(stats, "query_id", "left").withColumn(
+            "_ok",
+            F.coalesce(
+                (F.col("_found") >= k) & (F.col("_kth") <= _guard_col(metric)),
+                F.lit(False),
+            ),
+        )
+        ok_ids = decided.where(F.col("_ok")).select("query_id")
+        if pend_n <= 50_000:
+            ok_ids = F.broadcast(ok_ids)
+        part = topk.join(ok_ids, "query_id", "left_semi")
+        resolved = part if resolved is None else resolved.unionByName(part)
+        # grow: double the ring; once a block exceeds 17x17 cells at a
+        # fine level, climb the ladder (same coverage, ~bounded cells)
+        grown = decided.where(~F.col("_ok")).withColumn("ring", F.col("ring") * 2)
+        if len(ladder) > 1:
+            climb = F.col("ring") > 8
+            steps = {ladder[i]: ladder[i - 1] for i in range(1, len(ladder))}
+            new_zq = F.col("zq")
+            new_ring = F.col("ring")
+            for fine, coarse in steps.items():
+                shrink = F.greatest(
+                    F.ceil(F.col("ring") / F.lit(float(2 ** (fine - coarse)))).cast("int"),
+                    F.lit(1),
+                )
+                new_zq = F.when(climb & (F.col("zq") == fine), F.lit(coarse)).otherwise(new_zq)
+                new_ring = F.when(climb & (F.col("zq") == fine), shrink).otherwise(new_ring)
+            grown = grown.withColumn("_zq2", new_zq).withColumn("ring", new_ring)
+            grown = (
+                grown.drop("zq")
+                .withColumnRenamed("_zq2", "zq")
+                .withColumn("cx", F.expr(f"shiftright(fx, {zf} - zq)"))
+                .withColumn("cy", F.expr(f"shiftright(fy, {zf} - zq)"))
+            )
+        pend = grown.select(
+            "query_id", "lon", "lat", "fx", "fy", "zq", "cx", "cy", "ring"
+        ).localCheckpoint(eager=True)
+        agg = pend.agg(F.count("*").alias("n"), F.min("ring").alias("min_ring")).first()
+        pend_n = agg["n"]
+        if agg["n"] == 0:
+            break
+        # base-zoom block would cover a large world fraction -> scan
+        if agg["min_ring"] > max_ring:
+            exhausted = True
+            break
+    else:
+        exhausted = True
+
+    if exhausted:  # brute force the stragglers (exact, just unpruned)
+        brute_fn = brute_force_knn if metric == "euclid" else brute_force_knn_haversine
+        brute = brute_fn(
+            candidates,
+            pend.select("query_id", "lon", "lat"),
+            k=k,
+            query_id="query_id",
+            cand_id=cand_id,
+        )
+        resolved = brute if resolved is None else resolved.unionByName(brute)
+
+    base.unpersist()
+    if resolved is None:
+        return pend.sparkSession.createDataFrame(
+            [], f"query_id string, neighbor_id string, rank int, {dist_name} double"
+        )
+    return resolved.select(
+        "query_id", "neighbor_id", "rank",
+        F.round(dist_name, 12 if metric == "euclid" else 6).alias(dist_name),
+    )
 
 
 def knn_ring_expansion(
@@ -55,101 +445,30 @@ def knn_ring_expansion(
 ) -> DataFrame:
     """-> (query_id, neighbor_id, rank, d2). Exact (tests pin equality
     with brute force) with join cost bounded by ring locality."""
-    spark = candidates.sparkSession
-    n = 2**z
-    cands = (
-        candidates.select(F.col(cand_id).alias("neighbor_id"), "lon", "lat")
-        .withColumnRenamed("lon", "n_lon")
-        .withColumnRenamed("lat", "n_lat")
+    return _ring_expansion(
+        candidates, queries, k, z, initial_ring, max_iters, max_ring,
+        query_id, cand_id, "euclid",
     )
-    x, y = tilemath.lonlat_to_tile_cols(F.col("n_lon"), F.col("n_lat"), z)
-    cands = cands.withColumn("cx", x).withColumn("cy", y)
 
-    qpd = queries.select(F.col(query_id).alias("query_id"), "lon", "lat").toPandas()
-    qpd["cx"], qpd["cy"] = _cell_np(qpd["lon"].to_numpy(), qpd["lat"].to_numpy(), z)
-    qpd["ring"] = initial_ring
 
-    resolved_parts: list[pd.DataFrame] = []
-
-    for _ in range(max_iters):
-        if len(qpd) == 0:
-            break
-        pend = spark.createDataFrame(
-            qpd[["query_id", "lon", "lat", "cx", "cy", "ring"]],
-            "query_id string, lon double, lat double, cx long, cy long, ring int",
-        )
-        # sequence-based block explode: no literal arrays, stays in codegen
-        exploded = (
-            pend.withColumn(
-                "jx", F.explode(F.sequence(F.col("cx") - F.col("ring"), F.col("cx") + F.col("ring")))
-            )
-            .withColumn(
-                "jy", F.explode(F.sequence(F.col("cy") - F.col("ring"), F.col("cy") + F.col("ring")))
-            )
-            .where((F.col("jx") >= 0) & (F.col("jx") < n) & (F.col("jy") >= 0) & (F.col("jy") < n))
-        )
-        joined = (
-            F.broadcast(exploded)
-            .join(
-                cands,
-                (exploded["jx"] == cands["cx"]) & (exploded["jy"] == cands["cy"]),
-                "inner",
-            )
-            .where(F.col("neighbor_id") != F.col("query_id"))
-        )
-        d2 = (F.col("lon") - F.col("n_lon")) ** 2 + (F.col("lat") - F.col("n_lat")) ** 2
-        w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
-        topk = (
-            joined.withColumn("d2", d2)
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "d2")
-            .toPandas()
-        )
-
-        # driver-side resolution check (|queries| rows)
-        qi = qpd.set_index("query_id")
-        rings = qi["ring"]
-        blk_lon_min = _lon_of(qi["cx"] - rings, n)
-        blk_lon_max = _lon_of(qi["cx"] + rings + 1, n)
-        blk_lat_max = _lat_of(qi["cy"] - rings, n)
-        blk_lat_min = _lat_of(qi["cy"] + rings + 1, n)
-        guard_lon = np.minimum(qi["lon"] - blk_lon_min, blk_lon_max - qi["lon"])
-        guard_lon = np.where((qi["cx"] - rings <= 0) & (qi["cx"] + rings >= n - 1), np.inf, guard_lon)
-        g_lat_low = np.where(qi["cy"] + rings >= n - 1, np.inf, qi["lat"] - blk_lat_min)
-        g_lat_high = np.where(qi["cy"] - rings <= 0, np.inf, blk_lat_max - qi["lat"])
-        guard = np.minimum(guard_lon, np.minimum(g_lat_low, g_lat_high))
-        guard_sq = pd.Series(guard * guard, index=qi.index)
-
-        stats = topk.groupby("query_id").agg(kth=("d2", "max"), found=("d2", "size"))
-        stats = stats.reindex(qi.index).fillna({"found": 0, "kth": np.inf})
-        ok = (stats["found"] >= k) & (stats["kth"] <= guard_sq)
-        resolved_ids = set(stats.index[ok])
-        if resolved_ids:
-            resolved_parts.append(topk[topk["query_id"].isin(resolved_ids)])
-        qpd = qpd[~qpd["query_id"].isin(resolved_ids)].copy()
-        qpd["ring"] = qpd["ring"] * 2
-        if len(qpd) and int(qpd["ring"].min()) > max_ring:
-            # block would cover a large world fraction -> cheaper to scan
-            break
-
-    if len(qpd):  # exhausted iterations -> brute force the stragglers
-        brute = brute_force_knn(
-            candidates,
-            spark.createDataFrame(
-                qpd[["query_id", "lon", "lat"]], "query_id string, lon double, lat double"
-            ),
-            k=k,
-            query_id="query_id",
-            cand_id=cand_id,
-        ).toPandas()
-        resolved_parts.append(brute)
-
-    if not resolved_parts:
-        return spark.createDataFrame([], "query_id string, neighbor_id string, rank int, d2 double")
-    out = pd.concat(resolved_parts, ignore_index=True)
-    out["d2"] = out["d2"].round(12)
-    return spark.createDataFrame(out, "query_id string, neighbor_id string, rank int, d2 double")
+def knn_ring_expansion_haversine(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    z: int = 9,
+    initial_ring: int = 1,
+    max_iters: int = 8,
+    max_ring: int = 32,
+    query_id: str = "image_id",
+    cand_id: str = "image_id",
+) -> DataFrame:
+    """Great-circle ring-expansion kNN (FIXTURES.md §5 expected_knn
+    semantics); the resolution guard converts the searched block's edge
+    distances to conservative metres."""
+    return _ring_expansion(
+        candidates, queries, k, z, initial_ring, max_iters, max_ring,
+        query_id, cand_id, "haversine",
+    )
 
 
 def brute_force_knn(
@@ -167,7 +486,7 @@ def brute_force_knn(
     )
     c = candidates.select(F.col(cand_id).alias("neighbor_id"), "lon", "lat")
     joined = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
-    d2 = (F.col("q_lon") - F.col("lon")) ** 2 + (F.col("q_lat") - F.col("lat")) ** 2
+    d2 = _euclid_d2(F.col("q_lon"), F.col("lon"), F.col("q_lat"), F.col("lat"))
     w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
     return (
         joined.withColumn("d2", d2)
@@ -175,25 +494,6 @@ def brute_force_knn(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "d2")
     )
-
-
-# ---------------------------------------------------------------------------
-# great-circle metric (FIXTURES.md §5 expected_knn uses haversine)
-# ---------------------------------------------------------------------------
-
-EARTH_R_M = 6371008.8  # mean earth radius
-
-
-def _haversine_cols(lat1, lon1, lat2, lon2):
-    from pyspark.sql import functions as F
-
-    dlat = F.radians(lat2 - lat1)
-    dlon = F.radians(lon2 - lon1)
-    a = (
-        F.sin(dlat / 2) ** 2
-        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) ** 2
-    )
-    return F.lit(2.0 * EARTH_R_M) * F.asin(F.sqrt(a))
 
 
 def brute_force_knn_haversine(
@@ -205,8 +505,6 @@ def brute_force_knn_haversine(
 ) -> DataFrame:
     """Exact great-circle kNN: broadcast queries x candidates; ties by
     neighbour id (FIXTURES.md §5 expected_knn semantics)."""
-    from pyspark.sql import functions as F
-
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col("lon").alias("q_lon"),
@@ -214,7 +512,7 @@ def brute_force_knn_haversine(
     )
     c = candidates.select(F.col(cand_id).alias("neighbor_id"), "lon", "lat")
     joined = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
-    dist = _haversine_cols(F.col("q_lat"), F.col("q_lon"), F.col("lat"), F.col("lon"))
+    dist = _haversine(F.col("q_lat"), F.col("q_lon"), F.col("lat"), F.col("lon"))
     w = Window.partitionBy("query_id").orderBy("dist_m", "neighbor_id")
     return (
         joined.withColumn("dist_m", dist)
@@ -222,112 +520,3 @@ def brute_force_knn_haversine(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("dist_m", 6).alias("dist_m"))
     )
-
-
-def knn_ring_expansion_haversine(
-    candidates: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    z: int = 9,
-    initial_ring: int = 1,
-    max_iters: int = 8,
-    max_ring: int = 32,
-    query_id: str = "image_id",
-    cand_id: str = "image_id",
-) -> DataFrame:
-    """Great-circle ring-expansion kNN. Same shape as
-    knn_ring_expansion; the resolution guard converts the searched cell
-    block's edge distances to conservative metres (lon deltas scaled by
-    the smallest cos(lat) in the block)."""
-    from pyspark.sql import functions as F
-
-    spark = candidates.sparkSession
-    n = 2**z
-    cands = (
-        candidates.select(F.col(cand_id).alias("neighbor_id"), "lon", "lat")
-        .withColumnRenamed("lon", "n_lon")
-        .withColumnRenamed("lat", "n_lat")
-    )
-    x, y = tilemath.lonlat_to_tile_cols(F.col("n_lon"), F.col("n_lat"), z)
-    cands = cands.withColumn("cx", x).withColumn("cy", y)
-
-    qpd = queries.select(F.col(query_id).alias("query_id"), "lon", "lat").toPandas()
-    qpd["cx"], qpd["cy"] = _cell_np(qpd["lon"].to_numpy(), qpd["lat"].to_numpy(), z)
-    qpd["ring"] = initial_ring
-    deg_m = math.pi * EARTH_R_M / 180.0
-    resolved_parts: list[pd.DataFrame] = []
-
-    for _ in range(max_iters):
-        if len(qpd) == 0:
-            break
-        pend = spark.createDataFrame(
-            qpd[["query_id", "lon", "lat", "cx", "cy", "ring"]],
-            "query_id string, lon double, lat double, cx long, cy long, ring int",
-        )
-        exploded = (
-            pend.withColumn(
-                "jx", F.explode(F.sequence(F.col("cx") - F.col("ring"), F.col("cx") + F.col("ring")))
-            )
-            .withColumn(
-                "jy", F.explode(F.sequence(F.col("cy") - F.col("ring"), F.col("cy") + F.col("ring")))
-            )
-            .where((F.col("jx") >= 0) & (F.col("jx") < n) & (F.col("jy") >= 0) & (F.col("jy") < n))
-        )
-        joined = (
-            F.broadcast(exploded)
-            .join(cands, (exploded["jx"] == cands["cx"]) & (exploded["jy"] == cands["cy"]))
-            .where(F.col("neighbor_id") != F.col("query_id"))
-        )
-        dist = _haversine_cols(F.col("lat"), F.col("lon"), F.col("n_lat"), F.col("n_lon"))
-        w = Window.partitionBy("query_id").orderBy("dist_m", "neighbor_id")
-        topk = (
-            joined.withColumn("dist_m", dist)
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "dist_m")
-            .toPandas()
-        )
-
-        qi = qpd.set_index("query_id")
-        rings = qi["ring"]
-        blk_lon_min = _lon_of(qi["cx"] - rings, n)
-        blk_lon_max = _lon_of(qi["cx"] + rings + 1, n)
-        blk_lat_max = _lat_of(qi["cy"] - rings, n)
-        blk_lat_min = _lat_of(qi["cy"] + rings + 1, n)
-        # conservative metres: lon degrees shrink by cos(lat); use the
-        # smallest cos within the block's latitude span
-        cos_min = np.minimum(
-            np.cos(np.radians(np.abs(blk_lat_max))), np.cos(np.radians(np.abs(blk_lat_min)))
-        )
-        g_lon = np.minimum(qi["lon"] - blk_lon_min, blk_lon_max - qi["lon"]) * deg_m * cos_min
-        g_lon = np.where((qi["cx"] - rings <= 0) & (qi["cx"] + rings >= n - 1), np.inf, g_lon)
-        g_lat_low = np.where(qi["cy"] + rings >= n - 1, np.inf, (qi["lat"] - blk_lat_min) * deg_m)
-        g_lat_high = np.where(qi["cy"] - rings <= 0, np.inf, (blk_lat_max - qi["lat"]) * deg_m)
-        guard_m = pd.Series(np.minimum(g_lon, np.minimum(g_lat_low, g_lat_high)), index=qi.index)
-
-        stats = topk.groupby("query_id").agg(kth=("dist_m", "max"), found=("dist_m", "size"))
-        stats = stats.reindex(qi.index).fillna({"found": 0, "kth": np.inf})
-        ok = (stats["found"] >= k) & (stats["kth"] <= guard_m)
-        resolved_ids = set(stats.index[ok])
-        if resolved_ids:
-            resolved_parts.append(topk[topk["query_id"].isin(resolved_ids)])
-        qpd = qpd[~qpd["query_id"].isin(resolved_ids)].copy()
-        qpd["ring"] = qpd["ring"] * 2
-        if len(qpd) and int(qpd["ring"].min()) > max_ring:
-            break
-
-    if len(qpd):
-        brute = brute_force_knn_haversine(
-            candidates,
-            spark.createDataFrame(
-                qpd[["query_id", "lon", "lat"]], "query_id string, lon double, lat double"
-            ),
-            k=k, query_id="query_id", cand_id=cand_id,
-        ).toPandas()
-        resolved_parts.append(brute)
-
-    if not resolved_parts:
-        return spark.createDataFrame([], "query_id string, neighbor_id string, rank int, dist_m double")
-    out = pd.concat(resolved_parts, ignore_index=True)
-    out["dist_m"] = out["dist_m"].round(6)
-    return spark.createDataFrame(out, "query_id string, neighbor_id string, rank int, dist_m double")
