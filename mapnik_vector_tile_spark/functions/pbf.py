@@ -520,8 +520,9 @@ def decode_varints_vec(data: bytes, return_lengths: bool = False):
     (<= 10 masked passes over byte positions — no per-value Python).
     Raises ValueError if the buffer ends mid-varint.
     With return_lengths, also returns the per-value encoded byte length
-    (used by the columnar decoder to verify declared frame lengths)."""
-    buf = np.frombuffer(data, dtype=np.uint8)
+    (used by the columnar decoder to verify declared frame lengths).
+    Accepts bytes or a uint8 ndarray."""
+    buf = data if isinstance(data, np.ndarray) else np.frombuffer(data, dtype=np.uint8)
     if len(buf) == 0:
         empty = np.empty(0, dtype=np.uint64)
         return (empty, np.empty(0, dtype=np.int64)) if return_lengths else empty
@@ -597,3 +598,262 @@ def layer_features_region(data: bytes) -> tuple[dict, bytes | None]:
         raise ValueError("layer missing required name (v2 check)")
     region = data[feat_start:feat_end] if contiguous and feat_start is not None else None
     return out, region
+
+
+# ---------------------------------------------------------------------------
+# batched layer-header parse: the per-tile Python frame walk was ~75% of the
+# worst-case decode cost (r1 VERDICT: 2.1x off the reference's 481k feats/s
+# per core, bench/readme.md:24-30). This walks the headers of a WHOLE batch
+# of layers with masked numpy cursors — cost per step is O(active layers),
+# and steps = max frame count, not sum. Layers with exotic shapes (unknown
+# fields, huge frame counts) drop out to the per-layer Python fallback.
+# ---------------------------------------------------------------------------
+
+def read_varints_at(buf: np.ndarray, pos: np.ndarray):
+    """Vectorized varint reads at arbitrary byte positions.
+    Returns (values uint64, byte lengths int64). Positions past the
+    buffer end yield value 0 / length 0 (caller treats as malformed)."""
+    n = len(pos)
+    vals = np.zeros(n, dtype=np.uint64)
+    lens = np.zeros(n, dtype=np.int64)
+    more = pos < len(buf)
+    shift = np.uint64(0)
+    p = pos.copy()
+    for _ in range(10):
+        if not more.any():
+            break
+        b = buf[p[more]].astype(np.uint64)
+        vals[more] |= (b & np.uint64(0x7F)) << shift
+        lens[more] += 1
+        cont = np.zeros(n, dtype=bool)
+        cont[more] = (b & np.uint64(0x80)) != 0
+        p[more] += 1
+        more = cont & (p < len(buf))
+        # a continuation bit that runs off the buffer = malformed
+        lens[cont & (p >= len(buf))] = 0
+        shift += np.uint64(7)
+    return vals, lens
+
+
+def parse_layers_batch(layer_blobs: list[bytes]) -> dict:
+    """Header walk over many layer messages at once.
+
+    Expects this engine's layout (name, keys, values, extent, version —
+    then Feature frames as a pure suffix); any layer that deviates is
+    flagged ``ok=False`` and the caller parses it with decode_layer.
+
+    Returns flat arrays:
+      ok (bool per layer), name (object per layer), version, extent,
+      key_layer/keys (flat, layer-ordered), val_layer/values (flat),
+      feat_start/feat_end (byte offsets into ``buf``), buf (uint8).
+    """
+    n = len(layer_blobs)
+    blob_lens = np.fromiter((len(b) for b in layer_blobs), dtype=np.int64, count=n)
+    ends = np.cumsum(blob_lens)
+    starts = ends - blob_lens
+    buf = np.frombuffer(b"".join(layer_blobs), dtype=np.uint8)
+
+    pos = starts.copy()
+    ok = np.ones(n, dtype=bool)
+    feat_start = np.full(n, -1, dtype=np.int64)
+    version = np.ones(n, dtype=np.int64)
+    extent = np.full(n, 4096, dtype=np.int64)
+    name_s = np.full(n, -1, dtype=np.int64)
+    name_l = np.zeros(n, dtype=np.int64)
+    rec_layer: list[np.ndarray] = []   # len-framed field records
+    rec_field: list[np.ndarray] = []
+    rec_ps: list[np.ndarray] = []
+    rec_pl: list[np.ndarray] = []
+
+    active_idx = np.arange(n)
+    py_finish: list[int] = []
+    # long-tail escape: the masked walk costs O(active) per FRAME step,
+    # so a single huge layer (e.g. a salted hot tile with 10^5 value
+    # frames) would dominate; after max_steps the stragglers finish on
+    # the per-frame Python walker and splice back in below
+    max_steps = 96
+    for step in range(max_steps):
+        if len(active_idx) == 0:
+            break
+        p = pos[active_idx]
+        tags, tl = read_varints_at(buf, p)
+        bad = tl == 0
+        field = (tags >> np.uint64(3)).astype(np.int64)
+        wire = (tags & np.uint64(7)).astype(np.int64)
+        is_len = (wire == WT_LEN) & ~bad
+        is_var = (wire == WT_VARINT) & ~bad
+        bad |= ~is_len & ~is_var  # fixed32/64 never appear in our layers
+
+        ln = np.zeros(len(p), dtype=np.int64)
+        ll = np.zeros(len(p), dtype=np.int64)
+        if is_len.any():
+            lv, lls = read_varints_at(buf, p[is_len] + tl[is_len])
+            ln[is_len] = lv.astype(np.int64)
+            ll[is_len] = lls
+            bad[is_len] |= lls == 0
+        vv = np.zeros(len(p), dtype=np.int64)
+        if is_var.any():
+            vvs, vls = read_varints_at(buf, p[is_var] + tl[is_var])
+            vv[is_var] = vvs.astype(np.int64)
+            ll[is_var] = vls
+            bad[is_var] |= vls == 0
+
+        nxt = p + tl + ll + np.where(is_len, ln, 0)
+        bad |= nxt > ends[active_idx]
+
+        # classify
+        feat = is_len & (field == 2) & ~bad
+        name_f = is_len & (field == 1) & ~bad
+        key_f = is_len & (field == 3) & ~bad
+        val_f = is_len & (field == 4) & ~bad
+        ext_f = is_var & (field == 5) & ~bad
+        ver_f = is_var & (field == 15) & ~bad
+        bad |= ~(feat | name_f | key_f | val_f | ext_f | ver_f)
+
+        li = active_idx
+        if name_f.any():
+            name_s[li[name_f]] = p[name_f] + tl[name_f] + ll[name_f]
+            name_l[li[name_f]] = ln[name_f]
+        if ext_f.any():
+            extent[li[ext_f]] = vv[ext_f]
+        if ver_f.any():
+            version[li[ver_f]] = vv[ver_f]
+        kv = key_f | val_f
+        if kv.any():
+            rec_layer.append(li[kv])
+            rec_field.append(np.where(key_f[kv], 3, 4))
+            rec_ps.append(p[kv] + tl[kv] + ll[kv])
+            rec_pl.append(ln[kv])
+        if feat.any():
+            # features are the layer suffix in this engine's layout; the
+            # packed-framing verifier downstream proves (or refutes) it
+            feat_start[li[feat]] = p[feat]
+        if bad.any():
+            ok[li[bad]] = False
+
+        pos[active_idx] = nxt
+        keep = ~bad & ~feat & (nxt < ends[active_idx])
+        active_idx = active_idx[keep]
+        if step == max_steps - 1 and len(active_idx):
+            py_finish = [int(i) for i in active_idx]
+
+    py_parsed: dict[int, tuple] = {}
+    for i in py_finish:
+        blob = layer_blobs[i]
+        try:
+            layer, region = layer_features_region(blob)
+        except Exception:
+            ok[i] = False
+            continue
+        if region is None:
+            ok[i] = False
+            continue
+        py_parsed[i] = (layer, region)
+        version[i] = layer["version"]
+        extent[i] = layer["extent"]
+        feat_start[i] = starts[i] + (len(blob) - len(region))
+
+    ok &= name_s >= 0
+    for i in py_finish:
+        ok[i] = i in py_parsed  # name/keys/values spliced in below
+
+    # bulk utf8: gather payload bytes once, split via pyarrow offsets
+    import pyarrow as pa  # noqa: F811 — kept local-name for clarity
+
+    def _strings(ps: np.ndarray, pl: np.ndarray):
+        if len(ps) == 0:
+            return np.empty(0, dtype=object)
+        gathered, offs = ragged_gather(buf, ps, pl, np.arange(len(ps)))
+        arr = pa.StringArray.from_buffers(
+            len(ps),
+            pa.py_buffer(offs.astype(np.int32).tobytes()),
+            pa.py_buffer(gathered.tobytes()),
+        )
+        return arr.to_numpy(zero_copy_only=False)
+
+    name_vals = np.full(n, None, dtype=object)
+    has_name = name_s >= 0
+    name_vals[has_name] = _strings(name_s[has_name], name_l[has_name])
+
+    if rec_layer:
+        r_layer = np.concatenate(rec_layer)
+        r_field = np.concatenate(rec_field)
+        r_ps = np.concatenate(rec_ps)
+        r_pl = np.concatenate(rec_pl)
+        if py_parsed:  # drop partial records of python-finished layers
+            keep_m = ~np.isin(r_layer, np.fromiter(py_parsed, dtype=np.int64))
+            r_layer, r_field, r_ps, r_pl = (
+                r_layer[keep_m], r_field[keep_m], r_ps[keep_m], r_pl[keep_m]
+            )
+        order = np.lexsort((r_ps, r_layer))
+        r_layer, r_field, r_ps, r_pl = (
+            r_layer[order], r_field[order], r_ps[order], r_pl[order]
+        )
+    else:
+        r_layer = r_field = r_ps = r_pl = np.empty(0, dtype=np.int64)
+
+    keys_m = r_field == 3
+    key_layer, key_ps, key_pl = r_layer[keys_m], r_ps[keys_m], r_pl[keys_m]
+    keys = _strings(key_ps, key_pl)
+
+    vals_m = r_field == 4
+    val_layer, val_ps, val_pl = r_layer[vals_m], r_ps[vals_m], r_pl[vals_m]
+    # Value message fast path: string values [0x0A slen utf8]
+    values = np.full(len(val_ps), None, dtype=object)
+    if len(val_ps):
+        first = np.where(val_pl > 0, buf[np.minimum(val_ps, len(buf) - 1)], 0)
+        slen, sll = read_varints_at(buf, val_ps + 1)
+        is_str = (
+            (first == 0x0A)
+            & (sll > 0)
+            & (1 + sll + slen.astype(np.int64) == val_pl)
+        )
+        values[is_str] = _strings(
+            (val_ps + 1 + sll)[is_str], slen.astype(np.int64)[is_str]
+        )
+        slow = np.flatnonzero(~is_str)
+        raw = buf.tobytes() if len(slow) else b""
+        for i in slow:
+            values[i] = decode_value(raw[val_ps[i] : val_ps[i] + val_pl[i]])
+
+    if py_parsed:  # splice python-finished layers' keys/values/names
+        kpos: list[int] = []
+        kvals: list = []
+        klay: list[int] = []
+        vpos: list[int] = []
+        vvals: list = []
+        vlay: list[int] = []
+        for i in sorted(py_parsed):
+            layer, _region = py_parsed[i]
+            name_vals[i] = layer["name"]
+            if layer["name"] is None:
+                ok[i] = False
+            kp = int(np.searchsorted(key_layer, i))
+            kpos.extend([kp] * len(layer["keys"]))
+            kvals.extend(layer["keys"])
+            klay.extend([i] * len(layer["keys"]))
+            vp = int(np.searchsorted(val_layer, i))
+            vpos.extend([vp] * len(layer["values"]))
+            vvals.extend(layer["values"])
+            vlay.extend([i] * len(layer["values"]))
+        if kpos:
+            keys = np.insert(keys.astype(object), kpos, kvals)
+            key_layer = np.insert(key_layer, kpos, klay)
+        if vpos:
+            values = np.insert(values.astype(object), vpos, vvals)
+            val_layer = np.insert(val_layer, vpos, vlay)
+
+    return {
+        "ok": ok,
+        "name": name_vals,
+        "version": version,
+        "extent": extent,
+        "key_layer": key_layer,
+        "keys": keys,
+        "val_layer": val_layer,
+        "values": values,
+        "feat_start": feat_start,
+        "feat_end": ends,
+        "layer_start": starts,
+        "buf": buf,
+    }

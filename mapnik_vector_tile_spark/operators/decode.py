@@ -229,66 +229,85 @@ def decode_tiles_columnar(tiles: DataFrame, prop_keys: list[str]) -> DataFrame:
             xs = pdf["x"].to_numpy()
             ys = pdf["y"].to_numpy()
             tiles_col = pdf["tile"].to_numpy()
-            regions: list[bytes] = []
-            # (z, x, y, name, extent, values, n_vals_in_region, layer_bytes)
-            metas: list = []
+            blob_tile: list[int] = []
+            blobs: list[bytes] = []
             fallback_rows: list[tuple] = []
             for t in range(n_tiles):
                 tile = tiles_col[t]
                 if not tile:
                     continue
                 data = Z.decompress(bytes(tile))
-                # per-LAYER routing: vectorized-path layers never re-decode
-                # through the fallback, so multi-layer tiles emit each
-                # feature exactly once
                 for layer_bytes in pbf.decode_tile(data):
-                    lb = bytes(layer_bytes)
-                    layer, region = pbf.layer_features_region(lb)
-                    uniform = (
-                        region is not None
-                        and layer["keys"] == prop_keys
-                        and len(region) > 0
-                    )
-                    if uniform:
-                        rb = np.frombuffer(region, dtype=np.uint8)
-                        nvals = int(((rb & 0x80) == 0).sum())
-                        if nvals % w == 0:
-                            regions.append(region)
-                            metas.append(
-                                (int(zs[t]), int(xs[t]), int(ys[t]), layer["name"],
-                                 layer["extent"], layer["values"], nvals, lb)
-                            )
-                            continue
+                    blobs.append(bytes(layer_bytes))
+                    blob_tile.append(t)
+            frames = []
+            nlay = len(blobs)
+            if nlay:
+                # one vectorized header walk for the whole batch (the
+                # per-layer Python walk was ~75% of worst-case decode)
+                meta = pbf.parse_layers_batch(blobs)
+                buf = meta["buf"]
+                ltile = np.asarray(blob_tile, dtype=np.int64)
+
+                key_counts = np.bincount(
+                    meta["key_layer"], minlength=nlay
+                ) if len(meta["key_layer"]) else np.zeros(nlay, dtype=np.int64)
+                koff = np.concatenate([[0], np.cumsum(key_counts)[:-1]])
+                cand = np.flatnonzero(
+                    meta["ok"]
+                    & (key_counts == c_expected)
+                    & (meta["feat_start"] >= 0)
+                    & (meta["feat_end"] > meta["feat_start"])
+                )
+                for j, kname in enumerate(prop_keys):
+                    if len(cand) == 0:
+                        break
+                    cand = cand[meta["keys"][koff[cand] + j] == kname]
+                # varint count per candidate region (cumulative-terminator
+                # trick: one pass over the batch buffer)
+                csum = np.concatenate(
+                    [[0], np.cumsum(((buf & 0x80) == 0).astype(np.int64))]
+                )
+                nvals = csum[meta["feat_end"][cand]] - csum[meta["feat_start"][cand]]
+                cand = cand[nvals % w == 0]
+
+                uniform = np.zeros(nlay, dtype=bool)
+                uniform[cand] = True
+                for i in np.flatnonzero(~uniform):
+                    t = blob_tile[i]
                     fallback_rows.extend(
-                        decode_layer_rows(int(zs[t]), int(xs[t]), int(ys[t]), lb)
+                        decode_layer_rows(int(zs[t]), int(xs[t]), int(ys[t]), blobs[i])
                     )
 
-            frames = []
-            if regions:
-                big = b"".join(regions)
+            if nlay and len(cand):
+                flen = meta["feat_end"][cand] - meta["feat_start"][cand]
+                big, _offs = pbf.ragged_gather(
+                    buf, meta["feat_start"][cand], flen, np.arange(len(cand))
+                )
                 vals, vlens = pbf.decode_varints_vec(big, return_lengths=True)
                 m = vals.reshape(-1, w)
                 ml = vlens.reshape(-1, w)
-                feat_counts = np.array([mt[6] // w for mt in metas], dtype=np.int64)
-                rep = np.repeat(np.arange(len(metas)), feat_counts)
+                feat_counts = (csum[meta["feat_end"][cand]] - csum[meta["feat_start"][cand]]) // w
+                rep = np.repeat(np.arange(len(cand)), feat_counts)
                 row_ok = _packed_rows_ok(m, ml, c_expected)
                 if not row_ok.all():
                     # exotic framing: fall back ONLY the offending layers
-                    bad_meta = np.zeros(len(metas), dtype=bool)
+                    bad_meta = np.zeros(len(cand), dtype=bool)
                     np.logical_or.at(bad_meta, rep, ~row_ok)
-                    for mi_, mt in enumerate(metas):
-                        if bad_meta[mi_]:
-                            fallback_rows.extend(
-                                decode_layer_rows(mt[0], mt[1], mt[2], mt[7])
-                            )
+                    for ci in np.flatnonzero(bad_meta):
+                        i = cand[ci]
+                        t = blob_tile[i]
+                        fallback_rows.extend(
+                            decode_layer_rows(int(zs[t]), int(xs[t]), int(ys[t]), blobs[i])
+                        )
                     keep = ~bad_meta[rep]
                     m, rep = m[keep], rep[keep]
                 if len(m):
-                    tz = np.array([mt[0] for mt in metas])[rep]
-                    tx = np.array([mt[1] for mt in metas])[rep]
-                    ty = np.array([mt[2] for mt in metas])[rep]
-                    names = np.array([mt[3] for mt in metas], dtype=object)[rep]
-                    extents = np.array([mt[4] for mt in metas], dtype=np.float64)[rep]
+                    tz = zs[ltile[cand]][rep]
+                    tx = xs[ltile[cand]][rep]
+                    ty = ys[ltile[cand]][rep]
+                    names = meta["name"][cand][rep]
+                    extents = meta["extent"][cand].astype(np.float64)[rep]
                     minx, miny, maxx, maxy = tilemath.tile_mercator_bbox_np(tx, ty, tz)
                     scale = extents / (maxx - minx)
                     zz = m[:, 9 + 2 * c_expected : 11 + 2 * c_expected].astype(np.uint32)
@@ -296,21 +315,29 @@ def decode_tiles_columnar(tiles: DataFrame, prop_keys: list[str]) -> DataFrame:
                     py = Cmd.unzigzag32(zz[:, 1]).astype(np.float64)
                     mx = minx + px / scale
                     my = maxy - py / scale
-                    # global value dictionary: concat per-tile dicts, shift tags
-                    val_counts = np.array([len(mt[5]) for mt in metas], dtype=np.int64)
-                    val_off = np.concatenate([[0], np.cumsum(val_counts)[:-1]])
-                    all_vals = np.array(
-                        [v for mt in metas for v in mt[5]], dtype=object
+                    # global value dictionary: concat per-layer dicts (flat
+                    # from the batch parse), shift tag indices per layer
+                    all_counts = np.bincount(
+                        meta["val_layer"], minlength=nlay
+                    ) if len(meta["val_layer"]) else np.zeros(nlay, dtype=np.int64)
+                    gl_off = np.concatenate([[0], np.cumsum(all_counts)[:-1]])
+                    vc = all_counts[cand]
+                    local_off = np.concatenate([[0], np.cumsum(vc)[:-1]])
+                    take = (
+                        np.repeat(gl_off[cand], vc)
+                        + np.arange(int(vc.sum()))
+                        - np.repeat(local_off, vc)
                     )
-                    shift = val_off[rep]
+                    all_vals = meta["values"][take]
+                    shift = local_off[rep]
                     cols = {}
                     for j, k in enumerate(prop_keys):
                         idx = m[:, 4 + 2 * j + 1].astype(np.int64) + shift
                         cols[k] = all_vals[idx] if len(all_vals) else np.array([], dtype=object)
                     frames.append(
                         pd.DataFrame(
-                            {"z": tz, "x": tx, "y": ty, "layer": names,
-                             "mx": mx, "my": my, **cols}
+                            {"z": tz.astype(np.int32), "x": tx, "y": ty,
+                             "layer": names, "mx": mx, "my": my, **cols}
                         )
                     )
             if fallback_rows:

@@ -275,6 +275,27 @@ def test_columnar_decode_mixed_uniform_and_fallback(spark, tiles):
     assert np.isfinite(col["mx"]).all() and np.isfinite(col["my"]).all()
 
 
+def test_columnar_decode_salted_hot_tiles(spark, located):
+    """Columnar decode handles salted hot-path tiles (huge value runs →
+    the batch header walk's Python-finish splice) identically to the
+    generic decoder."""
+    from mapnik_vector_tile_spark.operators import assign as A
+    from mapnik_vector_tile_spark.operators import decode as D
+    from mapnik_vector_tile_spark.operators import encode as E
+
+    assigned = A.assign_tiles(located, Z_TEST)
+    hot = E.build_point_tiles(
+        assigned, prop_cols=["image_id", "caption", "fmt"], order_col="image_id",
+        hot_threshold=50,
+    )
+    col = D.decode_tiles_columnar(hot, ["image_id", "caption", "fmt"]).toPandas()
+    assert len(col) == 2000
+    assert sorted(col["image_id"]) == sorted(
+        located.select("image_id").toPandas()["image_id"]
+    )
+    assert np.isfinite(col["mx"]).all() and np.isfinite(col["my"]).all()
+
+
 def test_composite_reencode_upgrades_v1_to_v2(spark):
     """Slow-path merge re-encodes v1 tiles as v2 (the merge_from_buffer
     upgrade, src/vector_tile_load_tile.hpp:53-137)."""
