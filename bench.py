@@ -133,6 +133,44 @@ def run_benchmarks(spark, sf_dir: str, image_path: str, epochs: int = 1, only=No
         rows["knn"] = knn.knn_ring_expansion(located, queries_df, k=5, z=9).count()
         times["knn"] = time.perf_counter() - t0
 
+    if not skip("geom_tiles"):
+        from mapnik_vector_tile_spark.operators import geom_tiles as GT
+
+        n_geoms = 200_000
+        half = 20037508.342789244
+
+        def gen_geoms(iterator):
+            import pandas as pd
+
+            for pdf in iterator:
+                ids = pdf["id"].to_numpy()
+                rows_out = []
+                for i in ids:
+                    i = int(i)
+                    cx = -half * 0.9 + (i * 2654435761 % 2**32) / 2**32 * half * 1.8
+                    cy = -half * 0.6 + (i * 2246822519 % 2**32) / 2**32 * half * 1.2
+                    s = half / 64 * (0.02 if i % 10 else 1.5)  # 10% span tiles
+                    if i % 2 == 0:
+                        wkt = f"LINESTRING({cx} {cy},{cx + s} {cy + s},{cx + 2 * s} {cy})"
+                    else:
+                        wkt = (f"POLYGON(({cx} {cy},{cx + s} {cy},{cx + s} {cy + s},"
+                               f"{cx} {cy + s},{cx} {cy}))")
+                    rows_out.append((f"g{i:09d}", wkt))
+                yield pd.DataFrame(rows_out, columns=["gid", "geom_wkt"])
+
+        geoms = (
+            spark.range(n_geoms).repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+            .mapInPandas(gen_geoms, "gid string, geom_wkt string")
+            .localCheckpoint(eager=True)  # WKT generation is input prep
+        )
+        t0 = time.perf_counter()
+        gtiles = GT.build_geom_tiles(geoms, ["gid"], z=6, simplify_distance=2.0, id_col="gid")
+        gagg = gtiles.agg(
+            F.count("*").alias("tiles"), F.sum("n_features").alias("feats")
+        ).collect()[0]
+        times["geom_tiles"] = time.perf_counter() - t0
+        rows["geom_tiles"] = int(gagg["tiles"]) + int(gagg["feats"] or 0)
+
     for name in ("tile_assign_z13", "agg_pushdown"):
         if skip(name):
             continue

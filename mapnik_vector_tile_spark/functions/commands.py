@@ -53,7 +53,7 @@ def _emit_path(pts: np.ndarray, cursor: list[int], out: list[int], is_ring: bool
         if eff < 3:
             return False
         last = n
-        if np.array_equal(pts[0], pts[-1]):
+        if pts[0, 0] == pts[-1, 0] and pts[0, 1] == pts[-1, 1]:
             last = n - 1
             eff -= 1
             if eff < 3:
@@ -63,23 +63,24 @@ def _emit_path(pts: np.ndarray, cursor: list[int], out: list[int], is_ring: bool
         if eff < 2:
             return False
         body = pts
-    line_to_len = eff - 1
-    x0, y0 = cursor
+    # vectorized delta emission: dropping consecutive-duplicate rows is
+    # equivalent to the reference's skip-zero-delta loop with a threaded
+    # cursor (vector_tile_geometry_encoder_pbf.ipp:100-131)
+    keep = np.ones(len(body), dtype=bool)
+    if len(body) > 1:
+        keep[1:] = (body[1:] != body[:-1]).any(axis=1)
+    b = body[keep]
+    line_to_len = len(b) - 1
+    d0 = b[0] - np.asarray(cursor, dtype=np.int64)
+    zz = zigzag32(np.concatenate([d0[None, :], np.diff(b, axis=0)], axis=0))
     out.append(9)  # MoveTo | 1<<3
-    out.append(int(zigzag32(np.array(body[0, 0] - x0))))
-    out.append(int(zigzag32(np.array(body[0, 1] - y0))))
-    x0, y0 = int(body[0, 0]), int(body[0, 1])
+    out.append(int(zz[0, 0]))
+    out.append(int(zz[0, 1]))
     out.append((line_to_len << 3) | LINE_TO)
-    for p in body[1:]:
-        dx, dy = int(p[0]) - x0, int(p[1]) - y0
-        if dx == 0 and dy == 0:
-            continue
-        out.append(int(zigzag32(np.array(dx))))
-        out.append(int(zigzag32(np.array(dy))))
-        x0, y0 = int(p[0]), int(p[1])
+    out.extend(zz[1:].reshape(-1).tolist())
     if is_ring:
         out.append(15)  # ClosePath | 1<<3
-    cursor[0], cursor[1] = x0, y0
+    cursor[0], cursor[1] = int(b[-1, 0]), int(b[-1, 1])
     return True
 
 
@@ -112,10 +113,9 @@ def encode_geometry(geom, cursor: list[int] | None = None):
         if len(pts) == 0:
             return None, []
         out.append((len(pts) << 3) | MOVE_TO)
-        for p in pts:
-            out.append(int(zigzag32(np.array(int(p[0]) - cursor[0]))))
-            out.append(int(zigzag32(np.array(int(p[1]) - cursor[1]))))
-            cursor[0], cursor[1] = int(p[0]), int(p[1])
+        seq = np.concatenate([np.asarray(cursor, dtype=np.int64)[None, :], pts], axis=0)
+        out.extend(zigzag32(np.diff(seq, axis=0)).reshape(-1).tolist())
+        cursor[0], cursor[1] = int(pts[-1, 0]), int(pts[-1, 1])
         return POINT, out
     if kind == "linestring":
         ok = _emit_path(val, cursor, out, is_ring=False)

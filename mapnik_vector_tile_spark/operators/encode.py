@@ -362,35 +362,53 @@ def encode_geom_layer(
     area_threshold: float = 0.1,
     id_col: str | None = None,
     version: int = 2,
+    geom_col: str | None = None,
 ) -> tuple[bytes, int]:
-    """General-geometry layer: WKT (mercator coords) per row through the
-    fused transform/simplify/clip kernel then command-stream encode."""
+    """General-geometry layer through the fused transform/simplify/clip
+    kernel, then ONE ragged batch command-stream + feature framing pass
+    (pbf.encode_features_packed_ragged) — no per-feature pbf writer.
+    geom_col: compact packed geometry (geometry.gpack) — preferred; the
+    WKT column is parsed only when no packed column is present."""
     minx, miny, maxx, maxy = tilemath.tile_mercator_bbox_np(x, y, z)
     vt = G.ViewTransform(float(minx), float(miny), float(maxx), float(maxy), extent, extent)
     clip_box = tilemath.buffered_tile_px_box(extent, buffer_px)
     keys, values, tags = build_value_dicts(pdf, prop_cols)
-    feats = []
     ids = pdf[id_col].to_numpy() if id_col else None
-    kept = 0
-    for i, wkt in enumerate(pdf[wkt_col]):
-        g = G.from_wkt(wkt)
+    geoms = (
+        (G.gunpack(bytes(b)) for b in pdf[geom_col])
+        if geom_col
+        else (G.from_wkt(w) for w in pdf[wkt_col])
+    )
+    gtypes: list[int] = []
+    cmd_arrays: list[np.ndarray] = []
+    keep_idx: list[int] = []
+    for i, g in enumerate(geoms):
         tg = G.world_to_tile_geom(
             g, vt, clip_box, simplify_distance=simplify_distance, area_threshold=area_threshold
         )
         gtype, cmds = Cmd.encode_geometry(tg)
         if gtype is None:
             continue
-        trow = tags[i]
-        tag_list = [int(t) for t in trow[trow >= 0]]
-        feats.append(
-            pbf.encode_feature(int(ids[i]) if ids is not None else None, tag_list, gtype, cmds)
-        )
-        kept += 1
-    if not feats:
+        gtypes.append(gtype)
+        cmd_arrays.append(np.asarray(cmds, dtype=np.uint64))
+        keep_idx.append(i)
+    if not gtypes:
         return b"", 0
+    kept_tags = tags[keep_idx]
+    tmask = kept_tags >= 0
+    blob = pbf.encode_features_packed_ragged(
+        np.asarray(gtypes, dtype=np.int64),
+        np.concatenate(cmd_arrays),
+        np.array([len(c) for c in cmd_arrays], dtype=np.int64),
+        kept_tags[tmask].astype(np.int64),
+        tmask.sum(axis=1).astype(np.int64),
+        ids[keep_idx].astype(np.int64) if ids is not None else None,
+    )
     vals = [pbf.encode_value(v) for v in values]
-    layer = pbf.encode_layer(layer_name, feats, keys, vals, extent=extent, version=version)
-    return layer, kept
+    layer = pbf.encode_layer_packed(
+        layer_name, blob, keys, vals, extent=extent, version=version
+    )
+    return layer, len(gtypes)
 
 
 def _layer_prefix_suffix(layer_name: str, prop_cols: list[str], extent: int, version: int):

@@ -27,15 +27,19 @@ TILE_SCHEMA = "z int, x long, y long, tile binary, n_features long, n_layers int
 
 
 def with_envelope(df: DataFrame, wkt_col: str = "geom_wkt") -> DataFrame:
-    """Add mercator envelope columns (vectorized WKT parse per batch)."""
+    """Add mercator envelope columns + the compact packed geometry
+    (geometry.gpack) so the WKT regex parse runs exactly ONCE per row —
+    downstream encode stages read the pack, never the text."""
 
     def kernel(iterator):
         for pdf in iterator:
             if len(pdf) == 0:
                 continue
             envs = np.empty((len(pdf), 4), dtype=np.float64)
+            packs: list[bytes] = []
             for i, wkt in enumerate(pdf[wkt_col]):
                 kind, val = G.from_wkt(wkt)
+                packs.append(G.gpack((kind, val)))
                 if kind == "empty":
                     envs[i] = (np.nan,) * 4
                     continue
@@ -53,10 +57,11 @@ def with_envelope(df: DataFrame, wkt_col: str = "geom_wkt") -> DataFrame:
             yield pdf.assign(
                 env_minx=envs[:, 0], env_miny=envs[:, 1],
                 env_maxx=envs[:, 2], env_maxy=envs[:, 3],
+                _gpk=packs,
             )
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
-    schema += ", env_minx double, env_miny double, env_maxx double, env_maxy double"
+    schema += ", env_minx double, env_miny double, env_maxx double, env_maxy double, _gpk binary"
     return df.mapInPandas(kernel, schema=schema)
 
 
@@ -107,33 +112,90 @@ def build_geom_tiles(
 
     enveloped = with_envelope(geoms, wkt_col)
     assigned = assign_tiles_by_envelope(enveloped, z, buffer_px=buffer_px, extent=extent)
-    slim_cols = ["z", "x", "y", wkt_col, *prop_cols]
+    slim_cols = ["z", "x", "y", "_gpk", *prop_cols]
     if id_col:
         slim_cols.append(id_col)
     slim = assigned.select(*dict.fromkeys(slim_cols))
     cols = ["z", "x", "y", "tile", "n_features", "n_layers", "painted"]
 
-    def kernel(key, grp):
-        gz, gx, gy = int(key[0]), int(key[1]), int(key[2])
-        grp = grp.reset_index(drop=True)
+    def encode_group(gz: int, gx: int, gy: int, grp: pd.DataFrame) -> tuple:
         if id_col:
             grp = grp.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         layer, nf = encode_geom_layer(
             grp, gz, gx, gy, layer_name, prop_cols,
-            wkt_col=wkt_col, extent=extent, buffer_px=buffer_px,
+            geom_col="_gpk", extent=extent, buffer_px=buffer_px,
             simplify_distance=simplify_distance,
             area_threshold=area_threshold,
             id_col=None,
         )
         if nf == 0:
-            row = (gz, gx, gy, b"", 0, 0, False)
-        else:
-            tile = pbf.encode_tile([layer])
-            if compress_tiles:
-                tile = Z.compress(tile)
-            row = (gz, gx, gy, tile, nf, 1, True)
-        return pd.DataFrame([row], columns=cols)
+            return (gz, gx, gy, b"", 0, 0, False)
+        tile = pbf.encode_tile([layer])
+        if compress_tiles:
+            tile = Z.compress(tile)
+        return (gz, gx, gy, tile, nf, 1, True)
 
-    # geometry tiles are few and heavy -> per-group applyInPandas is the
-    # right altitude (unlike the point path's segmented mapInPandas)
-    return slim.groupBy("z", "x", "y").applyInPandas(kernel, schema=TILE_SCHEMA)
+    def kernel(iterator):
+        """Explicitly repartitioned + sorted stream; tiles straddling
+        Arrow batches carry into the next batch (same pattern as the
+        point path — per-group applyInPandas left tail-heavy stages when
+        AQE coalesced the shuffle)."""
+        carry: list[pd.DataFrame] = []
+        carry_key = None
+
+        def keys_of(pdf, i):
+            return (pdf["z"].iloc[i], pdf["x"].iloc[i], pdf["y"].iloc[i])
+
+        def flush(frames) -> list[tuple]:
+            full = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            out = []
+            for (gz, gx, gy), grp in full.groupby(["z", "x", "y"], sort=False):
+                out.append(encode_group(int(gz), int(gx), int(gy), grp.reset_index(drop=True)))
+            return out
+
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            if carry:
+                if keys_of(pdf, 0) == carry_key:
+                    same = (
+                        (pdf["z"] == carry_key[0])
+                        & (pdf["x"] == carry_key[1])
+                        & (pdf["y"] == carry_key[2])
+                    ).to_numpy()
+                    split = int(np.argmin(same)) if not same.all() else len(pdf)
+                    carry.append(pdf.iloc[:split])
+                    if split == len(pdf):
+                        continue
+                    rows = flush(carry)
+                    carry, carry_key = [], None
+                    if rows:
+                        yield pd.DataFrame(rows, columns=cols)
+                    pdf = pdf.iloc[split:].reset_index(drop=True)
+                else:
+                    rows = flush(carry)
+                    carry, carry_key = [], None
+                    if rows:
+                        yield pd.DataFrame(rows, columns=cols)
+            lk = keys_of(pdf, len(pdf) - 1)
+            tail_mask = (
+                (pdf["z"] == lk[0]) & (pdf["x"] == lk[1]) & (pdf["y"] == lk[2])
+            ).to_numpy()
+            n_tail = int(tail_mask[::-1].argmin()) if not tail_mask.all() else len(pdf)
+            carry = [pdf.iloc[len(pdf) - n_tail :]]
+            carry_key = lk
+            body = pdf.iloc[: len(pdf) - n_tail]
+            if len(body):
+                rows = flush([body])
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+        if carry:
+            rows = flush(carry)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    npart = int(slim.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    clustered = slim.repartition(npart, "z", "x", "y").sortWithinPartitions(
+        "z", "x", "y", *([id_col] if id_col else [])
+    )
+    return clustered.mapInPandas(kernel, schema=TILE_SCHEMA)
