@@ -27,16 +27,87 @@ import numpy as np
 
 
 def _segments(rings: list[np.ndarray]):
-    segs = []
+    """rings -> (P0, P1) segment endpoint arrays, zero-length dropped."""
+    p0s, p1s = [], []
     for ring in rings:
         r = np.asarray(ring, dtype=np.float64)
         if len(r) >= 2 and not np.array_equal(r[0], r[-1]):
             r = np.vstack([r, r[0]])
-        for i in range(len(r) - 1):
-            a, b = r[i], r[i + 1]
-            if not np.array_equal(a, b):
-                segs.append((a.copy(), b.copy()))
-    return segs
+        if len(r) < 2:
+            continue
+        a, b = r[:-1], r[1:]
+        keep = (a != b).any(axis=1)
+        p0s.append(a[keep])
+        p1s.append(b[keep])
+    if not p0s:
+        return np.empty((0, 2)), np.empty((0, 2))
+    return np.concatenate(p0s), np.concatenate(p1s)
+
+
+def _split_params_all(P0: np.ndarray, P1: np.ndarray) -> list[np.ndarray]:
+    """Per segment i: sorted split parameters t in (0,1) against every
+    other segment — all-pairs vectorized in row blocks (the r1 resolver
+    did this with a Python double loop, which capped the vertex budget
+    at 512)."""
+    E = len(P0)
+    r = P1 - P0
+    out: list[list[float]] = [[] for _ in range(E)]
+    if E == 0:
+        return [np.empty(0) for _ in range(E)]
+    block = max(1, min(E, 8_000_000 // max(E, 1)))
+    rr = (r * r).sum(axis=1)
+    for s in range(0, E, block):
+        e = min(E, s + block)
+        a0 = P0[s:e, None, :]      # (B,1,2)
+        ra = r[s:e, None, :]
+        q = P0[None, :, :] - a0    # (B,E,2)
+        sb = r[None, :, :]
+        denom = ra[..., 0] * sb[..., 1] - ra[..., 1] * sb[..., 0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (q[..., 0] * sb[..., 1] - q[..., 1] * sb[..., 0]) / denom
+            u = (q[..., 0] * ra[..., 1] - q[..., 1] * ra[..., 0]) / denom
+        proper = (denom != 0.0) & (t > 0.0) & (t < 1.0) & (u >= 0.0) & (u <= 1.0)
+        ii, jj = np.nonzero(proper)
+        for bi, tv in zip(ii, t[ii, jj]):
+            out[s + bi].append(float(tv))
+        # collinear overlaps: split at the other segment's endpoints
+        crossq = q[..., 0] * ra[..., 1] - q[..., 1] * ra[..., 0]
+        col = (denom == 0.0) & (crossq == 0.0) & (rr[s:e, None] > 0)
+        idx = np.arange(e - s)
+        col[idx, s + idx] = False  # a segment never splits itself
+        if col.any():
+            ci, cj = np.nonzero(col)
+            for bi, j in zip(ci, cj):
+                i = s + bi
+                for p in (P0[j], P1[j]):
+                    tv = float((p - P0[i]) @ r[i]) / rr[i]
+                    if 0.0 < tv < 1.0:
+                        out[i].append(tv)
+    return [np.array(sorted(set([0.0, 1.0] + ts))) for ts in out]
+
+
+def _winding_crossings_many(pts: np.ndarray, rings: list[np.ndarray]):
+    """Vectorized (winding numbers, crossing counts) of many points."""
+    P0, P1 = _segments(rings)
+    M = len(pts)
+    wn = np.zeros(M, dtype=np.int64)
+    cr = np.zeros(M, dtype=np.int64)
+    if len(P0) == 0 or M == 0:
+        return wn, cr
+    x0, y0 = P0[:, 0][None, :], P0[:, 1][None, :]
+    x1, y1 = P1[:, 0][None, :], P1[:, 1][None, :]
+    block = max(1, min(M, 8_000_000 // max(len(P0), 1)))
+    for s in range(0, M, block):
+        e = min(M, s + block)
+        px, py = pts[s:e, 0][:, None], pts[s:e, 1][:, None]
+        upward = (y0 <= py) & (y1 > py)
+        downward = (y0 > py) & (y1 <= py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+        hit = xint > px
+        wn[s:e] = (upward & hit).sum(axis=1) - (downward & hit).sum(axis=1)
+        cr[s:e] = ((upward | downward) & hit).sum(axis=1)
+    return wn, cr
 
 
 def _seg_intersections(a0, a1, b0, b1):
@@ -98,21 +169,29 @@ def _filled(wn: int, cross: int, fill_type: str) -> bool:
     raise ValueError(fill_type)
 
 
+def _filled_many(wn: np.ndarray, cross: np.ndarray, fill_type: str) -> np.ndarray:
+    if fill_type == "even_odd":
+        return cross % 2 == 1
+    if fill_type == "non_zero":
+        return wn != 0
+    if fill_type == "positive":
+        return wn > 0
+    if fill_type == "negative":
+        return wn < 0
+    raise ValueError(fill_type)
+
+
 def resolve_fill(rings: list[np.ndarray], fill_type: str = "even_odd"):
     """-> list of polygons, each [exterior CCW(+area), holes CW...] in
     int64 coords; [] if nothing is filled."""
-    segs = _segments(rings)
-    if not segs:
+    P0, P1 = _segments(rings)
+    if len(P0) == 0:
         return []
-    # 1. split at intersections
+    # 1. split at intersections (all-pairs, vectorized)
+    ts_per_seg = _split_params_all(P0, P1)
     pieces = []
-    for i, (a0, a1) in enumerate(segs):
-        ts = [0.0, 1.0]
-        for j, (b0, b1) in enumerate(segs):
-            if i == j:
-                continue
-            ts.extend(_seg_intersections(a0, a1, b0, b1))
-        ts = sorted(set(ts))
+    for i, ts in enumerate(ts_per_seg):
+        a0, a1 = P0[i], P1[i]
         for t0, t1 in zip(ts[:-1], ts[1:]):
             p = a0 + t0 * (a1 - a0)
             q = a0 + t1 * (a1 - a0)
@@ -132,26 +211,27 @@ def resolve_fill(rings: list[np.ndarray], fill_type: str = "even_odd"):
         seen.add(key)
         uniq.append((p.astype(np.float64), q.astype(np.float64)))
 
-    # 2./3. boundary edges, filled side on the left
+    # 2./3. boundary edges, filled side on the left (batched probes)
     boundary = []
-    for p, q in uniq:
-        mid = (p + q) / 2.0
-        d = q - p
-        ln = float(np.hypot(d[0], d[1]))
-        if ln == 0.0:
-            continue
-        nrm = np.array([-d[1], d[0]]) / ln  # left normal
+    if uniq:
+        ps = np.array([p for p, _q in uniq])
+        qs = np.array([q for _p, q in uniq])
+        mids = (ps + qs) / 2.0
+        d = qs - ps
+        ln = np.hypot(d[:, 0], d[:, 1])
+        ok = ln > 0.0
+        nrm = np.zeros_like(d)
+        nrm[ok] = np.stack([-d[ok, 1], d[ok, 0]], axis=1) / ln[ok, None]
         eps = 0.25
-        left = mid + nrm * eps
-        right = mid - nrm * eps
-        fl = _filled(*_winding_and_crossings(left, rings), fill_type)
-        fr = _filled(*_winding_and_crossings(right, rings), fill_type)
-        if fl == fr:
-            continue
-        if fl:
-            boundary.append((tuple(np.rint(p).astype(np.int64)), tuple(np.rint(q).astype(np.int64))))
-        else:
-            boundary.append((tuple(np.rint(q).astype(np.int64)), tuple(np.rint(p).astype(np.int64))))
+        wl, cl = _winding_crossings_many(mids + nrm * eps, rings)
+        wr, cr_ = _winding_crossings_many(mids - nrm * eps, rings)
+        fl = _filled_many(wl, cl, fill_type)
+        fr = _filled_many(wr, cr_, fill_type)
+        for i in np.flatnonzero(ok & (fl != fr)):
+            p, q = ps[i], qs[i]
+            a = tuple(np.rint(p).astype(np.int64))
+            b = tuple(np.rint(q).astype(np.int64))
+            boundary.append((a, b) if fl[i] else (b, a))
 
     if not boundary:
         return []

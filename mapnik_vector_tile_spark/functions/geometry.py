@@ -624,7 +624,7 @@ def _clip_polygon_rings(rings, box, area_threshold, process_all_rings):
     return out
 
 
-RESOLVE_VERTEX_BUDGET = 512  # run the O(E^2) fill resolver below this
+RESOLVE_VERTEX_BUDGET = 4096  # run the (vectorized) fill resolver below this
 
 
 def _segments_intersect(a0, a1, b0, b1) -> bool:
@@ -635,39 +635,86 @@ def _segments_intersect(a0, a1, b0, b1) -> bool:
     return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0))
 
 
-def _needs_fill_resolution(tagged_rings) -> bool:
+def _needs_fill_resolution(tagged_rings, stats: dict | None = None) -> bool:
     """Proper self-intersections or cross-ring crossings require the
-    boolean resolver; plain exterior+holes assembly does not."""
+    boolean resolver; plain exterior+holes assembly does not.
+    All-pairs proper-intersection test, vectorized in row blocks (the
+    r1 Python double loop capped the budget at 512 vertices)."""
     rings = [np.asarray(r, dtype=np.float64) for _t, r in tagged_rings]
     total = sum(len(r) for r in rings)
     if total > RESOLVE_VERTEX_BUDGET:
-        return False  # stay on the fast path (documented budget gate)
-    segs = []
+        # stay on the fast path; surfaced so downstream parity checks
+        # can tell 'resolved' from 'passed through' (r1 advisor finding)
+        if stats is not None:
+            stats["budget_exceeded"] = stats.get("budget_exceeded", 0) + 1
+        return False
+    p0s, p1s, rids, sidx = [], [], [], []
     for ri, r in enumerate(rings):
         rr = np.vstack([r, r[:1]])
-        for i in range(len(r)):
-            segs.append((ri, i, rr[i], rr[i + 1]))
-    n_by_ring = [len(r) for r in rings]
-    for i in range(len(segs)):
-        ri, ii, a0, a1 = segs[i]
-        for j in range(i + 1, len(segs)):
-            rj, jj, b0, b1 = segs[j]
-            if ri == rj:
-                # skip adjacent segments of the same ring (shared vertex)
-                if abs(ii - jj) <= 1 or abs(ii - jj) == n_by_ring[ri] - 1:
-                    continue
-            if _segments_intersect(a0, a1, b0, b1):
-                return True
+        p0s.append(rr[:-1])
+        p1s.append(rr[1:])
+        rids.append(np.full(len(r), ri))
+        sidx.append(np.arange(len(r)))
+    P0 = np.concatenate(p0s)
+    P1 = np.concatenate(p1s)
+    rid = np.concatenate(rids)
+    six = np.concatenate(sidx)
+    nring = np.array([len(r) for r in rings])
+    E = len(P0)
+    if E == 0:
+        return False
+    block = max(1, min(E, 4_000_000 // E))
+    for s in range(0, E, block):
+        e = min(E, s + block)
+        a0, a1 = P0[s:e, None, :], P1[s:e, None, :]
+        b0, b1 = P0[None, :, :], P1[None, :, :]
+        d1 = (b1[..., 0] - b0[..., 0]) * (a0[..., 1] - b0[..., 1]) - (
+            b1[..., 1] - b0[..., 1]
+        ) * (a0[..., 0] - b0[..., 0])
+        d2 = (b1[..., 0] - b0[..., 0]) * (a1[..., 1] - b0[..., 1]) - (
+            b1[..., 1] - b0[..., 1]
+        ) * (a1[..., 0] - b0[..., 0])
+        d3 = (a1[..., 0] - a0[..., 0]) * (b0[..., 1] - a0[..., 1]) - (
+            a1[..., 1] - a0[..., 1]
+        ) * (b0[..., 0] - a0[..., 0])
+        d4 = (a1[..., 0] - a0[..., 0]) * (b1[..., 1] - a0[..., 1]) - (
+            a1[..., 1] - a0[..., 1]
+        ) * (b1[..., 0] - a0[..., 0])
+        hit = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+        # collinear overlapping edges (e.g. the coincident bridge pair of
+        # a double-wound ring) are also resolver work: same infinite
+        # line + interior parameter overlap
+        ra = a1 - a0
+        qb0 = b0 - a0
+        qb1 = b1 - a0
+        cross0 = ra[..., 0] * qb0[..., 1] - ra[..., 1] * qb0[..., 0]
+        cross1 = ra[..., 0] * qb1[..., 1] - ra[..., 1] * qb1[..., 0]
+        rr = (ra * ra).sum(axis=-1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tb0 = (qb0 * ra).sum(axis=-1) / rr
+            tb1 = (qb1 * ra).sum(axis=-1) / rr
+        lo = np.minimum(tb0, tb1)
+        hi = np.maximum(tb0, tb1)
+        col_hit = (
+            (cross0 == 0.0) & (cross1 == 0.0) & (rr > 0) & (hi > 0.0) & (lo < 1.0)
+        )
+        same = rid[s:e, None] == rid[None, :]
+        di = np.abs(six[s:e, None] - six[None, :])
+        adjacent = same & ((di <= 1) | (di == (nring[rid] - 1)[None, :]))
+        idx = np.arange(e - s)
+        col_hit[idx, s + idx] = False  # a segment overlaps itself trivially
+        if ((hit | col_hit) & ~adjacent).any():
+            return True
     return False
 
 
-def _assemble_polygons(tagged_rings, fill_type: str = "even_odd"):
+def _assemble_polygons(tagged_rings, fill_type: str = "even_odd", stats: dict | None = None):
     """Post-clip ring assembly. Simple inputs (the common case) use
     first-ring-is-exterior order; rings that self-intersect or cross
     each other go through the boolean fill resolver
     (functions.booleans — the Wagyu-union role, clipper.hpp:226-231)
     when under the vertex budget."""
-    if _needs_fill_resolution(tagged_rings):
+    if _needs_fill_resolution(tagged_rings, stats=stats):
         from mapnik_vector_tile_spark.functions.booleans import resolve_fill
 
         resolved = resolve_fill([r for _t, r in tagged_rings], fill_type)
@@ -691,6 +738,7 @@ def clip_geom(
     multi_polygon_union: bool = False,
     process_all_rings: bool = False,
     fill_type: str = "even_odd",
+    stats: dict | None = None,
 ):
     """geometry_clipper dispatch (clipper.hpp:109-366).
 
@@ -710,7 +758,7 @@ def clip_geom(
         return _collapse_collection(
             [
                 clip_geom(g, box, area_threshold, multi_polygon_union,
-                          process_all_rings, fill_type)
+                          process_all_rings, fill_type, stats=stats)
                 for g in val
             ]
         )
@@ -737,7 +785,7 @@ def clip_geom(
         tagged = _clip_polygon_rings(val, box, area_threshold, process_all_rings)
         if not tagged:
             return ("empty", None)
-        polys = _assemble_polygons(tagged, fill_type)
+        polys = _assemble_polygons(tagged, fill_type, stats=stats)
         if not polys:
             return ("empty", None)
         return ("polygon", polys[0]) if len(polys) == 1 else ("multipolygon", polys)
@@ -748,7 +796,7 @@ def clip_geom(
             tagged = _clip_polygon_rings(poly, box, area_threshold, process_all_rings)
             if tagged:
                 all_tagged.extend(tagged)
-                all_polys.extend(_assemble_polygons(tagged, fill_type))
+                all_polys.extend(_assemble_polygons(tagged, fill_type, stats=stats))
         if multi_polygon_union and len(all_polys) > 1:
             # union across polygons feeds ONE resolver, like one wagyu
             # instance taking every ring (clipper.hpp:240-301)
@@ -759,6 +807,8 @@ def clip_geom(
                 resolved = resolve_fill([r for _t, r in all_tagged], fill_type)
                 if resolved:
                     all_polys = resolved
+            elif stats is not None:
+                stats["budget_exceeded"] = stats.get("budget_exceeded", 0) + 1
         if multi_polygon_union and len(all_polys) > 1:
             # union across polygons (clipper.hpp:240-301). DEVIATION:
             # identical polygons merge (the reference's own union test,
@@ -794,8 +844,11 @@ def world_to_tile_geom(
     multi_polygon_union: bool = False,
     process_all_rings: bool = False,
     fill_type: str = "even_odd",
+    stats: dict | None = None,
 ):
-    """transform -> [simplify] -> clip, one fused pass per feature."""
+    """transform -> [simplify] -> clip, one fused pass per feature.
+    ``stats`` (optional dict) collects budget_exceeded counts when a
+    ring set too large for the fill resolver keeps the fast path."""
     g = transform_geom(geom_world, vt)
     if simplify_distance > 0:
         g = simplify_geom(g, simplify_distance)
@@ -806,4 +859,5 @@ def world_to_tile_geom(
         multi_polygon_union=multi_polygon_union,
         process_all_rings=process_all_rings,
         fill_type=fill_type,
+        stats=stats,
     )

@@ -436,6 +436,46 @@ GROUP BY 1, 2
 """
 
 
+def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (four 16-bit chunks) via the Column
+    operator; the oracle replays the bit votes with integer-modulo bit
+    extraction."""
+    from mapnik_vector_tile_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.simhash64(docs)
+    return out.select(
+        "doc_id",
+        *[F.col(c).cast("long").alias(c) for c in ("sh0", "sh1", "sh2", "sh3")],
+    )
+
+
+def o_simhash64() -> str:
+    h1 = "cast(concat('0x', substr(md5(cast(tok.word as varchar)), 1, 15)) as bigint)"
+    h2 = ("cast(concat('0x', substr(md5(concat('s2:', cast(tok.word as varchar))), 1, 15)) "
+          "as bigint)")
+
+    def chunk(src: str, lo: int) -> str:
+        return "\n       + ".join(
+            f"(CASE WHEN sum(CASE WHEN ({src} % {2**(lo + b + 1)}) >= {2**(lo + b)} "
+            f"THEN 1 ELSE -1 END) > 0 THEN {2**b} ELSE 0 END)"
+            for b in range(16)
+        )
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {h1} AS th, {h2} AS th2
+  FROM documents, unnest(string_split(text, ' ')) AS tok(word)
+)
+SELECT doc_id,
+       cast({chunk('th', 0)} as bigint) AS sh0,
+       cast({chunk('th', 16)} as bigint) AS sh1,
+       cast({chunk('th2', 0)} as bigint) AS sh2,
+       cast({chunk('th2', 16)} as bigint) AS sh3
+FROM toks GROUP BY doc_id
+"""
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapnik_vector_tile_spark.operators import textops
 
@@ -644,6 +684,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf,
     "dedup_lsh_candidates": q_dedup_lsh_candidates,
     "text_features": q_text_features,
+    "simhash64": q_simhash64,
     "build_lineage": q_build_lineage,
 }
 
@@ -659,6 +700,7 @@ _ORACLE_BUILDERS: dict[str, Callable[[], str]] = {
     "ann_ivf_topk": o_ann_ivf,
     "dedup_lsh_candidates": o_dedup_lsh_candidates,
     "text_features": o_text_features,
+    "simhash64": o_simhash64,
     "build_lineage": o_build_lineage,
 }
 

@@ -133,21 +133,22 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text", max_hamming: int = 2) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, banded on the two
-    8-bit halves (any pair within hamming<=2 of 16 bits shares at least
-    one exact half when the 2 flips land in one half; standard
-    pigeonhole banding)."""
+    """Near-dup pairs by 16-bit SimHash hamming distance, banded into
+    THREE segments (6/5/5 bits): pigeonhole guarantees detection for
+    hamming <= 2 (r1 shipped two 8-bit halves, which only guarantees
+    hamming <= 1 — the advisor's recall finding)."""
     sh = simhash(df, text_col, bits=16)
-    halves = sh.select(
+    segs = sh.select(
         "doc_id",
         F.col("simhash16").alias("sig"),
-        (F.col("simhash16") % 256).alias("lo"),
-        F.floor(F.col("simhash16") / 256).alias("hi"),
+        (F.col("simhash16") % 64).alias("s0"),          # bits 0-5
+        (F.floor(F.col("simhash16") / 64) % 32).alias("s1"),    # bits 6-10
+        F.floor(F.col("simhash16") / 2048).alias("s2"),  # bits 11-15
     )
     pairs = None
-    for part in ("lo", "hi"):
-        a = halves.alias("a")
-        b = halves.alias("b")
+    for part in ("s0", "s1", "s2"):
+        a = segs.alias("a")
+        b = segs.alias("b")
         p = a.join(
             b,
             (F.col(f"a.{part}") == F.col(f"b.{part}"))
@@ -161,6 +162,69 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", max_hamming: int = 
         pairs = p if pairs is None else pairs.unionByName(p)
     pairs = pairs.distinct()
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash as four 16-bit chunk columns (sh0..sh3) — the
+    production-scale fingerprint (r1 verdict: 16-bit banding means 256
+    buckets per half -> hot buckets at >=1e9 docs; 16-bit bands of a
+    64-bit fingerprint give 65536 buckets per band).
+
+    Bits 0-31 come from the primary md5 token hash, bits 32-63 from an
+    independently-salted md5 — both portable, seedable Column math."""
+    toks = _tokens(df, text_col).withColumn(
+        "th2", _hash60(F.concat(F.lit("s2:"), F.col("word")))
+    )
+    def chunk(src, lo):
+        return sum(
+            F.when(
+                F.sum(
+                    F.when(F.shiftright(F.col(src), lo + b).bitwiseAND(F.lit(1)) == 1, 1)
+                    .otherwise(-1)
+                ) > 0,
+                2**b,
+            ).otherwise(0)
+            for b in range(16)
+        )
+    return toks.groupBy("doc_id").agg(
+        chunk("th", 0).alias("sh0"),
+        chunk("th", 16).alias("sh1"),
+        chunk("th2", 0).alias("sh2"),
+        chunk("th2", 16).alias("sh3"),
+    )
+
+
+def simhash_near_dups64(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash hamming, banded on the four
+    16-bit chunks (pigeonhole: <=3 flips leave at least one chunk
+    exact). Bucket fan-out per band is 2^16, so the per-bucket join
+    stays bounded at web scale."""
+    sh = simhash64(df, text_col)
+    chunks = ["sh0", "sh1", "sh2", "sh3"]
+    pairs = None
+    for part in chunks:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.{part}") == F.col(f"b.{part}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.{c}").alias(f"a_{c}") for c in chunks],
+            *[F.col(f"b.{c}").alias(f"b_{c}") for c in chunks],
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
+    ham = sum(
+        F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}"))) for c in chunks
+    )
     return pairs.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
         "doc_a", "doc_b", "hamming"
     )

@@ -363,12 +363,14 @@ def encode_geom_layer(
     id_col: str | None = None,
     version: int = 2,
     geom_col: str | None = None,
+    stats: dict | None = None,
 ) -> tuple[bytes, int]:
     """General-geometry layer through the fused transform/simplify/clip
     kernel, then ONE ragged batch command-stream + feature framing pass
     (pbf.encode_features_packed_ragged) — no per-feature pbf writer.
     geom_col: compact packed geometry (geometry.gpack) — preferred; the
-    WKT column is parsed only when no packed column is present."""
+    WKT column is parsed only when no packed column is present.
+    stats: optional dict accumulating fill-resolver budget_exceeded."""
     minx, miny, maxx, maxy = tilemath.tile_mercator_bbox_np(x, y, z)
     vt = G.ViewTransform(float(minx), float(miny), float(maxx), float(maxy), extent, extent)
     clip_box = tilemath.buffered_tile_px_box(extent, buffer_px)
@@ -384,7 +386,8 @@ def encode_geom_layer(
     keep_idx: list[int] = []
     for i, g in enumerate(geoms):
         tg = G.world_to_tile_geom(
-            g, vt, clip_box, simplify_distance=simplify_distance, area_threshold=area_threshold
+            g, vt, clip_box, simplify_distance=simplify_distance,
+            area_threshold=area_threshold, stats=stats,
         )
         gtype, cmds = Cmd.encode_geometry(tg)
         if gtype is None:

@@ -23,7 +23,10 @@ from mapnik_vector_tile_spark.functions import compression as Z
 from mapnik_vector_tile_spark.functions import geometry as G
 from mapnik_vector_tile_spark.functions import pbf
 
-TILE_SCHEMA = "z int, x long, y long, tile binary, n_features long, n_layers int, painted boolean"
+TILE_SCHEMA = (
+    "z int, x long, y long, tile binary, n_features long, n_layers int, "
+    "painted boolean, n_unresolved int"
+)
 
 
 def with_envelope(df: DataFrame, wkt_col: str = "geom_wkt") -> DataFrame:
@@ -116,24 +119,29 @@ def build_geom_tiles(
     if id_col:
         slim_cols.append(id_col)
     slim = assigned.select(*dict.fromkeys(slim_cols))
-    cols = ["z", "x", "y", "tile", "n_features", "n_layers", "painted"]
+    cols = ["z", "x", "y", "tile", "n_features", "n_layers", "painted", "n_unresolved"]
 
     def encode_group(gz: int, gx: int, gy: int, grp: pd.DataFrame) -> tuple:
         if id_col:
             grp = grp.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        # surfaces fill-resolver budget fallbacks so wrong-fill outputs
+        # are detectable downstream (r1 advisor finding)
+        stats: dict = {}
         layer, nf = encode_geom_layer(
             grp, gz, gx, gy, layer_name, prop_cols,
             geom_col="_gpk", extent=extent, buffer_px=buffer_px,
             simplify_distance=simplify_distance,
             area_threshold=area_threshold,
             id_col=None,
+            stats=stats,
         )
+        unresolved = int(stats.get("budget_exceeded", 0))
         if nf == 0:
-            return (gz, gx, gy, b"", 0, 0, False)
+            return (gz, gx, gy, b"", 0, 0, False, unresolved)
         tile = pbf.encode_tile([layer])
         if compress_tiles:
             tile = Z.compress(tile)
-        return (gz, gx, gy, tile, nf, 1, True)
+        return (gz, gx, gy, tile, nf, 1, True, unresolved)
 
     def kernel(iterator):
         """Explicitly repartitioned + sorted stream; tiles straddling

@@ -43,32 +43,35 @@ def raster_patch_invariants(located: DataFrame) -> DataFrame:
     def kernel(iterator):
         for pdf in iterator:
             rows = []
-            for _, r in pdf.iterrows():
-                img = R.decode_image(bytes(r["bytes"]))
-                idx = int(r["image_id"][3:])
+            # itertuples, not iterrows: the per-image numpy work dominates
+            # but iterrows' Series construction was a free 5-10x loss on
+            # the loop overhead (r1 verdict)
+            for r in pdf.itertuples(index=False):
+                img = R.decode_image(bytes(r.bytes))
+                idx = int(r.image_id[3:])
                 op = "passthrough" if idx % 2 == 0 else "scale_bilinear"
                 if op == "passthrough":
                     out = img
                 else:
                     out = R.bilinear_resize(img, img.shape[0] // 2, img.shape[1] // 2)
-                reenc = R.encode_image(out, r["fmt"])
+                reenc = R.encode_image(out, r.fmt)
                 back = R.decode_image(reenc)
                 psnr = R.psnr(out, back)
-                psnr_ok = (psnr == float("inf")) if r["fmt"] == "png" else (psnr >= 40.0)
-                caption_ok = r["caption"] == f"caption for {r['image_id']}"
+                psnr_ok = (psnr == float("inf")) if r.fmt == "png" else (psnr >= 40.0)
+                caption_ok = r.caption == f"caption for {r.image_id}"
                 # overzoom crop: pixel window of the z14 child tile within
                 # the z13 tile this image's patch covers
-                x13, y13 = tilemath.lonlat_to_tile_np(r["lon"], r["lat"], 13)
-                x14, y14 = tilemath.lonlat_to_tile_np(r["lon"], r["lat"], 14)
+                x13, y13 = tilemath.lonlat_to_tile_np(r.lon, r.lat, 13)
+                x14, y14 = tilemath.lonlat_to_tile_np(r.lon, r.lat, 14)
                 src_box = tuple(float(v) for v in tilemath.tile_mercator_bbox_np(x13, y13, 13))
                 qbox = tuple(float(v) for v in tilemath.tile_mercator_bbox_np(x14, y14, 14))
                 cx0, cy0, cx1, cy1 = R.overzoom_crop_window(
-                    int(r["w"]), int(r["h"]), src_box, qbox
+                    int(r.w), int(r.h), src_box, qbox
                 )
                 psnr_val = 999.0 if psnr == float("inf") else float(psnr)
                 rows.append(
                     (
-                        r["image_id"], r["fmt"], int(r["w"]), int(r["h"]),
+                        r.image_id, r.fmt, int(r.w), int(r.h),
                         round(psnr_val, 3), bool(psnr_ok), bool(caption_ok), op,
                         out.shape[1], out.shape[0], cx0, cy0, cx1, cy1,
                     )

@@ -8,6 +8,10 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running scale test")
+
+
 @pytest.fixture(scope="session")
 def spark():
     from mapnik_vector_tile_spark.session import get_spark

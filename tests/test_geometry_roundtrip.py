@@ -320,6 +320,40 @@ def test_fill_rules_distinguish_double_wound_ring():
     assert abs(G.ring_area(nz[1][0]) - 10000) < 5
 
 
+def test_fill_rules_at_4096_vertex_rings():
+    """The vectorized resolver handles rings up to the raised 4096-vertex
+    budget (r1 gated at 512 with a Python O(E^2) loop): a double-wound
+    ~4000-vertex circle pair separates even_odd (annulus) from non_zero
+    (solid disk), and the budget flag stays unset."""
+    t = np.linspace(0.0, 2.0 * np.pi, 2000, endpoint=False)
+    outer = np.stack([2048 + 1500 * np.cos(t), 2048 + 1500 * np.sin(t)], axis=1)
+    inner = np.stack([2048 + 700 * np.cos(t), 2048 + 700 * np.sin(t)], axis=1)
+    ring = np.rint(np.concatenate([outer, outer[:1], inner, inner[:1]])).astype(np.int64)
+    box = (0, 0, 4096, 4096)
+    stats: dict = {}
+    eo = G.clip_geom(("polygon", [ring]), box, fill_type="even_odd", stats=stats)
+    assert stats.get("budget_exceeded", 0) == 0
+    nz = G.clip_geom(("polygon", [ring]), box, fill_type="non_zero")
+    a_out = np.pi * 1500**2
+    a_in = np.pi * 700**2
+    assert eo[0] == "polygon" and len(eo[1]) == 2
+    assert abs(G.ring_area(eo[1][0]) - a_out) / a_out < 0.01
+    assert abs(abs(G.ring_area(eo[1][1])) - a_in) / a_in < 0.01
+    assert nz[0] == "polygon" and len(nz[1]) == 1
+    assert abs(G.ring_area(nz[1][0]) - a_out) / a_out < 0.01
+
+
+def test_budget_exceeded_flag_surfaces():
+    """Above the resolver budget the fast path is kept AND flagged."""
+    t = np.linspace(0.0, 2.0 * np.pi, 3000, endpoint=False)
+    outer = np.stack([2048 + 1500 * np.cos(t), 2048 + 1500 * np.sin(t)], axis=1)
+    inner = np.stack([2048 + 700 * np.cos(t), 2048 + 700 * np.sin(t)], axis=1)
+    ring = np.rint(np.concatenate([outer, outer[:1], inner, inner[:1]])).astype(np.int64)
+    stats: dict = {}
+    G.clip_geom(("polygon", [ring]), (0, 0, 4096, 4096), fill_type="even_odd", stats=stats)
+    assert stats.get("budget_exceeded", 0) == 1
+
+
 def test_bowtie_resolves_to_two_triangles():
     bow = [np.array([[0, 0], [100, 100], [100, 0], [0, 100]])]
     out = G.clip_geom(("polygon", bow), (-10, -10, 200, 200), area_threshold=0.0)

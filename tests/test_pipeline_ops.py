@@ -58,6 +58,69 @@ def test_simhash_near_dups(docs):
     assert ((out["doc_a"] == 0) & (out["doc_b"] == 1)).any()
 
 
+def test_simhash64_exhaustive_vs_brute(spark, sf_small):
+    """simhash_near_dups64 returns EXACTLY the pairs at hamming<=3
+    (completeness is the 4x16 pigeonhole guarantee; soundness the
+    filter) — brute-force check over the documents table."""
+    import numpy as np
+
+    docs_t = spark.read.parquet(f"{sf_small}/documents.parquet")
+    sh = dedup.simhash64(docs_t).toPandas().sort_values("doc_id").reset_index(drop=True)
+    sig = (
+        sh["sh0"].to_numpy().astype(np.int64)
+        | (sh["sh1"].to_numpy().astype(np.int64) << 16)
+        | (sh["sh2"].to_numpy().astype(np.int64) << 32)
+        | (sh["sh3"].to_numpy().astype(np.int64) << 48)
+    )
+    ids = sh["doc_id"].to_numpy()
+    x = sig[:, None] ^ sig[None, :]
+    ham = np.zeros_like(x)
+    for _ in range(64):
+        ham += x & 1
+        x >>= 1
+    ai, bi = np.where(np.triu(ham <= 3, k=1))
+    expected = {
+        (int(min(ids[a], ids[b])), int(max(ids[a], ids[b]))) for a, b in zip(ai, bi)
+    }
+    out = dedup.simhash_near_dups64(docs_t, max_hamming=3).toPandas()
+    got = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
+    assert got == expected
+
+
+@pytest.mark.slow
+def test_simhash64_scale_bounded_buckets(spark):
+    """>=1e5 docs: planted exact dups all found at hamming 0, and no
+    16-bit band bucket becomes a hotspot (bounded self-join fan-out)."""
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for i in ids:
+                i = int(i)
+                base = i - 1 if i % 1000 == 1 else i  # every 1000th: exact dup pair
+                toks = " ".join(f"w{(base * 7 + j * 131) % 50021}" for j in range(8))
+                rows.append((i, toks))
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    n = 100_000
+    spark_docs = (
+        spark.range(n).repartition(8).mapInPandas(gen, "doc_id long, text string")
+    )
+    sh = dedup.simhash64(spark_docs).cache()
+    max_bucket = (
+        sh.groupBy("sh0").count().agg(F.max("count")).first()[0]
+    )
+    assert max_bucket < n * 0.01, max_bucket  # no hot band bucket
+    pairs = dedup.simhash_near_dups64(spark_docs, max_hamming=3)
+    planted = pairs.where(
+        (F.col("doc_b") == F.col("doc_a") + 1) & (F.col("doc_a") % 1000 == 0)
+        & (F.col("hamming") == 0)
+    ).count()
+    assert planted == n // 1000, planted
+    sh.unpersist()
+
+
 def test_ann_lsh_recall_vs_brute(vectors):
     qs = vectors.orderBy("vec_id").limit(8).select("vec_id")
     exact = ann.brute_force_topk(vectors, qs, k=5).toPandas()
