@@ -6,13 +6,15 @@ The container has no image libraries (no PIL), so:
 
 * PNG is implemented for real: a minimal, deterministic RGB8 codec in
   numpy + stdlib zlib (encode filter 0; decode handles filters 0-4).
-* JPEG decode/encode is STUBBED with a clearly-marked deterministic
-  fake: bytes beginning with the JPEG SOI marker + b"MVTS" are our own
-  lossy container (6-bit/channel quantized image, PNG-packed inside).
-  Real JFIF payloads raise NotImplementedError. The quantization is
-  deterministic and keeps PSNR >= ~46 dB, satisfying the per-row
-  invariant "decoded-pixel allclose, PSNR>=40dB lossy" (BASELINE.json
-  input_hint) without shipping a DCT codec.
+* JPEG is implemented for real too (round 2): functions.jpeg is a
+  baseline sequential JFIF codec in numpy — decode handles any 8-bit
+  baseline stream (1/3 components, sampling factors up to 2, restart
+  intervals; validated against the JVM ImageIO decoder on
+  libjpeg-produced photos), encode emits 4:4:4 with quality-scaled
+  Annex-K quantization (PSNR ~45 dB at quality 90 on the fixture
+  gradients; JVM ImageIO reads the output at the same fidelity).
+* The r1 deterministic stub container (SOI + b"MVTS" magic) remains
+  decodable for payloads cached by earlier rounds.
 
 All functions are batch-shaped (called from mapInPandas/applyInPandas
 over Arrow batches); per-image work is numpy-vectorized.
@@ -30,6 +32,8 @@ __all__ = [
     "png_decode",
     "jpeg_stub_encode",
     "jpeg_stub_decode",
+    "jpeg_encode",
+    "jpeg_decode",
     "encode_image",
     "decode_image",
     "sniff_format",
@@ -150,12 +154,27 @@ def jpeg_stub_encode(img: np.ndarray) -> bytes:
 def jpeg_stub_decode(data: bytes) -> np.ndarray:
     if data.startswith(_JPEG_STUB_SIG):
         return png_decode(data[len(_JPEG_STUB_SIG) :])
+    raise ValueError("not a stub-JPEG payload")
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Any JPEG payload: the r1 stub container or real baseline JFIF."""
+    if data.startswith(_JPEG_STUB_SIG):
+        return png_decode(data[len(_JPEG_STUB_SIG) :])
     if data[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "real JFIF decode is stubbed: no image libraries in this "
-            "environment (see module docstring)"
-        )
+        from mapnik_vector_tile_spark.functions import jpeg as J
+
+        return J.decode(data)
     raise ValueError("not a JPEG payload")
+
+
+def jpeg_encode(img: np.ndarray, quality: int = 95) -> bytes:
+    """Real baseline JFIF (functions.jpeg). Default quality 95 keeps the
+    BASELINE per-row invariant (>=40 dB) through the double-lossy
+    decode -> resize -> re-encode path on noise-like fixture content."""
+    from mapnik_vector_tile_spark.functions import jpeg as J
+
+    return J.encode(img, quality=quality)
 
 
 def sniff_format(data: bytes) -> str:
@@ -168,14 +187,14 @@ def sniff_format(data: bytes) -> str:
 
 def decode_image(data: bytes) -> np.ndarray:
     fmt = sniff_format(data)
-    return png_decode(data) if fmt == "png" else jpeg_stub_decode(data)
+    return png_decode(data) if fmt == "png" else jpeg_decode(data)
 
 
 def encode_image(img: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return png_encode(img)
     if fmt == "jpeg":
-        return jpeg_stub_encode(img)
+        return jpeg_encode(img)
     raise ValueError(f"unknown format {fmt!r}")
 
 

@@ -104,9 +104,16 @@ def test_jpeg_stub_lossy_psnr():
     assert R.psnr(img, back) >= 40.0
 
 
-def test_real_jfif_raises_not_implemented():
-    with pytest.raises(NotImplementedError):
-        R.jpeg_stub_decode(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+def test_real_jfif_decodes_for_real():
+    """r1 stubbed real JFIF behind NotImplementedError; round 2 ships a
+    real baseline codec (functions.jpeg, full coverage in test_jpeg.py)."""
+    img = IMG._pixels_for(5, 32, 32)
+    data = R.jpeg_encode(img)
+    assert data[:4] == b"\xff\xd8\xff\xe0" and b"MVTS" not in data[:8]
+    assert R.psnr(img, R.decode_image(data)) >= 40.0
+    # the stub decoder itself stays strictly for stub payloads
+    with pytest.raises(ValueError):
+        R.jpeg_stub_decode(data)
 
 
 def test_bilinear_passthrough_and_downscale():
