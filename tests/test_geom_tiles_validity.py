@@ -100,9 +100,111 @@ def test_validity_flags_corrupt_tile(spark):
     df = spark.createDataFrame([(0, 0, 0, tile)], "z int, x long, y long, tile binary")
     findings, _ = validity.validate_tiles(df)
     codes = {r["code"] for r in findings.collect()}
-    assert "LAYER_MISSING_NAME" in codes
+    assert "LAYER_HAS_NO_NAME" in codes and "LAYER_HAS_NO_EXTENT" in codes
     assert "FEATURE_TAG_KEY_OOB" in codes and "FEATURE_TAG_VALUE_OOB" in codes
     assert "FEATURE_GEOMETRY_INVALID" in codes
+
+
+def test_validity_full_enum_cases():
+    """The reference's 25-code enum, exercised message by message
+    (ports test/unit/is_valid/{feature,value}_is_valid.cpp cases)."""
+    from mapnik_vector_tile_spark.functions import pbf
+
+    # --- value_is_valid ---
+    assert validity.value_is_valid(b"") == {"VALUE_NO_VALUE"}
+    assert validity.value_is_valid(pbf.encode_value("ok")) == set()
+    two = pbf.encode_value("a") + pbf.encode_value("b")
+    assert validity.value_is_valid(two) == {"VALUE_MULTIPLE_VALUES"}
+    unk = bytearray()
+    pbf.add_varint_field(unk, 9, 3)  # unknown Value field 9
+    # reference semantics: an unknown tag never sets has_value, so
+    # VALUE_NO_VALUE accompanies it (is_valid.hpp:239-270)
+    assert validity.value_is_valid(bytes(unk)) == {
+        "VALUE_HAS_UNKNOWN_TAG", "VALUE_NO_VALUE"
+    }
+
+    # --- feature_is_valid ---
+    cnt = {"pt": 0, "ln": 0, "pg": 0, "uk": 0, "ra": 0}
+    ok_feat = pbf.encode_feature(1, [0, 0], 1, [9, 2, 2])
+    assert validity.feature_is_valid(ok_feat, cnt) == set()
+    assert cnt["pt"] == 1
+    assert validity.feature_is_valid(b"", cnt) == {"FEATURE_IS_EMPTY"}
+    # geometry but no type
+    buf = bytearray()
+    pbf.add_len_field(buf, 4, pbf.pack_varints([9, 2, 2]))
+    assert "FEATURE_NO_GEOM_TYPE" in validity.feature_is_valid(bytes(buf), cnt)
+    # duplicate ids / tags / geoms
+    dup = bytearray()
+    pbf.add_varint_field(dup, 1, 1)
+    pbf.add_varint_field(dup, 1, 2)
+    errs = validity.feature_is_valid(bytes(dup), cnt)
+    assert "FEATURE_MULTIPLE_ID" in errs
+    dupg = bytearray()
+    pbf.add_varint_field(dupg, 3, 1)
+    pbf.add_len_field(dupg, 4, pbf.pack_varints([9, 2, 2]))
+    pbf.add_len_field(dupg, 4, pbf.pack_varints([9, 2, 2]))
+    assert "FEATURE_MULTIPLE_GEOM" in validity.feature_is_valid(bytes(dupg), cnt)
+    # raster + geometry exclusivity, invalid type, unknown tag
+    rg = bytearray()
+    pbf.add_len_field(rg, 4, pbf.pack_varints([9, 2, 2]))
+    pbf.add_len_field(rg, 5, b"px")
+    assert "FEATURE_RASTER_AND_GEOM" in validity.feature_is_valid(bytes(rg), cnt)
+    badt = bytearray()
+    pbf.add_varint_field(badt, 3, 9)
+    pbf.add_len_field(badt, 4, pbf.pack_varints([9, 2, 2]))
+    assert "FEATURE_HAS_INVALID_GEOM_TYPE" in validity.feature_is_valid(bytes(badt), cnt)
+    unkf = bytearray()
+    pbf.add_varint_field(unkf, 11, 1)
+    assert "FEATURE_HAS_UNKNOWN_TAG" in validity.feature_is_valid(bytes(unkf), cnt)
+
+
+def test_validity_tile_and_layer_codes(spark):
+    import zlib
+
+    from mapnik_vector_tile_spark.functions import pbf
+
+    feat = pbf.encode_feature(1, [0, 0], 1, [9, 2, 2])
+    # duplicate layer names + differing versions + unknown tile tag
+    l1 = pbf.encode_layer("dup", [feat], ["k"], [pbf.encode_value("v")], version=1)
+    l2 = pbf.encode_layer("dup", [feat], ["k"], [pbf.encode_value("v")], version=2)
+    tile_buf = bytearray(pbf.encode_tile([l1, l2]))
+    pbf.add_varint_field(tile_buf, 9, 7)  # unknown Tile field
+    df = spark.createDataFrame(
+        [(0, 0, 0, zlib.compress(bytes(tile_buf)))],
+        "z int, x long, y long, tile binary",
+    )
+    findings, _ = validity.validate_tiles(df)
+    codes = {r["code"] for r in findings.collect()}
+    assert "TILE_REPEATED_LAYER_NAMES" in codes
+    assert "TILE_HAS_DIFFERENT_VERSIONS" in codes
+    assert "TILE_HAS_UNKNOWN_TAG" in codes
+
+    # multiple name/extent/version + unsupported version + raster+vector
+    lb = bytearray()
+    pbf.add_len_field(lb, 1, b"a")
+    pbf.add_len_field(lb, 1, b"b")
+    pbf.add_varint_field(lb, 5, 4096)
+    pbf.add_varint_field(lb, 5, 4096)
+    pbf.add_varint_field(lb, 15, 7)
+    pbf.add_varint_field(lb, 15, 7)
+    rast = bytearray()
+    pbf.add_len_field(rast, 5, b"img")
+    pbf.add_len_field(lb, 2, bytes(rast))
+    pbf.add_len_field(lb, 2, feat)
+    df2 = spark.createDataFrame(
+        [(0, 0, 0, zlib.compress(pbf.encode_tile([bytes(lb)])))],
+        "z int, x long, y long, tile binary",
+    )
+    findings2, stats2 = validity.validate_tiles(df2)
+    codes2 = {r["code"] for r in findings2.collect()}
+    for expected in (
+        "LAYER_HAS_MULTIPLE_NAME", "LAYER_HAS_MULTIPLE_EXTENT",
+        "LAYER_HAS_MULTIPLE_VERSION", "LAYER_HAS_UNSUPPORTED_VERSION",
+        "LAYER_HAS_RASTER_AND_VECTOR",
+    ):
+        assert expected in codes2, (expected, codes2)
+    st = stats2.toPandas()
+    assert st.iloc[0]["n_raster"] == 1 and st.iloc[0]["n_point"] == 1
 
 
 def test_pip_refine_general_polygon(spark):
