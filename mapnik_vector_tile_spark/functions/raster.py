@@ -38,6 +38,12 @@ __all__ = [
     "decode_image",
     "sniff_format",
     "bilinear_resize",
+    "png_encode_rgba",
+    "png_decode_raw",
+    "premultiply",
+    "demultiply",
+    "resize_any",
+    "GRAY_DTYPES",
     "overzoom_crop_window",
     "psnr",
 ]
@@ -196,6 +202,159 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
     if fmt == "jpeg":
         return jpeg_encode(img)
     raise ValueError(f"unknown format {fmt!r}")
+
+
+def png_encode_rgba(img: np.ndarray, level: int = 6) -> bytes:
+    """RGBA8 (h, w, 4) uint8 -> PNG bytes (colour type 6)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 4:
+        raise ValueError("png_encode_rgba expects (h, w, 4) uint8")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    raw = np.empty((h, 1 + w * 4), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = img.reshape(h, w * 4)
+    idat = zlib.compress(raw.tobytes(), level)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def png_decode_raw(data: bytes) -> np.ndarray:
+    """PNG bytes -> native channel layout (h, w, c): gray 1, gray+alpha
+    2, RGB 3, RGBA 4 — png_decode's RGB collapse is the compatibility
+    wrapper; raster pipelines that need alpha use this."""
+    rgb = png_decode(data)  # runs the shared filter machinery
+    # png_decode collapses channels; re-derive the raw layout instead
+    pos = len(_PNG_SIG)
+    colour = None
+    idat = bytearray()
+    w = h = None
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, _bd, colour, _c, _f, _i = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[colour]
+    if channels == 3:
+        return rgb
+    if channels == 4:
+        # alpha survives only through a raw second unfiltering pass
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+        out = _unfilter(raw, h, w, channels)
+        return out.reshape(h, w, channels)
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    out = _unfilter(raw, h, w, channels)
+    return out.reshape(h, w, channels)
+
+
+def _unfilter(raw: np.ndarray, h: int, w: int, channels: int) -> np.ndarray:
+    stride = w * channels
+    raw = raw.reshape(h, 1 + stride)
+    filters = raw[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for r in range(h):
+        ft = filters[r]
+        line = raw[r, 1:].copy()
+        prev = out[r - 1] if r > 0 else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            out[r] = line
+        elif ft == 1:
+            for i in range(stride):
+                left = out[r, i - bpp] if i >= bpp else 0
+                out[r, i] = (int(line[i]) + int(left)) & 0xFF
+        elif ft == 2:
+            out[r] = (line.astype(np.int16) + prev.astype(np.int16)).astype(np.uint8)
+        elif ft == 3:
+            for i in range(stride):
+                left = int(out[r, i - bpp]) if i >= bpp else 0
+                out[r, i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                a = int(out[r, i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[r, i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+    return out
+
+
+def premultiply(rgba: np.ndarray) -> np.ndarray:
+    """RGBA8 -> premultiplied float64 (the reference premultiplies
+    before AGG scaling, src/vector_tile_raster_clipper.ipp:42-60)."""
+    rgba = np.asarray(rgba, dtype=np.float64)
+    out = rgba.copy()
+    a = rgba[..., 3:4] / 255.0
+    out[..., :3] *= a
+    return out
+
+
+def demultiply(prem: np.ndarray) -> np.ndarray:
+    """Premultiplied float64 -> RGBA8 (divide-by-alpha, zero-safe)."""
+    out = np.asarray(prem, dtype=np.float64).copy()
+    a = out[..., 3:4] / 255.0
+    nz = a > 1e-9
+    out[..., :3] = np.where(nz, out[..., :3] / np.maximum(a, 1e-9), 0.0)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+# dtype coverage matching the reference's image types
+# (gray8/gray8s/gray16/gray16s/gray32/gray32s/gray32f/gray64/gray64s/
+#  gray64f + rgba8, vector_tile_raster_clipper.ipp:23-523)
+GRAY_DTYPES = (
+    np.uint8, np.int8, np.uint16, np.int16, np.uint32, np.int32,
+    np.float32, np.uint64, np.int64, np.float64,
+)
+
+
+def resize_any(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear scale across the reference's pixel-type matrix: RGBA8
+    goes through premultiply -> scale -> demultiply; RGB8/gray8 scale
+    directly with uint8 clamping; wider gray types (int/float up to 64
+    bits) scale in float64 and cast back without 0..255 clamping."""
+    img = np.asarray(img)
+    if img.ndim == 3 and img.shape[2] == 4 and img.dtype == np.uint8:
+        prem = premultiply(img)
+        scaled = _bilinear_f64(prem, out_h, out_w)
+        return demultiply(scaled)
+    if img.ndim == 3 and img.dtype == np.uint8:
+        return bilinear_resize(img, out_h, out_w)
+    scaled = _bilinear_f64(img.astype(np.float64), out_h, out_w)
+    if np.issubdtype(img.dtype, np.integer):
+        info = np.iinfo(img.dtype)
+        return np.clip(np.rint(scaled), info.min, info.max).astype(img.dtype)
+    return scaled.astype(img.dtype)
+
+
+def _bilinear_f64(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    if (out_h, out_w) == (h, w):
+        return img.copy()
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    extra = (1,) * (img.ndim - 2)
+    wy = np.clip(ys - y0, 0.0, 1.0).reshape(-1, 1, *extra)
+    wx = np.clip(xs - x0, 0.0, 1.0).reshape(1, -1, *extra)
+    p00 = img[y0][:, x0]
+    p01 = img[y0][:, x1]
+    p10 = img[y1][:, x0]
+    p11 = img[y1][:, x1]
+    top = p00 * (1 - wx) + p01 * wx
+    bot = p10 * (1 - wx) + p11 * wx
+    return top * (1 - wy) + bot * wy
 
 
 def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -87,6 +87,45 @@ def test_raster_invariants_over_real_jfif(spark):
     assert inv["psnr_ok"].all() and inv["caption_ok"].all()
 
 
+def test_rgba_premultiplied_scale_roundtrip():
+    """RGBA8 path: premultiply -> bilinear -> demultiply (the reference's
+    AGG order) keeps opaque regions exact-ish and transparent regions at
+    zero contribution."""
+    rgba = np.zeros((16, 16, 4), np.uint8)
+    rgba[:, :8] = (200, 100, 50, 255)   # opaque left half
+    rgba[:, 8:] = (255, 255, 255, 0)    # fully transparent right half
+    # 16 -> 5: the middle sample (x=7.5) straddles the opaque/transparent
+    # boundary, forcing a genuine alpha blend
+    half = R.resize_any(rgba, 5, 5)
+    assert half.shape == (5, 5, 4) and half.dtype == np.uint8
+    assert tuple(half[0, 0]) == (200, 100, 50, 255)
+    assert half[0, 4, 3] == 0  # transparent stays transparent
+    seam = half[0, 2]
+    # premultiplied scaling: colour from a transparent pixel never bleeds
+    # at full weight into the seam (naive scaling would average 255s in)
+    assert 0 < seam[3] < 255, seam
+    assert seam[0] <= 201, seam
+
+
+@pytest.mark.parametrize("dtype", R.GRAY_DTYPES)
+def test_gray_dtype_matrix_resize(dtype):
+    """gray8..gray64f coverage (the reference's pixel-type matrix)."""
+    g = np.linspace(0, 100, 64, dtype=np.float64).reshape(8, 8)
+    img = g.astype(dtype)
+    out = R.resize_any(img, 4, 4)
+    assert out.dtype == img.dtype and out.shape == (4, 4)
+    # linear ramps survive bilinear sampling
+    mid = float(out[2, 2])
+    assert abs(mid - float(img[4, 4])) <= 15.0
+
+
+def test_png_rgba_roundtrip_preserves_alpha():
+    rgba = np.random.RandomState(3).randint(0, 256, (9, 7, 4)).astype(np.uint8)
+    back = R.png_decode_raw(R.png_encode_rgba(rgba))
+    assert back.shape == (9, 7, 4)
+    assert np.array_equal(back, rgba)
+
+
 def test_legacy_stub_payloads_still_decode():
     img = _gradient(2, 16, 16)
     stub = R.jpeg_stub_encode(img)
