@@ -29,6 +29,52 @@ TILE_SCHEMA = (
 )
 
 
+def reproject_geoms(
+    df: DataFrame,
+    src_srs: str,
+    dst_srs: str = "+init=epsg:3857",
+    wkt_col: str = "geom_wkt",
+) -> DataFrame:
+    """P3: arbitrary-SRS reprojection of a WKT geometry column (the
+    reference's vector_tile_strategy_proj, strategy.hpp:69-104) —
+    supported CRSs per functions.proj (longlat/merc/3395/utm/tmerc).
+    Vectorized per geometry: every ring transforms as one array."""
+    from mapnik_vector_tile_spark.functions import proj as PJ
+
+    src = PJ.parse_proj4(src_srs)
+    dst = PJ.parse_proj4(dst_srs)
+
+    def tx(coords: np.ndarray) -> np.ndarray:
+        x, y = PJ.transform(src, dst, coords[..., 0], coords[..., 1])
+        return np.stack([x, y], axis=-1)
+
+    def map_geom(geom):
+        kind, val = geom
+        if kind == "empty":
+            return geom
+        if kind == "point":
+            return (kind, tx(np.asarray(val, dtype=np.float64)[None, :])[0])
+        if kind in ("multipoint", "linestring"):
+            return (kind, tx(np.asarray(val, dtype=np.float64)))
+        if kind in ("multilinestring", "polygon"):
+            return (kind, [tx(np.asarray(r, dtype=np.float64)) for r in val])
+        if kind == "multipolygon":
+            return (kind, [[tx(np.asarray(r, dtype=np.float64)) for r in poly] for poly in val])
+        if kind == "geometrycollection":
+            return (kind, [map_geom(g) for g in val])
+        raise ValueError(kind)
+
+    def kernel(iterator):
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            out = [G.to_wkt(map_geom(G.from_wkt(w))) for w in pdf[wkt_col]]
+            yield pdf.assign(**{wkt_col: out})
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    return df.mapInPandas(kernel, schema=schema)
+
+
 def with_envelope(df: DataFrame, wkt_col: str = "geom_wkt") -> DataFrame:
     """Add mercator envelope columns + the compact packed geometry
     (geometry.gpack) so the WKT regex parse runs exactly ONCE per row —

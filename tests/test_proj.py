@@ -1,0 +1,97 @@
+"""Projection engine (functions.proj) — P3, the reference's
+vector_tile_strategy_proj role (src/vector_tile_strategy.hpp:69-104;
+reprojection corpus test/unit/processor/reprojection_error.cpp)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mapnik_vector_tile_spark import tilemath
+from mapnik_vector_tile_spark.functions import proj as P
+
+
+def test_utm_matches_published_value():
+    """San Francisco in UTM 10N: published easting/northing ~ (551130,
+    4180997) — the Krüger series must land within metres."""
+    utm10 = P.parse_proj4("+proj=utm +zone=10 +datum=WGS84")
+    x, y = P.forward(utm10, -122.4194, 37.7749)
+    assert abs(float(x) - 551130.0) < 50.0
+    assert abs(float(y) - 4180997.0) < 50.0
+
+
+def test_utm_central_meridian_equator():
+    utm = P.parse_proj4("+proj=utm +zone=10")
+    x, y = P.forward(utm, -123.0, 0.0)
+    assert abs(float(x) - 500000.0) < 1e-6 and abs(float(y)) < 1e-6
+    # southern hemisphere false northing
+    utm_s = P.parse_proj4("+proj=utm +zone=10 +south")
+    _, ys = P.forward(utm_s, -123.0, -0.0001)
+    assert 9_999_000 < float(ys) < 10_000_000
+
+
+@pytest.mark.parametrize("crs_s", [
+    "+proj=utm +zone=33", "+init=epsg:3857", "+init=epsg:3395",
+    "+proj=tmerc +lon_0=9 +k=1 +x_0=3500000",
+])
+def test_roundtrip_exactness(crs_s):
+    crs = P.parse_proj4(crs_s)
+    rng = np.random.RandomState(11)
+    lon = rng.uniform(6.0, 12.0, 200)
+    lat = rng.uniform(-80.0, 80.0, 200)
+    x, y = P.forward(crs, lon, lat)
+    lon2, lat2 = P.inverse(crs, x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_web_mercator_bit_equal_to_tilemath():
+    lon = np.linspace(-179.0, 179.0, 101)
+    lat = np.linspace(-84.0, 84.0, 101)
+    mx, my = tilemath.mercator_np(lon, lat)
+    px, py = P.forward(P.parse_proj4("+init=epsg:3857"), lon, lat)
+    assert np.array_equal(mx, px) and np.array_equal(my, py)
+
+
+def test_utm_scale_factor_at_central_meridian():
+    """The defining k0 = 0.9996 at the central meridian."""
+    utm = P.parse_proj4("+proj=utm +zone=31")
+    lat = 45.0
+    d = 1e-4  # degrees of latitude
+    x0, y0 = P.forward(utm, 3.0, lat)
+    x1, y1 = P.forward(utm, 3.0, lat + d)
+    # meridian arc distance for d degrees of latitude at 45N (WGS84)
+    phi = np.radians(lat)
+    m = (
+        P.WGS84_A * (1 - P.WGS84_E2)
+        / (1 - P.WGS84_E2 * np.sin(phi) ** 2) ** 1.5
+        * np.radians(d)
+    )
+    k = float(y1 - y0) / float(m)
+    assert abs(k - 0.9996) < 1e-5
+
+
+def test_reproject_geoms_operator(spark):
+    from mapnik_vector_tile_spark.functions import geometry as G
+    from mapnik_vector_tile_spark.operators import geom_tiles as GT
+
+    rows = [
+        ("a", "POINT(-122.4194 37.7749)"),
+        ("b", "LINESTRING(-122 37,-121 38)"),
+        ("c", "POLYGON((-122 37,-121 37,-121 38,-122 37))"),
+    ]
+    df = spark.createDataFrame(rows, "gid string, geom_wkt string")
+    out = GT.reproject_geoms(df, "+init=epsg:4326", "+init=epsg:3857").toPandas()
+    pt = G.from_wkt(out[out["gid"] == "a"].iloc[0]["geom_wkt"])[1]
+    mx, my = tilemath.mercator_np(-122.4194, 37.7749)
+    # WKT text keeps ~mm precision in mercator metres
+    assert abs(pt[0] - float(mx)) < 1e-2 and abs(pt[1] - float(my)) < 1e-2
+    # UTM source -> mercator end-to-end
+    utm = P.parse_proj4("+proj=utm +zone=10")
+    ux, uy = P.forward(utm, -122.4194, 37.7749)
+    df2 = spark.createDataFrame(
+        [("u", f"POINT({float(ux)} {float(uy)})")], "gid string, geom_wkt string"
+    )
+    out2 = GT.reproject_geoms(df2, "+proj=utm +zone=10", "+init=epsg:3857").toPandas()
+    pt2 = G.from_wkt(out2.iloc[0]["geom_wkt"])[1]
+    assert abs(pt2[0] - float(mx)) < 1e-2 and abs(pt2[1] - float(my)) < 1e-2
