@@ -225,6 +225,47 @@ def one_run(cores: int, sf_dir: str, epochs: int = 1):
     }
 
 
+def decode_kernel_anchor(n_tiles: int = 20000) -> float:
+    """Single-core worst-case decode throughput (1-feature tiles),
+    feats/s — the only apples-ish anchor against the reference's 481k
+    feats/s single C++ core (bench/readme.md:24-30). Runs the same
+    kernel stages tile_decode distributes: zlib + tile walk + batched
+    header parse + vectorized varint decode."""
+    import time as _t
+    import zlib as _z
+
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import commands as Cmd
+    from mapnik_vector_tile_spark.functions import pbf as P
+
+    def make_tile(i):
+        zz = Cmd.zigzag32(np.array([i % 4096, (i * 7) % 4096], dtype=np.int64))
+        blob = P.encode_point_features_packed(
+            np.array([[0, 0, 1, 1, 2, 2]]), zz.reshape(1, 2), None
+        )
+        layer = P.encode_layer_packed(
+            "layer", blob, ["image_id", "caption", "fmt"],
+            [P.encode_value(f"im-{i}"), P.encode_value(f"cap-{i}"), P.encode_value("png")],
+        )
+        return _z.compress(P.encode_tile([layer]))
+
+    tiles = [make_tile(i) for i in range(n_tiles)]
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        datas = [_z.decompress(t) for t in tiles]
+        blobs = [bytes(l) for d in datas for l in P.decode_tile(d)]
+        meta = P.parse_layers_batch(blobs)
+        flen = meta["feat_end"] - meta["feat_start"]
+        big, _ = P.ragged_gather(
+            meta["buf"], meta["feat_start"], flen, np.arange(len(blobs))
+        )
+        P.decode_varints_vec(big, return_lengths=True)
+        best = min(best, _t.perf_counter() - t0)
+    return n_tiles / best
+
+
 def _calibration_work(n):
     s = 0
     for i in range(n):
@@ -351,6 +392,7 @@ def main() -> None:
         "sf": sf,
         "bench_image_rows": BENCH_IMAGE_ROWS,
         "rows_per_sec": round(res["throughput_rows_per_sec"], 1),
+        "decode_kernel_feats_per_sec_core": round(decode_kernel_anchor(), 1),
     }
     print(json.dumps(out))
 
