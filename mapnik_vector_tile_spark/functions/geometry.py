@@ -319,6 +319,209 @@ def transform_geom(geom, vt: ViewTransform):
     raise ValueError(kind)
 
 
+def transform_geoms_batch(geoms: list, vt: ViewTransform) -> list:
+    """transform_geom over a BATCH of features with ONE flat
+    transform+quantize pass (per-feature numpy-call overhead was ~25%
+    of the geometry encode cost). Returns [(tile_geom, px_bbox)] where
+    px_bbox = (minx, miny, maxx, maxy) over the kept integer points or
+    None for empty — callers use it for the clip-skip fast path."""
+    flats: list[np.ndarray] = []
+    for g in geoms:
+        kind, val = g
+        if kind == "empty" or kind == "geometrycollection":
+            continue
+        if kind == "point":
+            flats.append(np.asarray(val, dtype=np.float64).reshape(1, 2))
+        elif kind in ("multipoint", "linestring"):
+            flats.append(np.asarray(val, dtype=np.float64).reshape(-1, 2))
+        elif kind in ("multilinestring", "polygon"):
+            flats.extend(np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in val)
+        elif kind == "multipolygon":
+            flats.extend(
+                np.asarray(r, dtype=np.float64).reshape(-1, 2)
+                for poly in val for r in poly
+            )
+        else:
+            raise ValueError(kind)
+    if flats:
+        coords = np.concatenate(flats, axis=0)
+        px_all, ok_all = quantize(coords, vt)
+    else:
+        px_all = np.empty((0, 2), dtype=np.int64)
+        ok_all = np.empty(0, dtype=bool)
+
+    pos = 0
+
+    def take(n: int):
+        nonlocal pos
+        px = px_all[pos : pos + n]
+        ok = ok_all[pos : pos + n]
+        pos += n
+        return px[ok] if not ok.all() else px
+
+    out = []
+    for g in geoms:
+        kind, val = g
+        if kind == "empty":
+            out.append((("empty", None), None))
+            continue
+        if kind == "geometrycollection":  # rare: per-feature path
+            tg = transform_geom(g, vt)
+            out.append((tg, _geom_px_bbox(tg)))
+            continue
+        if kind == "point":
+            px = take(1)
+            tg = ("point", px[0]) if len(px) else ("empty", None)
+        elif kind == "multipoint":
+            px = take(len(val))
+            tg = ("multipoint", px) if len(px) else ("empty", None)
+        elif kind == "linestring":
+            px = take(len(val))
+            tg = ("linestring", px) if len(px) >= 2 else ("empty", None)
+        elif kind == "multilinestring":
+            parts = [take(len(line)) for line in val]
+            keep = [p for p in parts if len(p) >= 2]
+            tg = ("multilinestring", keep) if keep else ("empty", None)
+        elif kind == "polygon":
+            rings = [take(len(r)) for r in val]
+            tg = (
+                ("polygon", rings)
+                if rings and len(rings[0]) >= 3
+                else ("empty", None)
+            )
+        else:  # multipolygon
+            polys = []
+            for poly in val:
+                rings = [take(len(r)) for r in poly]
+                if rings and len(rings[0]) >= 3:
+                    polys.append(rings)
+            tg = ("multipolygon", polys) if polys else ("empty", None)
+        out.append((tg, _geom_px_bbox(tg)))
+    return out
+
+
+def _geom_px_bbox(tg):
+    kind, val = tg
+    if kind == "empty" or val is None:
+        return None
+    if kind == "point":
+        x, y = int(val[0]), int(val[1])
+        return (x, y, x, y)
+    if kind in ("multipoint", "linestring"):
+        a = np.asarray(val)
+        return (int(a[:, 0].min()), int(a[:, 1].min()),
+                int(a[:, 0].max()), int(a[:, 1].max()))
+    if kind in ("multilinestring", "polygon"):
+        rings = val
+    elif kind == "multipolygon":
+        rings = [r for poly in val for r in poly]
+    else:  # geometrycollection
+        boxes = [_geom_px_bbox(g) for g in val]
+        boxes = [b for b in boxes if b]
+        if not boxes:
+            return None
+        return (min(b[0] for b in boxes), min(b[1] for b in boxes),
+                max(b[2] for b in boxes), max(b[3] for b in boxes))
+    lo = [np.inf, np.inf]
+    hi = [-np.inf, -np.inf]
+    for r in rings:
+        a = np.asarray(r)
+        if len(a) == 0:
+            continue
+        lo[0] = min(lo[0], a[:, 0].min())
+        lo[1] = min(lo[1], a[:, 1].min())
+        hi[0] = max(hi[0], a[:, 0].max())
+        hi[1] = max(hi[1], a[:, 1].max())
+    if lo[0] is np.inf or lo[0] == np.inf:
+        return None
+    return (int(lo[0]), int(lo[1]), int(hi[0]), int(hi[1]))
+
+
+def _clip_polygon_rings_inside(rings, area_threshold, process_all_rings):
+    """_clip_polygon_rings minus the SH passes — valid ONLY when every
+    point already lies inside the clip box (bbox-proven by the caller):
+    orientation normalization, area threshold, dedup, closing strip."""
+    out = []
+    first = True
+    for ring in rings:
+        ring = np.asarray(ring, dtype=np.int64)
+        if len(ring) < 3:
+            if first:
+                if process_all_rings:
+                    first = False
+                    continue
+                return None
+            continue
+        area = ring_area(ring)
+        was_first = first
+        if first:
+            first = False
+            if abs(area) < area_threshold and not process_all_rings:
+                return None
+            r = ring[::-1].copy() if area < 0 else ring
+        else:
+            if abs(area) < area_threshold:
+                continue
+            r = ring[::-1].copy() if area > 0 else ring
+        if len(r) > 1 and (r[0] == r[-1]).all():
+            r = r[:-1]
+        r = dedup_consecutive(r)
+        if len(r) > 1 and (r[0] == r[-1]).all():
+            r = r[:-1]
+        if len(r) < 3:
+            if was_first and not process_all_rings:
+                return None
+            continue
+        out.append(("ext" if was_first else "int", r))
+    return out
+
+
+def clip_geom_inside(
+    geom,
+    area_threshold: float = 0.1,
+    multi_polygon_union: bool = False,
+    process_all_rings: bool = False,
+    fill_type: str = "even_odd",
+    stats: dict | None = None,
+):
+    """clip_geom for geometry PROVEN inside the clip box (per-feature
+    px bbox within the box): the box-clip stages become dedup/threshold
+    passes; winding normalization, fill resolution and polygon assembly
+    are identical to the clipped path."""
+    kind, val = geom
+    if kind == "empty":
+        return geom
+    if kind == "point":
+        return geom
+    if kind == "multipoint":
+        return ("multipoint", dedup_consecutive(val))
+    if kind == "linestring":
+        pts = dedup_consecutive(np.asarray(val, dtype=np.int64))
+        return ("linestring", pts) if len(pts) >= 2 else ("empty", None)
+    if kind == "multilinestring":
+        pieces = [dedup_consecutive(np.asarray(l, dtype=np.int64)) for l in val]
+        pieces = [p for p in pieces if len(p) >= 2]
+        if not pieces:
+            return ("empty", None)
+        return ("linestring", pieces[0]) if len(pieces) == 1 else ("multilinestring", pieces)
+    if kind == "polygon":
+        if not val or (len(val[0]) < 3 and not process_all_rings):
+            return ("empty", None)
+        tagged = _clip_polygon_rings_inside(val, area_threshold, process_all_rings)
+        if not tagged:
+            return ("empty", None)
+        polys = _assemble_polygons(tagged, fill_type, stats=stats)
+        if not polys:
+            return ("empty", None)
+        return ("polygon", polys[0]) if len(polys) == 1 else ("multipolygon", polys)
+    # multipolygon / geometrycollection keep the general path (rare in
+    # the fast lane; union semantics involve cross-polygon state)
+    return clip_geom(
+        geom, (-(2**62), -(2**62), 2**62, 2**62), area_threshold,
+        multi_polygon_union, process_all_rings, fill_type, stats=stats,
+    )
+
+
 def _collapse_collection(elems):
     """Collection post-processing: empties drop; a single survivor
     collapses (matches the decode-side behaviour the reference's
@@ -347,10 +550,43 @@ def douglas_peucker(arr: np.ndarray, max_distance: float) -> np.ndarray:
     included = np.zeros(n, dtype=bool)
     included[0] = included[-1] = True
     max_sqrd = float(max_distance) * float(max_distance)
+    # scalar path for small ranges: numpy per-call overhead dominates at
+    # tile-feature sizes (the batch-scale hot loop), exact same math
+    xs = pts[:, 0].tolist()
+    ys = pts[:, 1].tolist()
+
+    def _seg_dist2(b: int, e: int, i: int) -> float:
+        vx, vy = xs[e] - xs[b], ys[e] - ys[b]
+        wx, wy = xs[i] - xs[b], ys[i] - ys[b]
+        c1 = wx * vx + wy * vy
+        if c1 <= 0.0:
+            return wx * wx + wy * wy
+        c2 = vx * vx + vy * vy
+        if c2 <= c1:
+            ux, uy = xs[i] - xs[e], ys[i] - ys[e]
+            return ux * ux + uy * uy
+        f = c1 / c2
+        px, py = wx - f * vx, wy - f * vy
+        return px * px + py * py
+
     stack = [(0, n - 1)]
     while stack:
         b, e = stack.pop()
-        if e - b + 1 <= 2:
+        m = e - b + 1
+        if m <= 2:
+            continue
+        if m <= 10:  # scalar tail: first strictly-greater max wins
+            md = max_sqrd
+            cand = -1
+            for i in range(b + 1, e):
+                d = _seg_dist2(b, e, i)
+                if md < d:
+                    md = d
+                    cand = i
+            if cand >= 0:
+                included[cand] = True
+                stack.append((b, cand))
+                stack.append((cand, e))
             continue
         begin, last = pts[b], pts[e]
         v = last - begin
@@ -362,18 +598,13 @@ def douglas_peucker(arr: np.ndarray, max_distance: float) -> np.ndarray:
         d_begin = np.einsum("ij,ij->i", w, w)
         u = seg - last
         d_last = np.einsum("ij,ij->i", u, u)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            b_frac = np.where(c2 > 0, c1 / c2, 0.0)
+        b_frac = (c1 / c2) if c2 > 0.0 else np.zeros_like(c1)
         proj = w - b_frac[:, None] * v
         d_perp = np.einsum("ij,ij->i", proj, proj)
         dist = np.where(c1 <= 0, d_begin, np.where(c2 <= c1, d_last, d_perp))
-        if len(dist) == 0:
-            continue
         # strictly-greater update => first max wins (md < dist)
         cand_rel = int(np.argmax(dist))
         md = float(dist[cand_rel])
-        # replicate "first index with md < dist" semantics: argmax returns
-        # first occurrence of the max, matching the reference's update rule
         if max_sqrd < md:
             cand = b + 1 + cand_rel
             included[cand] = True
@@ -635,6 +866,45 @@ def _segments_intersect(a0, a1, b0, b1) -> bool:
     return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0))
 
 
+def _needs_fill_resolution_scalar(rings) -> bool:
+    """Pure-float small-case twin of the vectorized check below (numpy
+    per-call overhead dominates for the typical 4-8 vertex tile ring)."""
+    segs = []  # (ring id, seg idx, x0, y0, x1, y1)
+    nring = []
+    for ri, r in enumerate(rings):
+        xs = r[:, 0].tolist()
+        ys = r[:, 1].tolist()
+        m = len(xs)
+        nring.append(m)
+        for i in range(m):
+            j = (i + 1) % m
+            segs.append((ri, i, xs[i], ys[i], xs[j], ys[j]))
+    for a in range(len(segs)):
+        ra, ia, ax0, ay0, ax1, ay1 = segs[a]
+        for b in range(a + 1, len(segs)):
+            rb, ib, bx0, by0, bx1, by1 = segs[b]
+            if ra == rb:
+                di = abs(ia - ib)
+                if di <= 1 or di == nring[ra] - 1:
+                    continue
+            d1 = (bx1 - bx0) * (ay0 - by0) - (by1 - by0) * (ax0 - bx0)
+            d2 = (bx1 - bx0) * (ay1 - by0) - (by1 - by0) * (ax1 - bx0)
+            d3 = (ax1 - ax0) * (by0 - ay0) - (ay1 - ay0) * (bx0 - ax0)
+            d4 = (ax1 - ax0) * (by1 - ay0) - (ay1 - ay0) * (bx1 - ax0)
+            if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+                return True
+            # collinear interior overlap (same infinite line)
+            rx, ry = ax1 - ax0, ay1 - ay0
+            rr = rx * rx + ry * ry
+            if rr > 0 and d3 == 0.0 and d4 == 0.0:
+                t0 = ((bx0 - ax0) * rx + (by0 - ay0) * ry) / rr
+                t1 = ((bx1 - ax0) * rx + (by1 - ay0) * ry) / rr
+                lo, hi = (t0, t1) if t0 <= t1 else (t1, t0)
+                if hi > 0.0 and lo < 1.0:
+                    return True
+    return False
+
+
 def _needs_fill_resolution(tagged_rings, stats: dict | None = None) -> bool:
     """Proper self-intersections or cross-ring crossings require the
     boolean resolver; plain exterior+holes assembly does not.
@@ -648,6 +918,8 @@ def _needs_fill_resolution(tagged_rings, stats: dict | None = None) -> bool:
         if stats is not None:
             stats["budget_exceeded"] = stats.get("budget_exceeded", 0) + 1
         return False
+    if total <= 16:
+        return _needs_fill_resolution_scalar(rings)
     p0s, p1s, rids, sidx = [], [], [], []
     for ri, r in enumerate(rings):
         rr = np.vstack([r, r[:1]])

@@ -377,18 +377,38 @@ def encode_geom_layer(
     keys, values, tags = build_value_dicts(pdf, prop_cols)
     ids = pdf[id_col].to_numpy() if id_col else None
     geoms = (
-        (G.gunpack(bytes(b)) for b in pdf[geom_col])
+        [G.gunpack(bytes(b)) for b in pdf[geom_col]]
         if geom_col
-        else (G.from_wkt(w) for w in pdf[wkt_col])
+        else [G.from_wkt(w) for w in pdf[wkt_col]]
     )
+    # ONE flat transform+quantize pass for the whole group; per-feature
+    # bboxes then route fully-inside features past the box-clip stages
+    transformed = G.transform_geoms_batch(geoms, vt)
+    cx0, cy0, cx1, cy1 = clip_box
     gtypes: list[int] = []
     cmd_arrays: list[np.ndarray] = []
     keep_idx: list[int] = []
-    for i, g in enumerate(geoms):
-        tg = G.world_to_tile_geom(
-            g, vt, clip_box, simplify_distance=simplify_distance,
-            area_threshold=area_threshold, stats=stats,
+    for i, (tg0, bbox) in enumerate(transformed):
+        if tg0[0] == "empty":
+            continue
+        if simplify_distance > 0:
+            tg0 = G.simplify_geom(tg0, simplify_distance)
+            if tg0[0] == "empty":
+                continue
+        inside = (
+            bbox is not None
+            and bbox[0] >= cx0 and bbox[1] >= cy0
+            and bbox[2] <= cx1 and bbox[3] <= cy1
+            and tg0[0] not in ("multipolygon", "geometrycollection")
         )
+        if inside:
+            tg = G.clip_geom_inside(
+                tg0, area_threshold=area_threshold, stats=stats
+            )
+        else:
+            tg = G.clip_geom(
+                tg0, clip_box, area_threshold=area_threshold, stats=stats
+            )
         gtype, cmds = Cmd.encode_geometry(tg)
         if gtype is None:
             continue
