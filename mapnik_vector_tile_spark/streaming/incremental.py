@@ -51,6 +51,44 @@ def stream_tile_counts(
     )
 
 
+def stream_windowed_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    window_duration: str = "5 minutes",
+    watermark_delay: str = "5 minutes",
+):
+    """Event-time tumbling-window counts with a watermark: late rows
+    beyond the delay are DROPPED, closed windows append exactly once to
+    the parquet sink (the brief's 'watermarks + windowed aggs for late
+    data'). availableNow + checkpoint make it a resumable incremental
+    job: each invocation processes what arrived since the last one."""
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type", "n", "total",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_rebuild_tiles(
     spark: SparkSession,
     input_dir: str,

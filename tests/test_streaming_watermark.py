@@ -1,0 +1,56 @@
+"""Watermark + event-time windowed aggregation (streaming extension):
+closed windows append exactly once across resumable availableNow runs;
+rows later than the watermark delay are dropped."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from mapnik_vector_tile_spark.streaming import incremental as S
+
+
+def _write_events(spark, path: str, rows):
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_watermark_windowed_counts(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # run 1: window [10:00,10:05) fills, then an event at 10:10 pushes the
+    # watermark to 10:05 and closes it
+    _write_events(spark, inp, [
+        (1, "a", ts(0), 1.0), (2, "a", ts(2), 2.0), (3, "b", ts(4), 3.0),
+        (4, "a", ts(10), 4.0),
+    ])
+    S.stream_windowed_event_counts(spark, inp, chk, out).awaitTermination(120)
+    got1 = spark.read.parquet(out).toPandas()
+    closed1 = {
+        (r["win_start"].minute, r["event_type"]): int(r["n"]) for _, r in got1.iterrows()
+    }
+    assert closed1 == {(0, "a"): 2, (0, "b"): 1}
+
+    # run 2 (resumed from the checkpoint): a LATE event for the closed
+    # window is dropped; 10:20 closes [10:10,10:15)
+    _write_events(spark, inp, [
+        (5, "a", ts(1), 99.0),   # late beyond the watermark -> dropped
+        (6, "b", ts(11), 5.0),
+        (7, "b", ts(20), 6.0),
+    ])
+    S.stream_windowed_event_counts(spark, inp, chk, out).awaitTermination(120)
+    got2 = spark.read.parquet(out).toPandas()
+    rows = {
+        (r["win_start"].minute, r["event_type"]): int(r["n"]) for _, r in got2.iterrows()
+    }
+    # the late event never re-opens [10:00,10:05): count for (0,'a') stays 2
+    assert rows[(0, "a")] == 2
+    assert rows[(10, "a")] == 1  # the 10:10 event's window closed in run 2
+    assert rows[(10, "b")] == 1
+    assert (20, "b") not in rows  # still open (watermark at 10:15)
