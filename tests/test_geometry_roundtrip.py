@@ -418,3 +418,82 @@ def test_polygon_with_hole_inverted_y(version):
         "(-7 -7,-7 -3,-3 -3,-3 -7,-7 -7))"
     )
     assert norm_poly_wkt(G.to_wkt(got)) == norm_poly_wkt(expected)
+
+
+# --- reference decoding edge-case matrix (test/unit/decoding/
+#     {point,linestring}.cpp) — zero-delta linetos, degenerate streams,
+#     int32 extremes, unknown commands ---------------------------------
+
+def _zz(v: int) -> int:
+    return ((v << 1) ^ (v >> 31)) & 0xFFFFFFFF
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_dec_linestring_zero_delta_positions(version):
+    """LineTo(0,0) deltas collapse wherever they appear; both specs
+    yield the same cleaned line (linestring.cpp:117-228)."""
+    mk = lambda cmds: C.decode_geometry(cmds, C.LINESTRING, version=version)
+    # first lineto zero
+    cmds = [9, _zz(1), _zz(1), (2 << 3) | 2, _zz(0), _zz(0), _zz(1), _zz(1)]
+    kind, val = mk(cmds)
+    assert kind == "linestring" and [tuple(p) for p in val] == [(1, 1), (2, 2)]
+    # second lineto zero
+    cmds = [9, _zz(1), _zz(1), (2 << 3) | 2, _zz(1), _zz(1), _zz(0), _zz(0)]
+    kind, val = mk(cmds)
+    assert kind == "linestring" and [tuple(p) for p in val] == [(1, 1), (2, 2)]
+    # third lineto zero
+    cmds = [9, _zz(1), _zz(1), (3 << 3) | 2, _zz(1), _zz(1), _zz(1), _zz(1), _zz(0), _zz(0)]
+    kind, val = mk(cmds)
+    assert kind == "linestring" and [tuple(p) for p in val] == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_dec_linestring_only_moveto_and_zero_lineto():
+    """MoveTo-only and MoveTo+LineTo(0,0): empty at v1, throws at v2
+    (linestring.cpp:65-116)."""
+    only_move = [9, _zz(1), _zz(1)]
+    assert C.decode_geometry(only_move, C.LINESTRING, version=1)[0] == "empty"
+    with pytest.raises(C.DecodeError):
+        C.decode_geometry(only_move, C.LINESTRING, version=2)
+    zero_line = [9, _zz(1), _zz(1), (1 << 3) | 2, _zz(0), _zz(0)]
+    assert C.decode_geometry(zero_line, C.LINESTRING, version=1)[0] == "empty"
+    with pytest.raises(C.DecodeError):
+        C.decode_geometry(zero_line, C.LINESTRING, version=2)
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_dec_linestring_close_and_unknown_commands(version):
+    """ClosePath or unknown commands in a linestring throw at BOTH
+    versions (linestring.cpp:230-430)."""
+    with_close = [9, _zz(1), _zz(1), (1 << 3) | 2, _zz(1), _zz(1), 15]
+    with pytest.raises(C.DecodeError):
+        C.decode_geometry(with_close, C.LINESTRING, version=version)
+    close_first = [15, 9, _zz(1), _zz(1), (1 << 3) | 2, _zz(1), _zz(1)]
+    with pytest.raises(C.DecodeError):
+        C.decode_geometry(close_first, C.LINESTRING, version=version)
+    unknown_cmd = [(1 << 3) | 5, _zz(1), _zz(1)]
+    with pytest.raises(C.DecodeError):
+        C.decode_geometry(unknown_cmd, C.LINESTRING, version=version)
+    begins_lineto = [(1 << 3) | 2, _zz(1), _zz(1)]
+    with pytest.raises(C.DecodeError):
+        C.decode_geometry(begins_lineto, C.LINESTRING, version=version)
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_dec_point_int32_extremes(version):
+    """Deltas at the int32 extremes round-trip exactly
+    (point.cpp:89-181)."""
+    for d in (2147483647, -2147483647, -2147483646):
+        cmds = [9, _zz(d), _zz(d)]
+        kind, val = C.decode_geometry(cmds, C.POINT, version=version)
+        assert kind == "point" and tuple(val) == (d, d)
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_dec_point_degenerate_commands(version):
+    """Close or LineTo inside a POINT stream throws (point.cpp:182-241)."""
+    with pytest.raises(C.DecodeError):
+        C.decode_geometry([9, _zz(1), _zz(1), 15], C.POINT, version=version)
+    with pytest.raises(C.DecodeError):
+        C.decode_geometry(
+            [9, _zz(1), _zz(1), (1 << 3) | 2, _zz(1), _zz(1)], C.POINT, version=version
+        )
