@@ -49,3 +49,81 @@ def test_varint_matrix_roundtrip_random():
     flat = m[np.arange(m.shape[1])[None, :] < l[:, None]].tobytes()
     back = pbf.decode_varints_vec(flat)
     np.testing.assert_array_equal(back, vals)
+
+
+# --- batched layer-header parse (pbf.parse_layers_batch) --------------------
+
+def test_parse_layers_batch_matrix():
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import pbf
+
+    # packed layout (extent/version BEFORE features)
+    import mapnik_vector_tile_spark.functions.commands as Cmd
+    zz = Cmd.zigzag32(np.array([5, 7], dtype=np.int64))
+    blob = pbf.encode_point_features_packed(
+        np.array([[0, 0]]), zz.reshape(1, 2), None
+    )
+    packed = pbf.encode_layer_packed(
+        "pk", blob, ["k"], [pbf.encode_value("v")], extent=512, version=2
+    )
+    # generic layout (extent/version AFTER features)
+    feat = pbf.encode_feature(1, [0, 0], 1, [9, 2, 2])
+    generic = pbf.encode_layer("gn", [feat], ["k"], [pbf.encode_value(3)], version=1)
+    # value fields BEFORE keys (reordered but valid protobuf)
+    buf = bytearray()
+    pbf.add_len_field(buf, 1, b"re")
+    pbf.add_len_field(buf, 4, pbf.encode_value("first"))
+    pbf.add_len_field(buf, 3, b"kk")
+    pbf.add_varint_field(buf, 5, 4096)
+    pbf.add_varint_field(buf, 15, 2)
+    pbf.add_len_field(buf, 2, feat)
+    reordered = bytes(buf)
+
+    meta = pbf.parse_layers_batch([packed, generic, reordered])
+    assert list(meta["name"]) == ["pk", "gn", "re"]
+    assert list(meta["version"]) == [2, 1, 2]
+    assert list(meta["extent"]) == [512, 4096, 4096]
+    assert meta["ok"].all()
+    # keys/values attribute to the right layers in order
+    assert list(meta["keys"][meta["key_layer"] == 0]) == ["k"]
+    assert list(meta["keys"][meta["key_layer"] == 2]) == ["kk"]
+    assert list(meta["values"][meta["val_layer"] == 0]) == ["v"]
+    assert list(meta["values"][meta["val_layer"] == 1]) == [3]
+    assert list(meta["values"][meta["val_layer"] == 2]) == ["first"]
+    # feature regions: packed layer's region is the layer suffix
+    assert meta["feat_start"][0] >= 0
+    # malformed layer drops to fallback (ok=False), others unaffected
+    meta2 = pbf.parse_layers_batch([packed, b"\xff\xff\xff", generic])
+    assert meta2["ok"][0] and not meta2["ok"][1] and meta2["ok"][2]
+
+
+def test_parse_layers_batch_python_finish_splice():
+    """A layer with a huge value run exits the masked walk and splices
+    back via the per-frame Python walker (salted hot tiles)."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import commands as Cmd
+    from mapnik_vector_tile_spark.functions import pbf
+
+    n = 300
+    zz = Cmd.zigzag32(np.arange(2 * n, dtype=np.int64).reshape(n, 2))
+    tags = np.stack([np.zeros(n, dtype=np.int64), np.arange(n, dtype=np.int64)], axis=1)
+    blob = pbf.encode_point_features_packed(tags, zz.astype(np.uint32), None)
+    big_layer = pbf.encode_layer_packed(
+        "big", blob, ["k"], [pbf.encode_value(f"v{i}") for i in range(n)]
+    )
+    small = pbf.encode_layer_packed(
+        "small",
+        pbf.encode_point_features_packed(
+            np.array([[0, 0]]), Cmd.zigzag32(np.array([1, 1], dtype=np.int64)).reshape(1, 2), None
+        ),
+        ["k"], [pbf.encode_value("s")],
+    )
+    meta = pbf.parse_layers_batch([big_layer, small])
+    assert meta["ok"].all()
+    assert list(meta["name"]) == ["big", "small"]
+    vals_big = list(meta["values"][meta["val_layer"] == 0])
+    assert vals_big == [f"v{i}" for i in range(n)]
+    assert list(meta["values"][meta["val_layer"] == 1]) == ["s"]
+    assert meta["feat_start"][0] >= 0 and meta["feat_start"][1] >= 0
