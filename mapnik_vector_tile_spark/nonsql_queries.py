@@ -620,6 +620,35 @@ cand AS (
 """
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline form — the LSH
+    scale path is recall-tested in pytest)."""
+    from mapnik_vector_tile_spark.operators import ann
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.cosine_near_dups(vecs, threshold=0.3, use_lsh=False)
+
+
+def o_embedding_near_dups() -> str:
+    return f"""
+WITH comp AS ({_ANN_COMP}),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, sum(a.v * b.v) AS dot
+  FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.doc_a, d.doc_b, d.dot / (na.nrm * nb.nrm) AS cosine
+  FROM dots d
+  JOIN norms na ON d.doc_a = na.vec_id
+  JOIN norms nb ON d.doc_b = nb.vec_id
+)
+SELECT doc_a, doc_b, round(cosine, 6) AS cosine
+FROM scored WHERE cosine >= 0.3
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapnik_vector_tile_spark.operators import ann
 
@@ -682,6 +711,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ring_expansion": q_knn_ring_expansion,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
+    "embedding_near_dups": q_embedding_near_dups,
     "dedup_lsh_candidates": q_dedup_lsh_candidates,
     "text_features": q_text_features,
     "simhash64": q_simhash64,
@@ -698,6 +728,7 @@ _ORACLE_BUILDERS: dict[str, Callable[[], str]] = {
     "knn_ring_expansion": o_knn_ring_expansion,
     "ann_lsh_topk": o_ann_lsh,
     "ann_ivf_topk": o_ann_ivf,
+    "embedding_near_dups": o_embedding_near_dups,
     "dedup_lsh_candidates": o_dedup_lsh_candidates,
     "text_features": o_text_features,
     "simhash64": o_simhash64,

@@ -135,6 +135,60 @@ def lsh_topk(
     )
 
 
+def cosine_near_dups(
+    df: DataFrame, threshold: float = 0.3, use_lsh: bool = False,
+    n_planes: int = 4, n_tables: int = 6,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brief requirement):
+    (a, b, cosine) for a < b with cosine >= threshold.
+
+    use_lsh=False: exact — every pair scored through the component
+    equi-join (the oracle twin; quadratic, baseline only).
+    use_lsh=True: the scale path — only pairs sharing a hyperplane
+    bucket in any table are scored (bucket equi-join, never all-pairs);
+    recall vs exact is pinned in tests."""
+    comp = _components(df, id_col, vec_col)
+    norms = _norms(comp)
+    if use_lsh:
+        buckets = _hyperplane_buckets(df, id_col, vec_col, n_planes, n_tables)
+        b2 = buckets.select(
+            F.col("vid").alias("vid_b"), F.col("tbl").alias("tbl"),
+            F.col("bucket").alias("bucket"),
+        )
+        cand = (
+            buckets.join(b2, ["tbl", "bucket"])
+            .where(F.col("vid") < F.col("vid_b"))
+            .select(F.col("vid").alias("doc_a"), F.col("vid_b").alias("doc_b"))
+            .distinct()
+        )
+        ca = comp.select(F.col("vid").alias("doc_a"), "i", F.col("v").alias("va"))
+        cb = comp.select(F.col("vid").alias("doc_b"), "i", F.col("v").alias("vb"))
+        dots = (
+            cand.join(ca, "doc_a")
+            .join(cb, ["doc_b", "i"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+        )
+    else:
+        ca = comp.select(F.col("vid").alias("doc_a"), "i", F.col("v").alias("va"))
+        cb = comp.select(F.col("vid").alias("doc_b"), "i", F.col("v").alias("vb"))
+        dots = (
+            ca.join(cb, "i")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+        )
+    na = norms.select(F.col("vid").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vid").alias("doc_b"), F.col("nrm").alias("nb"))
+    scored = dots.join(na, "doc_a").join(nb, "doc_b").withColumn(
+        "cosine", F.col("dot") / (F.col("na") * F.col("nb"))
+    )
+    return scored.where(F.col("cosine") >= threshold).select(
+        "doc_a", "doc_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def _kmeans_refine(
     df: DataFrame, C: np.ndarray, iters: int, id_col: str, vec_col: str
 ) -> np.ndarray:

@@ -164,6 +164,19 @@ def test_ann_ivf_kmeans_refinement_on_clustered_data(spark):
     assert r_refined >= r_plain
 
 
+def test_embedding_cosine_near_dups_lsh_recall(vectors):
+    """LSH-pruned near-dup pairs vs the exact quadratic baseline."""
+    exact = ann.cosine_near_dups(vectors, threshold=0.3).toPandas()
+    lsh = ann.cosine_near_dups(
+        vectors, threshold=0.3, use_lsh=True, n_planes=4, n_tables=6
+    ).toPandas()
+    e = set(map(tuple, exact[["doc_a", "doc_b"]].to_numpy()))
+    l = set(map(tuple, lsh[["doc_a", "doc_b"]].to_numpy()))
+    assert l <= e  # pruning never invents pairs (exact re-score)
+    assert len(e) > 0
+    assert len(e & l) / len(e) >= 0.5  # near-orthogonal synthetic data
+
+
 def test_ann_ivf_recall_vs_brute(vectors):
     qs = vectors.orderBy("vec_id").limit(8).select("vec_id")
     exact = ann.brute_force_topk(vectors, qs, k=5).toPandas()
