@@ -235,9 +235,20 @@ def encode_tile(layers: list[bytes]) -> bytes:
 
 
 def decode_tile(data: bytes) -> list[bytes]:
+    # inline fast path for the dominant single-layer short-tile shape
+    # (tag 0x1A + 1-2 byte length covering the whole remainder)
+    n = len(data)
+    if n > 2 and data[0] == 0x1A:
+        b0 = data[1]
+        if b0 < 0x80 and 2 + b0 == n:
+            return [data[2:]]
+        if b0 >= 0x80 and n > 3:
+            ln = (b0 & 0x7F) | (data[2] << 7)
+            if data[2] < 0x80 and 3 + ln == n:
+                return [data[3:]]
     pos = 0
     layers = []
-    while pos < len(data):
+    while pos < n:
         t, pos = read_varint(data, pos)
         field, wire = t >> 3, t & 0x7
         if field == 3 and wire == WT_LEN:

@@ -238,7 +238,7 @@ def decode_tiles_columnar(tiles: DataFrame, prop_keys: list[str]) -> DataFrame:
                     continue
                 data = Z.decompress(bytes(tile))
                 for layer_bytes in pbf.decode_tile(data):
-                    blobs.append(bytes(layer_bytes))
+                    blobs.append(layer_bytes)  # already a bytes slice
                     blob_tile.append(t)
             frames = []
             nlay = len(blobs)
