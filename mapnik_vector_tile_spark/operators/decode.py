@@ -263,13 +263,22 @@ def decode_tiles_columnar(tiles: DataFrame, prop_keys: list[str]) -> DataFrame:
                     if len(cand) == 0:
                         break
                     cand = cand[meta["keys"][koff[cand] + j] == kname]
-                # varint count per candidate region (cumulative-terminator
-                # trick: one pass over the batch buffer)
-                csum = np.concatenate(
-                    [[0], np.cumsum(((buf & 0x80) == 0).astype(np.int64))]
-                )
-                nvals = csum[meta["feat_end"][cand]] - csum[meta["feat_start"][cand]]
-                cand = cand[nvals % w == 0]
+                # varint count per candidate region: segmented terminator
+                # sums via reduceat (a full-buffer cumsum was the batch's
+                # single most expensive numpy op)
+                nvals = np.empty(0, dtype=np.int64)
+                if len(cand):
+                    # one zero pad: a region ending exactly at the buffer
+                    # end would otherwise be an out-of-bounds reduceat index
+                    term = np.concatenate(
+                        [((buf & 0x80) == 0).astype(np.int32), np.zeros(1, np.int32)]
+                    )
+                    bounds = np.stack(
+                        [meta["feat_start"][cand], meta["feat_end"][cand]], axis=1
+                    ).reshape(-1)
+                    nvals = np.add.reduceat(term, bounds)[::2].astype(np.int64)
+                    keep_c = nvals % w == 0
+                    cand, nvals = cand[keep_c], nvals[keep_c]
 
                 uniform = np.zeros(nlay, dtype=bool)
                 uniform[cand] = True
@@ -287,7 +296,7 @@ def decode_tiles_columnar(tiles: DataFrame, prop_keys: list[str]) -> DataFrame:
                 vals, vlens = pbf.decode_varints_vec(big, return_lengths=True)
                 m = vals.reshape(-1, w)
                 ml = vlens.reshape(-1, w)
-                feat_counts = (csum[meta["feat_end"][cand]] - csum[meta["feat_start"][cand]]) // w
+                feat_counts = nvals // w
                 rep = np.repeat(np.arange(len(cand)), feat_counts)
                 row_ok = _packed_rows_ok(m, ml, c_expected)
                 if not row_ok.all():
