@@ -497,3 +497,88 @@ def test_dec_point_degenerate_commands(version):
         C.decode_geometry(
             [9, _zz(1), _zz(1), (1 << 3) | 2, _zz(1), _zz(1)], C.POINT, version=version
         )
+
+
+# --- polygon decode corpus (test/unit/decoding/polygon.cpp) -----------------
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_dec_polygon_with_hole(version):
+    """CCW exterior + CW hole (polygon.cpp:110-171)."""
+    cmds = [
+        9, _zz(0), _zz(0), (3 << 3) | 2, _zz(0), _zz(10), _zz(-10), _zz(0),
+        _zz(0), _zz(-10), 15,
+        9, _zz(3), _zz(7), (3 << 3) | 2, _zz(4), _zz(0), _zz(0), _zz(-4),
+        _zz(-4), _zz(0), 15,
+    ]
+    kind, rings = C.decode_geometry(cmds, C.POLYGON, version=version)
+    assert kind == "polygon" and len(rings) == 2
+    np.testing.assert_array_equal(
+        rings[0], np.array([[0, 0], [0, 10], [-10, 10], [-10, 0], [0, 0]], float)
+    )
+    np.testing.assert_array_equal(
+        rings[1], np.array([[-7, 7], [-3, 7], [-3, 3], [-7, 3], [-7, 7]], float)
+    )
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_dec_simple_multipolygon(version):
+    """Two CCW rings = two polygons (polygon.cpp:172-233)."""
+    cmds = [
+        9, _zz(0), _zz(0), (3 << 3) | 2, _zz(0), _zz(10), _zz(-10), _zz(0),
+        _zz(0), _zz(-10), 15,
+        9, _zz(3), _zz(7), (3 << 3) | 2, _zz(0), _zz(-4), _zz(4), _zz(0),
+        _zz(0), _zz(4), 15,
+    ]
+    kind, polys = C.decode_geometry(cmds, C.POLYGON, version=version)
+    assert kind == "multipolygon" and len(polys) == 2
+    np.testing.assert_array_equal(
+        polys[1][0], np.array([[-7, 7], [-7, 3], [-3, 3], [-3, 7], [-7, 7]], float)
+    )
+
+
+def test_dec_polygon_reversed_windings():
+    """CW exterior + CCW second ring: v1 auto-corrects into polygon with
+    hole, v2 throws on the CW first ring (polygon.cpp:234-293)."""
+    cmds = [
+        9, _zz(0), _zz(0), (3 << 3) | 2, _zz(-10), _zz(0), _zz(0), _zz(10),
+        _zz(10), _zz(0), 15,
+        9, _zz(-7), _zz(-3), (3 << 3) | 2, _zz(0), _zz(-4), _zz(4), _zz(0),
+        _zz(0), _zz(4), 15,
+    ]
+    kind, rings = C.decode_geometry(cmds, C.POLYGON, version=1)
+    assert kind == "polygon" and len(rings) == 2
+    np.testing.assert_array_equal(
+        rings[0], np.array([[0, 0], [0, 10], [-10, 10], [-10, 0], [0, 0]], float)
+    )
+    with pytest.raises(C.DecodeError):
+        C.decode_geometry(cmds, C.POLYGON, version=2)
+
+
+def test_dec_polygon_degenerate_matrix():
+    """Degenerate polygon streams (polygon.cpp:527-705)."""
+    # only moveto: throws at both versions (unterminated ring)
+    for v in (1, 2):
+        with pytest.raises(C.DecodeError):
+            C.decode_geometry([9, _zz(1), _zz(1)], C.POLYGON, version=v)
+    # moveto + close: v1 empty, v2 throws
+    mc = [9, _zz(1), _zz(1), 15]
+    assert C.decode_geometry(mc, C.POLYGON, version=1)[0] == "empty"
+    with pytest.raises(C.DecodeError):
+        C.decode_geometry(mc, C.POLYGON, version=2)
+    # moveto + close + close: throws at both
+    for v in (1, 2):
+        with pytest.raises(C.DecodeError):
+            C.decode_geometry([9, _zz(1), _zz(1), 15, 15], C.POLYGON, version=v)
+    # moveto+close then a real polygon: v1 keeps the real one, v2 throws
+    cmds = [
+        9, _zz(1), _zz(1), 15,
+        9, _zz(-1), _zz(-1), (3 << 3) | 2, _zz(0), _zz(10), _zz(-10), _zz(0),
+        _zz(0), _zz(-10), 15,
+    ]
+    kind, rings = C.decode_geometry(cmds, C.POLYGON, version=1)
+    assert kind == "polygon"
+    np.testing.assert_array_equal(
+        rings[0], np.array([[0, 0], [0, 10], [-10, 10], [-10, 0], [0, 0]], float)
+    )
+    with pytest.raises(C.DecodeError):
+        C.decode_geometry(cmds, C.POLYGON, version=2)
