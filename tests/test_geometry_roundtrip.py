@@ -582,3 +582,67 @@ def test_dec_polygon_degenerate_matrix():
     )
     with pytest.raises(C.DecodeError):
         C.decode_geometry(cmds, C.POLYGON, version=2)
+
+
+# --- encode goldens (test/unit/encoding/{linestring,polygon}_pbf.cpp) -------
+
+def test_enc_linestring_goldens():
+    # simple: (10,10)->(20,20)->(30,30) => [9,20,20,18,20,20,20,20]
+    gtype, cmds = C.encode_geometry(
+        ("linestring", np.array([[10, 10], [20, 20], [30, 30]]))
+    )
+    assert (gtype, cmds) == (C.LINESTRING, [9, 20, 20, (2 << 3) | 2, 20, 20, 20, 20])
+    # overlapping: back over itself => negative deltas (19,19)
+    gtype, cmds = C.encode_geometry(
+        ("linestring", np.array([[10, 10], [20, 20], [10, 10]]))
+    )
+    assert (gtype, cmds) == (C.LINESTRING, [9, 20, 20, (2 << 3) | 2, 20, 20, 19, 19])
+    # repeated points collapse (U3)
+    gtype, cmds = C.encode_geometry(
+        ("linestring", np.array([[10, 10], [10, 10], [20, 20], [20, 20], [30, 30]]))
+    )
+    assert (gtype, cmds) == (C.LINESTRING, [9, 20, 20, (2 << 3) | 2, 20, 20, 20, 20])
+
+
+def test_enc_polygon_goldens():
+    ring = np.array([[0, 0], [0, 10], [-10, 10], [-10, 0], [0, 0]])
+    gtype, cmds = C.encode_geometry(("polygon", [ring]))
+    assert gtype == C.POLYGON
+    assert cmds == [9, 0, 0, (3 << 3) | 2, 0, 20, 19, 0, 0, 19, 15]
+
+
+def test_enc_polygon_with_hole_golden():
+    """Cursor threads across rings: hole MoveTo is relative to the last
+    exterior vertex (polygon_pbf.cpp:110-180)."""
+    ext = np.array([[0, 0], [0, 10], [-10, 10], [-10, 0], [0, 0]])
+    hole = np.array([[-7, 7], [-3, 7], [-3, 3], [-7, 3], [-7, 7]])
+    gtype, cmds = C.encode_geometry(("polygon", [ext, hole]))
+    assert gtype == C.POLYGON
+    assert cmds == [
+        9, 0, 0, (3 << 3) | 2, 0, 20, 19, 0, 0, 19, 15,
+        9, 6, 14, (3 << 3) | 2, 8, 0, 0, 7, 7, 0, 15,
+    ]
+
+
+def test_enc_polygon_degenerate_rings():
+    """Degenerate exteriors fail; a valid exterior with a degenerate
+    interior keeps only the exterior (polygon_pbf.cpp:484-560)."""
+    # all-repeated exterior
+    rep = np.array([[0, 0], [0, 0], [0, 0], [0, 0]])
+    gtype, cmds = C.encode_geometry(("polygon", [rep]))
+    assert gtype is None
+    # 2-point exterior
+    two = np.array([[0, 0], [0, 10]])
+    gtype, cmds = C.encode_geometry(("polygon", [two]))
+    assert gtype is None
+    # valid exterior + degenerate interior
+    ext = np.array([[0, 0], [0, 10], [-10, 10], [-10, 0], [0, 0]])
+    gtype, cmds = C.encode_geometry(("polygon", [ext, two]))
+    assert gtype == C.POLYGON
+    assert cmds == [9, 0, 0, (3 << 3) | 2, 0, 20, 19, 0, 0, 19, 15]
+
+
+def test_enc_empty_inputs():
+    assert C.encode_geometry(("polygon", []))[0] is None
+    assert C.encode_geometry(("multipolygon", []))[0] is None
+    assert C.encode_geometry(("multipoint", np.empty((0, 2))))[0] is None
