@@ -646,3 +646,33 @@ def test_enc_empty_inputs():
     assert C.encode_geometry(("polygon", []))[0] is None
     assert C.encode_geometry(("multipolygon", []))[0] is None
     assert C.encode_geometry(("multipoint", np.empty((0, 2))))[0] is None
+
+
+# --- shape-collapse round trips (test/system/round_trip.cpp:54-161) --------
+
+def test_single_element_multis_collapse():
+    """Single-element multi geometries round-trip as their scalar kind."""
+    out = round_trip("MULTIPOINT(0 0)")
+    assert G.from_wkt(out)[0] == "point"
+    out = round_trip("MULTILINESTRING((0 0,100 100))")
+    assert G.from_wkt(out)[0] == "linestring"
+    out = round_trip("MULTIPOLYGON(((0 0,-10 0,-10 10,0 10,0 0)))")
+    assert G.from_wkt(out)[0] == "polygon"
+
+
+def test_actual_multis_stay_multi():
+    out = round_trip("MULTIPOINT(0 0,10 10)")
+    assert G.from_wkt(out)[0] == "multipoint"
+    out = round_trip("MULTILINESTRING((0 0,50 50),(60 60,100 100))")
+    assert G.from_wkt(out)[0] == "multilinestring"
+    out = round_trip(
+        "MULTIPOLYGON(((0 0,-10 0,-10 10,0 10,0 0)),((30 30,20 30,20 40,30 40,30 30)))"
+    )
+    assert G.from_wkt(out)[0] == "multipolygon"
+
+
+def test_geometry_collection_collapses():
+    """A collection of one element round-trips as the element
+    (round_trip.cpp:26-52)."""
+    out = round_trip("GEOMETRYCOLLECTION(POINT(0 0))")
+    assert G.from_wkt(out)[0] == "point"
