@@ -89,6 +89,104 @@ def stream_windowed_event_counts(
     )
 
 
+def sessionize_events(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    gap: str = "10 minutes",
+):
+    """Custom stateful operator via applyInPandasWithState (the brief's
+    'applyInPandasWithState for custom stateful operators'): groups an
+    event stream into EVENT-TIME sessions per event_type — a session
+    closes when the watermark passes last_event + gap, emitting
+    (event_type, session_start, session_end, n, total). Event-time
+    timeouts are data-driven (deterministic under replay); a
+    processing-time variant would also keep an availableNow query alive
+    in a state-cleanup loop forever. State survives micro-batches and
+    restarts through the checkpointed state store; closed sessions
+    append to the parquet sink."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+        .withWatermark("ts", gap)
+    )
+
+    def fn(key, pdfs, state):
+        etype = key[0]
+        if state.hasTimedOut:
+            start_ms, end_ms, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "event_type": [etype],
+                    "session_start": [_dt.datetime.utcfromtimestamp(start_ms / 1000.0)],
+                    "session_end": [_dt.datetime.utcfromtimestamp(end_ms / 1000.0)],
+                    "n": [n],
+                    "total": [total],
+                }
+            )
+            return
+        start_ms = end_ms = None
+        n = 0
+        total = 0.0
+        if state.exists:
+            start_ms, end_ms, n, total = state.get
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
+            lo, hi = int(ts_ms.min()), int(ts_ms.max())
+            start_ms = lo if start_ms is None else min(start_ms, lo)
+            end_ms = hi if end_ms is None else max(end_ms, hi)
+            n += int(len(pdf))
+            total += float(pdf["value"].sum())
+        if start_ms is not None:
+            state.update((start_ms, end_ms, n, total))
+            # close when the WATERMARK passes last_event + gap (must stay
+            # strictly ahead of the current watermark to be accepted)
+            state.setTimeoutTimestamp(
+                max(end_ms + gap_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        yield pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype="object"),
+                "session_start": pd.Series([], dtype="datetime64[ns]"),
+                "session_end": pd.Series([], dtype="datetime64[ns]"),
+                "n": pd.Series([], dtype="int64"),
+                "total": pd.Series([], dtype="float64"),
+            }
+        )
+
+    sessions = stream.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "event_type string, session_start timestamp, session_end timestamp, "
+            "n long, total double"
+        ),
+        stateStructType="start_ms long, end_ms long, n long, total double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_rebuild_tiles(
     spark: SparkSession,
     input_dir: str,

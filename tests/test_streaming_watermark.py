@@ -54,3 +54,31 @@ def test_watermark_windowed_counts(spark, tmp_path):
     assert rows[(10, "a")] == 1  # the 10:10 event's window closed in run 2
     assert rows[(10, "b")] == 1
     assert (20, "b") not in rows  # still open (watermark at 10:15)
+
+
+def test_sessionize_events_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: state persists across
+    resumed availableNow runs; sessions close when the WATERMARK passes
+    last_event + gap (event-time timeout) and append exactly once."""
+    inp = str(tmp_path / "sin")
+    chk = str(tmp_path / "schk")
+    out = str(tmp_path / "sout")
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    _write_events(spark, inp, [
+        (1, "a", t0, 1.0),
+        (2, "a", t0 + dt.timedelta(minutes=1), 2.0),
+        (3, "b", t0, 5.0),
+    ])
+    S.sessionize_events(spark, inp, chk, out, gap="10 minutes").awaitTermination(180)
+    # run 2: an event an hour later advances the watermark past both
+    # open sessions' end+gap -> they close; 'c' itself stays open
+    _write_events(spark, inp, [(4, "c", t0 + dt.timedelta(hours=1), 7.0)])
+    S.sessionize_events(spark, inp, chk, out, gap="10 minutes").awaitTermination(180)
+
+    got = spark.read.parquet(out).toPandas()
+    by_type = {r["event_type"]: r for _, r in got.iterrows()}
+    assert by_type["a"]["n"] == 2 and abs(by_type["a"]["total"] - 3.0) < 1e-9
+    assert by_type["a"]["session_end"].minute == 1
+    assert by_type["b"]["n"] == 1 and abs(by_type["b"]["total"] - 5.0) < 1e-9
+    assert "c" not in by_type  # its session is still open
