@@ -683,8 +683,10 @@ def layer_features_region(data: bytes) -> tuple[dict, bytes | None]:
             pos += ln
         elif field == 15 and wire == WT_VARINT:
             out["version"], pos = read_varint(data, pos)
+            out["_seen_ver"] = True
         elif field == 5 and wire == WT_VARINT:
             out["extent"], pos = read_varint(data, pos)
+            out["_seen_ext"] = True
         elif field == 3 and wire == WT_LEN:
             ln, pos = read_varint(data, pos)
             out["keys"].append(data[pos : pos + ln].decode("utf-8"))
@@ -766,6 +768,8 @@ def parse_layers_batch(layer_blobs: list[bytes]) -> dict:
     feat_start = np.full(n, -1, dtype=np.int64)
     version = np.ones(n, dtype=np.int64)
     extent = np.full(n, 4096, dtype=np.int64)
+    seen_ext = np.zeros(n, dtype=bool)
+    seen_ver = np.zeros(n, dtype=bool)
     name_s = np.full(n, -1, dtype=np.int64)
     name_l = np.zeros(n, dtype=np.int64)
     rec_layer: list[np.ndarray] = []   # len-framed field records
@@ -824,8 +828,10 @@ def parse_layers_batch(layer_blobs: list[bytes]) -> dict:
             name_l[li[name_f]] = ln[name_f]
         if ext_f.any():
             extent[li[ext_f]] = vv[ext_f]
+            seen_ext[li[ext_f]] = True
         if ver_f.any():
             version[li[ver_f]] = vv[ver_f]
+            seen_ver[li[ver_f]] = True
         kv = key_f | val_f
         if kv.any():
             rec_layer.append(li[kv])
@@ -856,12 +862,23 @@ def parse_layers_batch(layer_blobs: list[bytes]) -> dict:
         if region is None:
             ok[i] = False
             continue
+        # same early-stop trust rule as the vectorized walk: the region
+        # starts at the first Feature frame, so extent/version must have
+        # been declared before it (the packed layout always does)
+        if not (layer.get("_seen_ext") and layer.get("_seen_ver")):
+            ok[i] = False
+            continue
         py_parsed[i] = (layer, region)
         version[i] = layer["version"]
         extent[i] = layer["extent"]
         feat_start[i] = starts[i] + (len(blob) - len(region))
 
     ok &= name_s >= 0
+    # a walk that stopped at the first Feature frame never saw anything
+    # written AFTER the features (the generic layout puts extent/version
+    # there) — trust the early stop only when both were declared first,
+    # like this engine's packed writer does; anything else falls back
+    ok &= (feat_start < 0) | (seen_ext & seen_ver)
     for i in py_finish:
         ok[i] = i in py_parsed  # name/keys/values spliced in below
 

@@ -150,3 +150,45 @@ def test_value_variant_roundtrip(values):
             assert got == np.float32(v)
         else:
             assert got == v
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+                    min_size=1, max_size=8),                       # layer name
+            st.lists(st.text(max_size=6), max_size=4),             # keys
+            st.lists(st.one_of(st.text(max_size=8),
+                               st.integers(min_value=-1000, max_value=1000),
+                               st.booleans()), max_size=4),        # values
+            st.integers(min_value=0, max_value=3),                 # n features
+            st.sampled_from([1, 2]),                               # version
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_parse_layers_batch_equals_decode_layer(layer_specs):
+    """The batched header parser agrees with the per-layer parser on
+    name/version/extent/keys/values for arbitrary generic layers."""
+    blobs = []
+    for name, keys, values, n_feat, version in layer_specs:
+        feats = [
+            pbf.encode_feature(i + 1, [], 1, [9, 2 * i, 2 * i]) for i in range(n_feat)
+        ]
+        blobs.append(
+            pbf.encode_layer(
+                name, feats, keys, [pbf.encode_value(v) for v in values],
+                version=version,
+            )
+        )
+    meta = pbf.parse_layers_batch(blobs)
+    for i, blob in enumerate(blobs):
+        ref = pbf.decode_layer(blob)
+        if not meta["ok"][i]:
+            continue  # fallback-routed layers are decoded by decode_layer anyway
+        assert meta["name"][i] == ref["name"]
+        assert meta["version"][i] == ref["version"]
+        assert meta["extent"][i] == ref["extent"]
+        assert list(meta["keys"][meta["key_layer"] == i]) == ref["keys"]
+        assert list(meta["values"][meta["val_layer"] == i]) == ref["values"]
