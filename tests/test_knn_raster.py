@@ -182,3 +182,62 @@ def test_knn_haversine_matches_brute_force(located):
     fast = K.knn_ring_expansion_haversine(located, hot, k=5, z=9).toPandas()
     slow = K.brute_force_knn_haversine(located, hot, k=5).toPandas()
     pd.testing.assert_frame_equal(_norm(fast), _norm(slow))
+
+
+@pytest.mark.slow
+def test_knn_100k_queries_no_driver_materialization(spark):
+    """kNN for EVERY row (1e5 queries == 1e5 candidates) runs through
+    the iterative distributed path (pending set > one-shot cutoff) with
+    ZERO driver-side candidate materialization: toPandas is never called
+    during the computation. Correctness spot-checked on a sampled query
+    subset against brute force."""
+    import pyspark.sql.classic.dataframe as cdf
+
+    n = 100_000
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            h1 = (ids * 2654435761) % (2**32)
+            h2 = (ids * 2246822519 + 1013904223) % (2**32)
+            yield pd.DataFrame(
+                {
+                    "image_id": [f"q{int(i):09d}" for i in ids],
+                    "lon": h1 / 2**32 * 360.0 - 180.0,
+                    "lat": h2 / 2**32 * 170.0 - 85.0,
+                }
+            )
+
+    pts = (
+        spark.range(n).repartition(8)
+        .mapInPandas(gen, "image_id string, lon double, lat double")
+        .localCheckpoint(eager=True)
+    )
+
+    calls = {"n": 0}
+    orig = cdf.DataFrame.toPandas
+
+    def spy(self):
+        calls["n"] += 1
+        return orig(self)
+
+    cdf.DataFrame.toPandas = spy
+    try:
+        out = knn.knn_ring_expansion(pts, pts, k=3, z=9)
+        total = out.count()
+    finally:
+        cdf.DataFrame.toPandas = orig
+    assert calls["n"] == 0, "kNN materialized a DataFrame on the driver"
+    assert total == 3 * n
+
+    # sampled exactness vs brute force
+    sample = pts.where(F.col("image_id").substr(2, 9).cast("long") % 9973 == 0)
+    brute = knn.brute_force_knn(pts, sample, k=3).toPandas()
+    got = (
+        out.join(sample.select(F.col("image_id").alias("query_id")), "query_id")
+        .toPandas()
+    )
+    key = ["query_id", "rank"]
+    b = brute.sort_values(key).reset_index(drop=True)
+    g = got.sort_values(key).reset_index(drop=True)
+    assert list(b["neighbor_id"]) == list(g["neighbor_id"])
