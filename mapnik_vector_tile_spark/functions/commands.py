@@ -38,11 +38,42 @@ def unzigzag32(u: np.ndarray) -> np.ndarray:
 # Encode
 # ---------------------------------------------------------------------------
 
+def _zz32(d: int) -> int:
+    """Exact int32-wrap zigzag for scalar paths."""
+    d &= 0xFFFFFFFF
+    if d >= 0x80000000:
+        d -= 0x100000000
+    return ((d << 1) ^ (d >> 31)) & 0xFFFFFFFF
+
+
 def _emit_path(pts: np.ndarray, cursor: list[int], out: list[int], is_ring: bool) -> bool:
     """encode_linestring / encode_linearring
     (vector_tile_geometry_encoder_pbf.ipp:73-179)."""
     pts = np.asarray(pts, dtype=np.int64)
     n = len(pts)
+    if n <= 12:  # fully-scalar small path: tiny tile features dominate
+        rows = pts.tolist()
+        kx, ky = [], []
+        for x, y in rows:
+            if not kx or x != kx[-1] or y != ky[-1]:
+                kx.append(x)
+                ky.append(y)
+        if is_ring and len(kx) > 1 and kx[0] == kx[-1] and ky[0] == ky[-1]:
+            kx.pop()
+            ky.pop()
+        if (is_ring and len(kx) < 3) or (not is_ring and len(kx) < 2) or not kx:
+            return False
+        out.append(9)  # MoveTo | 1<<3
+        out.append(_zz32(kx[0] - cursor[0]))
+        out.append(_zz32(ky[0] - cursor[1]))
+        out.append(((len(kx) - 1) << 3) | LINE_TO)
+        for i in range(1, len(kx)):
+            out.append(_zz32(kx[i] - kx[i - 1]))
+            out.append(_zz32(ky[i] - ky[i - 1]))
+        if is_ring:
+            out.append(15)  # ClosePath | 1<<3
+        cursor[0], cursor[1] = kx[-1], ky[-1]
+        return True
     # repeated_point_count semantics: consecutive dups reduce the count
     if n >= 2:
         rep = int(np.sum((pts[1:] == pts[:-1]).all(axis=1)))
@@ -63,35 +94,6 @@ def _emit_path(pts: np.ndarray, cursor: list[int], out: list[int], is_ring: bool
         if eff < 2:
             return False
         body = pts
-    # delta emission: dropping consecutive-duplicate rows is equivalent
-    # to the reference's skip-zero-delta loop with a threaded cursor
-    # (vector_tile_geometry_encoder_pbf.ipp:100-131)
-    if len(body) <= 12:  # scalar path: tiny tile features dominate
-
-        def zz32(d: int) -> int:  # exact int32-wrap zigzag
-            d &= 0xFFFFFFFF
-            if d >= 0x80000000:
-                d -= 0x100000000
-            return ((d << 1) ^ (d >> 31)) & 0xFFFFFFFF
-
-        bx = body[:, 0].tolist()
-        by = body[:, 1].tolist()
-        kx, ky = [bx[0]], [by[0]]
-        for i in range(1, len(bx)):
-            if bx[i] != kx[-1] or by[i] != ky[-1]:
-                kx.append(bx[i])
-                ky.append(by[i])
-        out.append(9)  # MoveTo | 1<<3
-        out.append(zz32(kx[0] - cursor[0]))
-        out.append(zz32(ky[0] - cursor[1]))
-        out.append(((len(kx) - 1) << 3) | LINE_TO)
-        for i in range(1, len(kx)):
-            out.append(zz32(kx[i] - kx[i - 1]))
-            out.append(zz32(ky[i] - ky[i - 1]))
-        if is_ring:
-            out.append(15)  # ClosePath | 1<<3
-        cursor[0], cursor[1] = kx[-1], ky[-1]
-        return True
     keep = np.ones(len(body), dtype=bool)
     keep[1:] = (body[1:] != body[:-1]).any(axis=1)
     b = body[keep]

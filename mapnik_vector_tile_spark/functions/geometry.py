@@ -204,7 +204,16 @@ def gunpack(data: bytes):
     kind = _GP_KINDS[code]
     if code == 0:
         return ("empty", None)
-    nr = int(np.frombuffer(data, dtype=np.uint32, count=1, offset=1)[0])
+    nr = int.from_bytes(data[1:5], "little")
+    if nr == 1:  # single-ring fast path (the dominant tile-feature shape)
+        coords = np.frombuffer(data, dtype=np.float64, offset=13).reshape(-1, 2)
+        if kind == "point":
+            return (kind, coords[0])
+        if kind in ("multipoint", "linestring"):
+            return (kind, coords)
+        if kind in ("multilinestring", "polygon"):
+            return (kind, [coords])
+        return (kind, [[coords]])  # multipolygon
     counts = np.frombuffer(data, dtype=np.uint32, count=nr, offset=5).astype(np.int64)
     parts = np.frombuffer(data, dtype=np.uint32, count=nr, offset=5 + 4 * nr)
     coords = np.frombuffer(data, dtype=np.float64, offset=5 + 8 * nr).reshape(-1, 2)
@@ -349,14 +358,29 @@ def transform_geoms_batch(geoms: list, vt: ViewTransform) -> list:
     else:
         px_all = np.empty((0, 2), dtype=np.int64)
         ok_all = np.empty(0, dtype=bool)
+    all_ok = bool(ok_all.all()) if len(ok_all) else True
+
+    # per-ring bboxes in ONE reduceat pass (the per-ring min/max calls
+    # were a top-5 cost of the whole geometry encode)
+    ring_lens = np.fromiter((len(f) for f in flats), dtype=np.int64, count=len(flats))
+    if len(ring_lens):
+        offs = np.concatenate([[0], np.cumsum(ring_lens)[:-1]])
+        rmin = np.minimum.reduceat(px_all, offs, axis=0)
+        rmax = np.maximum.reduceat(px_all, offs, axis=0)
+    else:
+        rmin = rmax = np.empty((0, 2), dtype=np.int64)
 
     pos = 0
+    ring_i = 0
 
     def take(n: int):
-        nonlocal pos
+        nonlocal pos, ring_i
         px = px_all[pos : pos + n]
-        ok = ok_all[pos : pos + n]
         pos += n
+        ring_i += 1
+        if all_ok:
+            return px
+        ok = ok_all[pos - n : pos]
         return px[ok] if not ok.all() else px
 
     out = []
@@ -369,6 +393,7 @@ def transform_geoms_batch(geoms: list, vt: ViewTransform) -> list:
             tg = transform_geom(g, vt)
             out.append((tg, _geom_px_bbox(tg)))
             continue
+        r0 = ring_i
         if kind == "point":
             px = take(1)
             tg = ("point", px[0]) if len(px) else ("empty", None)
@@ -396,7 +421,22 @@ def transform_geoms_batch(geoms: list, vt: ViewTransform) -> list:
                 if rings and len(rings[0]) >= 3:
                     polys.append(rings)
             tg = ("multipolygon", polys) if polys else ("empty", None)
-        out.append((tg, _geom_px_bbox(tg)))
+        if tg[0] == "empty":
+            out.append((tg, None))
+        elif all_ok:
+            # bbox from the precomputed per-ring extrema; covers every
+            # consumed ring incl. rebuilt-away parts — a superset bbox
+            # only makes the inside fast-path check CONSERVATIVE
+            if ring_i - r0 == 1:
+                bb = (int(rmin[r0, 0]), int(rmin[r0, 1]),
+                      int(rmax[r0, 0]), int(rmax[r0, 1]))
+            else:
+                lo = rmin[r0:ring_i].min(axis=0)
+                hi = rmax[r0:ring_i].max(axis=0)
+                bb = (int(lo[0]), int(lo[1]), int(hi[0]), int(hi[1]))
+            out.append((tg, bb))
+        else:
+            out.append((tg, _geom_px_bbox(tg)))
     return out
 
 
@@ -543,13 +583,56 @@ def douglas_peucker(arr: np.ndarray, max_distance: float) -> np.ndarray:
     at :77-288): first/last always kept; candidate = farthest point by
     *segment* distance (endpoint-clamped, squared); kept only when
     strictly greater than max_distance^2; first-of-ties wins."""
-    pts = np.asarray(arr, dtype=np.float64)
-    n = len(pts)
+    src = np.asarray(arr)
+    n = len(src)
     if n <= 2:
-        return np.asarray(arr).copy()
+        return src.copy()
+    max_sqrd = float(max_distance) * float(max_distance)
+    if n <= 10:
+        # fully-scalar small case (no numpy temporaries at all)
+        rows = src.tolist()
+        xs = [float(p[0]) for p in rows]
+        ys = [float(p[1]) for p in rows]
+
+        def d2(b, e, i):
+            vx, vy = xs[e] - xs[b], ys[e] - ys[b]
+            wx, wy = xs[i] - xs[b], ys[i] - ys[b]
+            c1 = wx * vx + wy * vy
+            if c1 <= 0.0:
+                return wx * wx + wy * wy
+            c2 = vx * vx + vy * vy
+            if c2 <= c1:
+                ux, uy = xs[i] - xs[e], ys[i] - ys[e]
+                return ux * ux + uy * uy
+            f = c1 / c2
+            px_, py_ = wx - f * vx, wy - f * vy
+            return px_ * px_ + py_ * py_
+
+        inc = [False] * n
+        inc[0] = inc[-1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            b, e = stack.pop()
+            if e - b + 1 <= 2:
+                continue
+            md = max_sqrd
+            cand = -1
+            for i in range(b + 1, e):
+                d = d2(b, e, i)
+                if md < d:
+                    md = d
+                    cand = i
+            if cand >= 0:
+                inc[cand] = True
+                stack.append((b, cand))
+                stack.append((cand, e))
+        if all(inc):
+            return src.copy()
+        return src[[i for i, k in enumerate(inc) if k]]
+
+    pts = src.astype(np.float64) if src.dtype != np.float64 else src
     included = np.zeros(n, dtype=bool)
     included[0] = included[-1] = True
-    max_sqrd = float(max_distance) * float(max_distance)
     # scalar path for small ranges: numpy per-call overhead dominates at
     # tile-feature sizes (the batch-scale hot loop), exact same math
     xs = pts[:, 0].tolist()
@@ -656,6 +739,14 @@ def ring_area(ring: np.ndarray) -> float:
     r = np.asarray(ring, dtype=np.float64)
     if len(r) < 3:
         return 0.0
+    if len(r) <= 16:  # scalar shoelace: tiny rings dominate batch encode
+        rows = r.tolist()
+        xp, yp = rows[-1]
+        s = 0.0
+        for x, y in rows:
+            s += (xp + x) * (yp - y)
+            xp, yp = x, y
+        return -0.5 * s
     x, y = r[:, 0], r[:, 1]
     # wrap-around shift via concatenate (np.roll's python overhead is
     # measurable at tiny-ring batch scale)
@@ -668,9 +759,17 @@ def dedup_consecutive(arr: np.ndarray) -> np.ndarray:
     """boost::geometry::unique / std::unique — drop repeated consecutive
     points (U3)."""
     a = np.asarray(arr)
-    if len(a) < 2:
+    n = len(a)
+    if n < 2:
         return a
-    keep = np.ones(len(a), dtype=bool)
+    if n <= 12:  # scalar path: tiny tile rings dominate batch encode
+        rows = a.tolist()
+        idx = [0]
+        for i in range(1, n):
+            if rows[i] != rows[idx[-1]]:
+                idx.append(i)
+        return a if len(idx) == n else a[idx]
+    keep = np.ones(n, dtype=bool)
     keep[1:] = (a[1:] != a[:-1]).any(axis=1)
     return a[keep]
 
