@@ -554,7 +554,18 @@ def clip_geom_inside(
         if not polys:
             return ("empty", None)
         return ("polygon", polys[0]) if len(polys) == 1 else ("multipolygon", polys)
-    # multipolygon / geometrycollection keep the general path (rare in
+    if kind == "multipolygon" and not multi_polygon_union:
+        all_polys = []
+        for poly in val:
+            tagged = _clip_polygon_rings_inside(poly, area_threshold, process_all_rings)
+            if tagged:
+                all_polys.extend(_assemble_polygons(tagged, fill_type, stats=stats))
+        if not all_polys:
+            return ("empty", None)
+        return (
+            ("polygon", all_polys[0]) if len(all_polys) == 1 else ("multipolygon", all_polys)
+        )
+    # unioned multipolygons / collections keep the general path (rare in
     # the fast lane; union semantics involve cross-polygon state)
     return clip_geom(
         geom, (-(2**62), -(2**62), 2**62, 2**62), area_threshold,

@@ -399,7 +399,7 @@ def encode_geom_layer(
             bbox is not None
             and bbox[0] >= cx0 and bbox[1] >= cy0
             and bbox[2] <= cx1 and bbox[3] <= cy1
-            and tg0[0] not in ("multipolygon", "geometrycollection")
+            and tg0[0] != "geometrycollection"
         )
         if inside:
             tg = G.clip_geom_inside(

@@ -676,3 +676,25 @@ def test_geometry_collection_collapses():
     (round_trip.cpp:26-52)."""
     out = round_trip("GEOMETRYCOLLECTION(POINT(0 0))")
     assert G.from_wkt(out)[0] == "point"
+
+
+def test_clip_geom_inside_equals_clip_geom():
+    """The clip-skip fast path agrees with the full clipper for fully
+    inside geometries across kinds (incl. multipolygon)."""
+    box = (0, 0, 4096, 4096)
+    sq = lambda x0, y0, s: np.array(
+        [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]]
+    )
+    hole = np.array([[120, 120], [120, 180], [180, 180], [180, 120], [120, 120]])
+    cases = [
+        ("point", np.array([5, 5])),
+        ("multipoint", np.array([[1, 1], [1, 1], [2, 2]])),
+        ("linestring", np.array([[10, 10], [10, 10], [50, 50], [90, 10]])),
+        ("multilinestring", [np.array([[1, 1], [2, 2]]), np.array([[5, 5], [5, 5]])]),
+        ("polygon", [sq(100, 100, 100), hole]),
+        ("multipolygon", [[sq(0, 0, 50)], [sq(200, 200, 70)]]),
+    ]
+    for kind, val in cases:
+        full = G.clip_geom((kind, val), box)
+        fast = G.clip_geom_inside((kind, val))
+        assert G.to_wkt(full) == G.to_wkt(fast), kind
