@@ -67,7 +67,12 @@ def _hyperplane_buckets(
     hyperplanes: plane (t,p) component i weight = centered md5 hash of
     (t,p,i). Pure Column math over posexploded components. Multi-table:
     one (vid, table, bucket) row per table — recall grows with tables
-    while each join stays bucket-pruned."""
+    while each join stays bucket-pruned.
+
+    Scale note: bucket fan-out per table is 2^n_planes, so size n_planes
+    to the corpus (expected bucket size n/2^n_planes drives the
+    candidate-join cost — 16 planes => 65k buckets keeps buckets bounded
+    at 1e9 vectors; the small defaults suit parity-scale corpora)."""
     comp = _components(df, id_col, vec_col)
     planes = []
     for t in range(n_tables):

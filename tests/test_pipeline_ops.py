@@ -286,3 +286,41 @@ def test_streaming_rebuild_resume(spark, images_small, tmp_path_factory):
     q2 = S.stream_rebuild_tiles(spark, IMG.fixture_path(2000), ck, out, ["image_id"], z=3)
     q2.awaitTermination(180)
     assert set(os.listdir(out)) == epochs_first  # nothing new processed
+
+
+@pytest.mark.slow
+def test_ann_lsh_scale_bounded_buckets(spark):
+    """50k vectors, 12 planes x 4 tables: no hyperplane bucket becomes a
+    hotspot (bounded candidate-join fan-out) and sampled recall stays
+    useful on clustered data."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    centers = rng.normal(0, 1, (32, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            local = np.random.RandomState(int(ids[0]) % 2**31)
+            c = centers[ids % 32]
+            v = c + local.normal(0, 0.15, (len(ids), 16))
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": [[float(x) for x in r] for r in v]}
+            )
+
+    n = 50_000
+    vecs = (
+        spark.range(n).repartition(8)
+        .mapInPandas(gen, "vec_id long, embedding array<float>")
+        .localCheckpoint(eager=True)
+    )
+    buckets = ann._hyperplane_buckets(vecs, "vec_id", "embedding", n_planes=12, n_tables=4)
+    max_bucket = buckets.groupBy("tbl", "bucket").count().agg(F.max("count")).first()[0]
+    assert max_bucket < n * 0.15, max_bucket  # no single-bucket collapse
+    qs = vecs.orderBy("vec_id").limit(6).select("vec_id")
+    exact = ann.brute_force_topk(vecs, qs, k=5).toPandas()
+    approx = ann.lsh_topk(vecs, qs, k=5, n_planes=12, n_tables=4).toPandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].to_numpy()))
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].to_numpy()))
+    assert len(e & a) / len(e) >= 0.5, len(e & a) / len(e)
