@@ -698,3 +698,21 @@ def test_clip_geom_inside_equals_clip_geom():
         full = G.clip_geom((kind, val), box)
         fast = G.clip_geom_inside((kind, val))
         assert G.to_wkt(full) == G.to_wkt(fast), kind
+
+
+def test_multi_variants_simplified_collapse():
+    """Single-element multis through the SIMPLIFY path collapse to their
+    scalar kinds with the same goldens
+    (round_trip_simplification.cpp:56-131)."""
+    out = round_trip("MULTILINESTRING((0 0,1 1,2 2,100 100))", 500.0)
+    assert out == "LINESTRING(128 -128,192 0)"
+    got = round_trip(
+        "MULTIPOLYGON(((0 0,-10 0,-10 10,0 10,0 0),(-7 7,-7 3,-3 3,-3 7,-7 7)))",
+        500.0,
+    )
+    expected = (
+        "POLYGON((128 -113.778,120.889 -113.778,120.889 -128,128 -128,128 -113.778),"
+        "(123.022 -123.733,123.022 -118.044,125.867 -118.044,125.867 -123.733,"
+        "123.022 -123.733))"
+    )
+    assert norm_poly_wkt(got) == norm_poly_wkt(expected)
