@@ -716,3 +716,10 @@ def test_multi_variants_simplified_collapse():
         "123.022 -123.733))"
     )
     assert norm_poly_wkt(got) == norm_poly_wkt(expected)
+
+
+def test_repeated_multipoint_removed():
+    """test/system/remove_repeated_point.cpp golden: the clipper's
+    multipoint dedup drops consecutive repeats through the round trip."""
+    out = round_trip("MULTIPOINT(0 0,0 0,1 1,1 1)")
+    assert out == "MULTIPOINT(128 -128,128.711 -126.578)"
