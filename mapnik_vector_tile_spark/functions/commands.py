@@ -74,29 +74,19 @@ def _emit_path(pts: np.ndarray, cursor: list[int], out: list[int], is_ring: bool
             out.append(15)  # ClosePath | 1<<3
         cursor[0], cursor[1] = kx[-1], ky[-1]
         return True
-    # repeated_point_count semantics: consecutive dups reduce the count
-    if n >= 2:
-        rep = int(np.sum((pts[1:] == pts[:-1]).all(axis=1)))
-    else:
-        rep = 0
-    eff = n - rep
-    if is_ring:
-        if eff < 3:
-            return False
-        last = n
-        if pts[0, 0] == pts[-1, 0] and pts[0, 1] == pts[-1, 1]:
-            last = n - 1
-            eff -= 1
-            if eff < 3:
-                return False
-        body = pts[:last]
-    else:
-        if eff < 2:
-            return False
-        body = pts
-    keep = np.ones(len(body), dtype=bool)
-    keep[1:] = (body[1:] != body[:-1]).any(axis=1)
-    b = body[keep]
+    # One canonicalization shared with the scalar path above: dedup
+    # consecutive points FIRST, then strip a closing point equal to the
+    # start. (The reference's encode_linearring declares line_to_length
+    # from size-minus-repeats but can still emit an extra pair when the
+    # closing vertex is doubled — a header/payload mismatch we do not
+    # reproduce; we compare at decoded-semantic level.)
+    keep = np.ones(n, dtype=bool)
+    keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+    b = pts[keep]
+    if is_ring and len(b) > 1 and b[0, 0] == b[-1, 0] and b[0, 1] == b[-1, 1]:
+        b = b[:-1]
+    if (is_ring and len(b) < 3) or (not is_ring and len(b) < 2):
+        return False
     line_to_len = len(b) - 1
     d0 = b[0] - np.asarray(cursor, dtype=np.int64)
     zz = zigzag32(np.concatenate([d0[None, :], np.diff(b, axis=0)], axis=0))

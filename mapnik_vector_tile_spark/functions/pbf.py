@@ -742,6 +742,10 @@ def read_varints_at(buf: np.ndarray, pos: np.ndarray):
         # a continuation bit that runs off the buffer = malformed
         lens[cont & (p >= len(buf))] = 0
         shift += np.uint64(7)
+    # a continuation bit still set after 10 bytes = malformed (>64-bit
+    # varint); mirror the buffer-overrun handling so callers fall back to
+    # the strict per-layer parser instead of a misaligned walk
+    lens[more] = 0
     return vals, lens
 
 

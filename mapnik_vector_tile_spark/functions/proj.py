@@ -65,7 +65,12 @@ def parse_proj4(s: str) -> dict:
             and "lat_ts" not in params
             and params.get("a") == "6378137"
         )
-        return {"proj": "merc", "spherical": bool(spherical or "ellps" not in params)}
+        # proj4 semantics: bare '+proj=merc' defaults to the WGS84
+        # ELLIPSOID (EPSG:3395-style); spherical only on explicit hints
+        # (+R / +a==+b / +nadgrids / the web-merc k=1,a=6378137 combo).
+        # ADVICE r2: the old '+ellps absent => spherical' fallback was a
+        # ~20 km northing error vs mapnik::proj_transform.
+        return {"proj": "merc", "spherical": bool(spherical)}
     if proj == "utm":
         return {
             "proj": "utm",

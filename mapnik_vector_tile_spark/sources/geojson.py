@@ -56,44 +56,32 @@ def geojson_obj_to_rows(obj: dict) -> list[tuple[str, str]]:
         geom = obj.get("geometry")
         if geom is None:
             return []
-        props = obj.get("properties") or {}
-        if t_geom := str(geom.get("type", "")).lower():
-            if t_geom == "geometrycollection":
-                return [
-                    (
-                        "GEOMETRYCOLLECTION("
-                        + ",".join(
-                            _coords_to_wkt(g["type"], g["coordinates"])
-                            for g in geom.get("geometries", [])
-                        )
-                        + ")",
-                        json.dumps(props, sort_keys=True),
-                    )
-                ]
-            return [
-                (
-                    _coords_to_wkt(geom["type"], geom["coordinates"]),
-                    json.dumps(props, sort_keys=True),
-                )
-            ]
-        return []
-    # bare geometry document
+        props = json.dumps(obj.get("properties") or {}, sort_keys=True)
+        return [(wkt, props) for wkt in _geom_to_wkts(geom)]
+    # bare geometry document (incl. GeometryCollection)
     if t in ("point", "multipoint", "linestring", "multilinestring",
-             "polygon", "multipolygon"):
-        return [(_coords_to_wkt(obj["type"], obj["coordinates"]), "{}")]
-    if t == "geometrycollection":
-        return [
-            (
-                "GEOMETRYCOLLECTION("
-                + ",".join(
-                    _coords_to_wkt(g["type"], g["coordinates"])
-                    for g in obj.get("geometries", [])
-                )
-                + ")",
-                "{}",
-            )
-        ]
+             "polygon", "multipolygon", "geometrycollection"):
+        return [(wkt, "{}") for wkt in _geom_to_wkts(obj)]
     raise ValueError(f"unsupported GeoJSON document type {obj.get('type')!r}")
+
+
+def _geom_to_wkts(geom: dict) -> list[str]:
+    """Flatten a GeoJSON geometry into one-or-more WKT strings.
+
+    GeometryCollections are flattened into their member geometries (one
+    row per member, shared properties) — the reference's clipper visits
+    each member individually (vector_tile_geometry_clipper.hpp:122-128),
+    so member-rows give identical tiling output while keeping every
+    downstream stage (gpack/with_envelope) single-kind."""
+    t = str(geom.get("type", "")).lower()
+    if not t:
+        return []
+    if t == "geometrycollection":
+        out: list[str] = []
+        for g in geom.get("geometries", []):
+            out.extend(_geom_to_wkts(g))
+        return out
+    return [_coords_to_wkt(geom["type"], geom["coordinates"])]
 
 
 def read_geojson(spark: SparkSession, path: str) -> DataFrame:

@@ -60,3 +60,62 @@ def test_read_geojson_to_tiles(spark, tmp_path):
     decoded = decode.decode_tiles(tiles).toPandas()
     assert len(decoded) >= 2
     assert {m["gid"] for m in decoded["props"]} == {"line", "pt"}
+
+
+def test_geometrycollection_flattened_to_member_rows():
+    """ADVICE r2: a GeometryCollection feature must not crash the tiling
+    pipeline — members are flattened into individual rows sharing the
+    feature's properties (clipper visits each member:
+    vector_tile_geometry_clipper.hpp:122-128)."""
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature",
+             "geometry": {"type": "GeometryCollection", "geometries": [
+                 {"type": "Point", "coordinates": [1, 2]},
+                 {"type": "LineString", "coordinates": [[0, 0], [5, 5]]},
+                 {"type": "GeometryCollection", "geometries": [
+                     {"type": "Polygon",
+                      "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 0]]]},
+                 ]},
+             ]},
+             "properties": {"gid": "gc"}},
+        ],
+    }
+    rows = GJ.geojson_obj_to_rows(fc)
+    assert len(rows) == 3
+    kinds = sorted(G.from_wkt(w)[0] for w, _p in rows)
+    assert kinds == ["linestring", "point", "polygon"]
+    assert all(json.loads(p) == {"gid": "gc"} for _w, p in rows)
+    # bare-document form too
+    bare = {"type": "GeometryCollection", "geometries": [
+        {"type": "Point", "coordinates": [9, 9]}]}
+    assert GJ.geojson_obj_to_rows(bare) == [("POINT(9 9)", "{}")]
+
+
+def test_geometrycollection_through_geom_tiles(spark, tmp_path):
+    """End-to-end: GC member rows pack, envelope, and tile without error."""
+    from mapnik_vector_tile_spark.operators import decode, geom_tiles
+
+    h = 20037508.342789244 / 4.0
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature",
+             "geometry": {"type": "GeometryCollection", "geometries": [
+                 {"type": "Point", "coordinates": [h * 1.5, -h * 1.5]},
+                 {"type": "LineString", "coordinates": [[-h, 1000], [h, 1000]]},
+             ]},
+             "properties": {"gid": "gc"}},
+        ],
+    }
+    p = tmp_path / "gc.geojson"
+    p.write_text(json.dumps(fc))
+    df = GJ.read_geojson(spark, str(p))
+    rows = df.withColumn(
+        "gid", F.get_json_object("properties", "$.gid")
+    ).select("gid", "geom_wkt")
+    assert rows.count() == 2
+    tiles = geom_tiles.build_geom_tiles(rows, ["gid"], z=3, id_col="gid")
+    decoded = decode.decode_tiles(tiles).toPandas()
+    assert len(decoded) >= 2

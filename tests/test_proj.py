@@ -95,3 +95,22 @@ def test_reproject_geoms_operator(spark):
     out2 = GT.reproject_geoms(df2, "+proj=utm +zone=10", "+init=epsg:3857").toPandas()
     pt2 = G.from_wkt(out2.iloc[0]["geom_wkt"])[1]
     assert abs(pt2[0] - float(mx)) < 1e-2 and abs(pt2[1] - float(my)) < 1e-2
+
+
+def test_bare_merc_defaults_ellipsoidal():
+    """ADVICE r2: proj4 '+proj=merc' with no ellipsoid hints means the
+    WGS84 ELLIPSOID (EPSG:3395-like), not spherical web mercator."""
+    assert P.parse_proj4("+proj=merc")["spherical"] is False
+    assert P.parse_proj4("+proj=merc +ellps=WGS84")["spherical"] is False
+    # explicit spherical forms stay spherical
+    assert P.parse_proj4("+proj=merc +a=6378137 +b=6378137")["spherical"] is True
+    assert P.parse_proj4(
+        "+proj=merc +a=6378137 +b=6378137 +lat_ts=0.0 +lon_0=0.0 +x_0=0.0 "
+        "+y_0=0.0 +k=1.0 +units=m +nadgrids=@null +wktext +no_defs +over"
+    )["spherical"] is True
+    assert P.parse_proj4("+init=epsg:3857")["spherical"] is True
+    # the ~20km check: at lat 45 the spherical/ellipsoidal northing gap is big
+    import numpy as np
+    _, ys = P._merc_fwd(np.array([0.0]), np.array([45.0]), spherical=True)
+    _, ye = P._merc_fwd(np.array([0.0]), np.array([45.0]), spherical=False)
+    assert abs(ys[0] - ye[0]) > 15000
