@@ -465,7 +465,8 @@ def encode_features_packed_ragged(
     tags_flat: np.ndarray,
     tag_counts: np.ndarray,
     feature_ids: np.ndarray | None = None,
-) -> bytes:
+    return_lengths: bool = False,
+):
     """Arbitrary-geometry feature framing in one numpy pass (the general
     sibling of encode_point_features_packed — closes the r1 VERDICT
     finding that lines/polygons went through per-feature Python).
@@ -476,7 +477,7 @@ def encode_features_packed_ragged(
     """
     n = len(gtypes)
     if n == 0:
-        return b""
+        return (b"", np.empty(0, dtype=np.int64)) if return_lengths else b""
     gb, gl = varints_bytes(cmds_flat)
     geom_len = _segment_sums(gl, cmd_counts)
     tb, tl = varints_bytes(tags_flat.astype(np.uint64))
@@ -537,6 +538,8 @@ def encode_features_packed_ragged(
     scatter(tb, tags_len, out_start + h1_len)
     scatter(h2, h2_len, out_start + h1_len + tags_len)
     scatter(gb, geom_len, out_start + h1_len + tags_len + h2_len)
+    if return_lengths:
+        return out.tobytes(), total_len
     return out.tobytes()
 
 

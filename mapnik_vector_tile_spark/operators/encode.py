@@ -36,6 +36,7 @@ from mapnik_vector_tile_spark.functions import commands as Cmd
 from mapnik_vector_tile_spark.functions import compression as Z
 from mapnik_vector_tile_spark.functions import geometry as G
 from mapnik_vector_tile_spark.functions import pbf
+from mapnik_vector_tile_spark.functions import ragged as RG
 
 TILE_SCHEMA = "z int, x long, y long, tile binary, n_features long, n_layers int, painted boolean"
 
@@ -165,6 +166,100 @@ def _value_field_bytes(v) -> bytes:
 # segmented vectorized lane: all tiles of a batch at once
 # ---------------------------------------------------------------------------
 
+def _segmented_value_dicts(pdf, prop_cols, gid, local_row, n_groups):
+    """Per-GROUP first-seen value dictionaries for a whole sorted batch
+    (batch-global factorize + segmented first-occurrence ranking —
+    insertion-order parity with vector_tile_layer.ipp:92-124).
+
+    Returns None when any property value is null (callers fall back to
+    the per-group lane), else (tags (n,2c) int64, gathered_bytes,
+    gat_off, dict_off): group g's values blob is
+    gathered_bytes[gat_off[dict_off[g]] : gat_off[dict_off[g+1]]].
+
+    NOTE (documented deviation): identical values appearing in
+    *different columns* each get their own dictionary slot here —
+    decoded properties are identical, the tile is just a few bytes
+    larger in that rare case. Within a column dedup is exact."""
+    n = len(pdf)
+    c = len(prop_cols)
+    col_codes = []
+    col_base = []
+    bufs: list[np.ndarray] = []
+    offs: list[np.ndarray] = []
+    lens: list[np.ndarray] = []
+    base = 0
+    buf_bytes = 0
+    for col in prop_cols:
+        codes, uniques = pd.factorize(pdf[col], use_na_sentinel=True)
+        if (codes < 0).any():
+            return None
+        uniques = list(uniques)
+        try:
+            b, o, l = pbf.encode_string_value_fields(uniques)
+        except Exception:  # non-string column -> scalar value encoding
+            pieces = [_value_field_bytes(v) for v in uniques]
+            b = np.frombuffer(b"".join(pieces), dtype=np.uint8)
+            l = np.array([len(p) for p in pieces], dtype=np.int64)
+            o = np.concatenate([[0], np.cumsum(l)[:-1]]).astype(np.int64)
+        col_codes.append(codes)
+        col_base.append(base)
+        bufs.append(b)
+        offs.append(o + buf_bytes)
+        lens.append(l)
+        base += len(uniques)
+        buf_bytes += len(b)
+    val_buf = np.concatenate(bufs) if bufs else np.empty(0, np.uint8)
+    val_off = np.concatenate(offs) if offs else np.empty(0, np.int64)
+    val_len = np.concatenate(lens) if lens else np.empty(0, np.int64)
+
+    U = max(base, 1)
+    # entry stream: (gid, gvid, stream_pos) for every row x column
+    ent_gid = np.tile(gid, c)
+    ent_gvid = np.concatenate([col_base[j] + col_codes[j] for j in range(c)]) \
+        if c else np.empty(0, np.int64)
+    ent_stream = np.concatenate([local_row * c + j for j in range(c)]) \
+        if c else np.empty(0, np.int64)
+
+    # first occurrence of each (gid, gvid): sort by (gid, gvid, stream)
+    order1 = np.lexsort((ent_stream, ent_gvid, ent_gid))
+    sg, sv, ss = ent_gid[order1], ent_gvid[order1], ent_stream[order1]
+    first = np.empty(len(sg), dtype=bool)
+    if len(sg):
+        first[0] = True
+        first[1:] = (sg[1:] != sg[:-1]) | (sv[1:] != sv[:-1])
+    dict_gid, dict_gvid, dict_stream = sg[first], sv[first], ss[first]
+    # slots: rank by stream within group
+    order2 = np.lexsort((dict_stream, dict_gid))
+    dg, dv = dict_gid[order2], dict_gvid[order2]
+    grp_change = np.empty(len(dg), dtype=bool)
+    if len(dg):
+        grp_change[0] = True
+        grp_change[1:] = dg[1:] != dg[:-1]
+    slot_rank = np.arange(len(dg)) - np.maximum.accumulate(
+        np.where(grp_change, np.arange(len(dg)), 0)
+    )
+    # lookup (gid, gvid) -> slot via sorted combined key
+    key_sorted = dg.astype(np.int64) * U + dv
+    key_order = np.argsort(key_sorted, kind="stable")
+    key_sorted_sorted = key_sorted[key_order]
+    slot_sorted = slot_rank[key_order]
+    ent_key = ent_gid.astype(np.int64) * U + ent_gvid
+    pos = np.searchsorted(key_sorted_sorted, ent_key)
+    ent_slot = slot_sorted[pos]
+
+    tags = np.empty((n, 2 * c), dtype=np.int64)
+    for j in range(c):
+        tags[:, 2 * j] = j
+        tags[:, 2 * j + 1] = ent_slot[j * n : (j + 1) * n]
+
+    # per-group values blob: dict entries (dg, dv) are sorted by
+    # (group, slot) — exactly layer insertion order
+    dict_counts = np.bincount(dg, minlength=n_groups)
+    dict_off = np.concatenate([[0], np.cumsum(dict_counts)])
+    gathered, gat_off = pbf.ragged_gather(val_buf, val_off, val_len, dv)
+    return tags, gathered.tobytes(), gat_off, dict_off
+
+
 def _encode_tiles_segmented(
     pdf: pd.DataFrame,
     layer_name: str,
@@ -197,82 +292,10 @@ def _encode_tiles_segmented(
     group_rows = np.diff(np.append(group_start, n))
     local_row = np.arange(n) - group_start[gid]
 
-    # batch-global per-column value dictionaries. NOTE (documented
-    # deviation): unlike the group lane, identical values appearing in
-    # *different columns* each get their own dictionary slot here —
-    # decoded properties are identical, the tile is just a few bytes
-    # larger in that rare case. Within a column dedup is exact.
-    col_codes = []
-    col_base = []
-    bufs: list[np.ndarray] = []
-    offs: list[np.ndarray] = []
-    lens: list[np.ndarray] = []
-    base = 0
-    buf_bytes = 0
-    has_null = False
-    for col in prop_cols:
-        codes, uniques = pd.factorize(pdf[col], use_na_sentinel=True)
-        if (codes < 0).any():
-            has_null = True
-            break
-        uniques = list(uniques)
-        try:
-            b, o, l = pbf.encode_string_value_fields(uniques)
-        except Exception:  # non-string column -> scalar value encoding
-            pieces = [_value_field_bytes(v) for v in uniques]
-            b = np.frombuffer(b"".join(pieces), dtype=np.uint8)
-            l = np.array([len(p) for p in pieces], dtype=np.int64)
-            o = np.concatenate([[0], np.cumsum(l)[:-1]]).astype(np.int64)
-        col_codes.append(codes)
-        col_base.append(base)
-        bufs.append(b)
-        offs.append(o + buf_bytes)
-        lens.append(l)
-        base += len(uniques)
-        buf_bytes += len(b)
-    if has_null:
+    dicts = _segmented_value_dicts(pdf, prop_cols, gid, local_row, n_groups)
+    if dicts is None:
         return []  # caller falls back to the group lane
-    val_buf = np.concatenate(bufs) if bufs else np.empty(0, np.uint8)
-    val_off = np.concatenate(offs) if offs else np.empty(0, np.int64)
-    val_len = np.concatenate(lens) if lens else np.empty(0, np.int64)
-
-    U = base
-    # entry stream: (gid, gvid, stream_pos) for every row x column
-    ent_gid = np.tile(gid, c)
-    ent_gvid = np.concatenate([col_base[j] + col_codes[j] for j in range(c)])
-    ent_stream = np.concatenate([local_row * c + j for j in range(c)])
-
-    # first occurrence of each (gid, gvid): sort by (gid, gvid, stream)
-    order1 = np.lexsort((ent_stream, ent_gvid, ent_gid))
-    sg, sv, ss = ent_gid[order1], ent_gvid[order1], ent_stream[order1]
-    first = np.empty(len(sg), dtype=bool)
-    first[0] = True
-    first[1:] = (sg[1:] != sg[:-1]) | (sv[1:] != sv[:-1])
-    dict_gid, dict_gvid, dict_stream = sg[first], sv[first], ss[first]
-    # slots: rank by stream within group
-    order2 = np.lexsort((dict_stream, dict_gid))
-    dg, dv = dict_gid[order2], dict_gvid[order2]
-    grp_change = np.empty(len(dg), dtype=bool)
-    if len(dg):
-        grp_change[0] = True
-        grp_change[1:] = dg[1:] != dg[:-1]
-    slot_rank = np.arange(len(dg)) - np.maximum.accumulate(
-        np.where(grp_change, np.arange(len(dg)), 0)
-    )
-    # lookup (gid, gvid) -> slot via sorted combined key
-    key_sorted = dg.astype(np.int64) * U + dv
-    key_order = np.argsort(key_sorted, kind="stable")
-    key_sorted_sorted = key_sorted[key_order]
-    slot_sorted = slot_rank[key_order]
-    ent_key = ent_gid.astype(np.int64) * U + ent_gvid
-    pos = np.searchsorted(key_sorted_sorted, ent_key)
-    ent_slot = slot_sorted[pos]
-
-    # tags matrix (n, 2c)
-    tags = np.empty((n, 2 * c), dtype=np.int64)
-    for j in range(c):
-        tags[:, 2 * j] = j
-        tags[:, 2 * j + 1] = ent_slot[j * n : (j + 1) * n]
+    tags, gathered_b, gat_off, dict_off = dicts
 
     zz = np.column_stack(
         [Cmd.zigzag32(pdf["_px"].to_numpy()), Cmd.zigzag32(pdf["_py"].to_numpy())]
@@ -291,12 +314,6 @@ def _encode_tiles_segmented(
     pbf.add_varint_field(suffix, 15, version)
     suffix = bytes(suffix)
 
-    # per-group values blob: dict entries (dg, dv) are sorted by
-    # (group, slot) — exactly layer insertion order
-    dict_counts = np.bincount(dg, minlength=n_groups)
-    dict_off = np.concatenate([[0], np.cumsum(dict_counts)])
-    gathered, gat_off = pbf.ragged_gather(val_buf, val_off, val_len, dv)
-    gathered_b = gathered.tobytes()
     zs = zxy[group_start, 0]
     xs = zxy[group_start, 1]
     ys = zxy[group_start, 2]
@@ -348,6 +365,163 @@ def encode_point_layer(
     return _encode_group_prequantized(tmp, layer_name, prop_cols, extent, version, raster_col)
 
 
+def _scalar_geom_feature(geom, vt, clip_box, simplify_distance,
+                          area_threshold, stats):
+    """One feature through the scalar pipeline (the eject lane):
+    transform -> simplify -> clip -> encode. Returns (gtype, cmds) or
+    (None, [])."""
+    tg0 = G.transform_geom(geom, vt)
+    if tg0[0] == "empty":
+        return None, []
+    bbox = G._geom_px_bbox(tg0)
+    if simplify_distance > 0:
+        tg0 = G.simplify_geom(tg0, simplify_distance)
+        if tg0[0] == "empty":
+            return None, []
+    cx0, cy0, cx1, cy1 = clip_box
+    inside = (
+        bbox is not None
+        and bbox[0] >= cx0 and bbox[1] >= cy0
+        and bbox[2] <= cx1 and bbox[3] <= cy1
+        and tg0[0] != "geometrycollection"
+    )
+    if inside:
+        tg = G.clip_geom_inside(tg0, area_threshold=area_threshold, stats=stats)
+    else:
+        tg = G.clip_geom(tg0, clip_box, area_threshold=area_threshold, stats=stats)
+    return Cmd.encode_geometry(tg)
+
+
+def _encode_geom_tiles_segmented(
+    pdf: pd.DataFrame,
+    layer_name: str,
+    prop_cols: list[str],
+    extent: int,
+    buffer_px: int,
+    simplify_distance: float,
+    area_threshold: float,
+    geom_col: str,
+    compress_tiles: bool,
+    version: int = 2,
+) -> list[tuple] | None:
+    """Encode every (z,x,y) geometry group of a sorted batch through ONE
+    ragged kernel invocation (functions/ragged.py) — the geometry
+    sibling of _encode_tiles_segmented. Per-feature tile transforms feed
+    the batch quantize; per-group assembly is dictionary-blob + feature
+    byte-range slices + zlib. Returns rows
+    (z, x, y, tile, n_features, n_layers, painted, n_unresolved),
+    or None when a property value is null (per-group fallback)."""
+    n = len(pdf)
+    if n == 0:
+        return []
+    zxy = np.column_stack(
+        [pdf["z"].to_numpy(np.int64), pdf["x"].to_numpy(np.int64), pdf["y"].to_numpy(np.int64)]
+    )
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (zxy[1:] != zxy[:-1]).any(axis=1)
+    gid = np.cumsum(change) - 1
+    n_groups = int(gid[-1]) + 1
+    group_start = np.flatnonzero(change)
+    local_row = np.arange(n) - group_start[gid]
+
+    dicts = _segmented_value_dicts(pdf, prop_cols, gid, local_row, n_groups)
+    if dicts is None:
+        return None
+    tags, gathered_b, gat_off, dict_off = dicts
+
+    # per-group view transforms (exact tile_mercator_bbox_np math so the
+    # quantization is bit-identical to the per-tile lane)
+    gz, gx, gy = zxy[group_start, 0], zxy[group_start, 1], zxy[group_start, 2]
+    minxg, minyg, maxxg, maxyg = tilemath.tile_mercator_bbox_np(gx, gy, gz)
+    sxg = extent / (maxxg - minxg)
+    syg = extent / (maxyg - minyg)
+    clip_box = tilemath.buffered_tile_px_box(extent, buffer_px)
+
+    blobs = pdf[geom_col].to_numpy()
+    stats: dict = {}
+    feat_rows, gtypes_v, cmds_flat, clens, ejects = RG.encode_batch_gpack(
+        blobs, (minxg[gid], maxyg[gid], sxg[gid], syg[gid]), clip_box,
+        simplify_distance, area_threshold, stats,
+    )
+    if ejects:
+        s_rows: list[int] = []
+        s_gtypes: list[int] = []
+        s_cmds: list[np.ndarray] = []
+        for i in ejects:
+            g = gid[i]
+            vt_i = G.ViewTransform(
+                float(minxg[g]), float(minyg[g]), float(maxxg[g]),
+                float(maxyg[g]), extent, extent,
+            )
+            st_i: dict = {}
+            gtype, cmds = _scalar_geom_feature(
+                G.gunpack(bytes(blobs[i])), vt_i, clip_box,
+                simplify_distance, area_threshold, st_i,
+            )
+            ov = st_i.get("budget_exceeded", 0)
+            if ov:
+                stats["budget_exceeded"] = stats.get("budget_exceeded", 0) + ov
+                stats.setdefault("budget_exceeded_feats", []).extend([i] * ov)
+            if gtype is None:
+                continue
+            s_rows.append(i)
+            s_gtypes.append(gtype)
+            s_cmds.append(np.asarray(cmds, dtype=np.uint64))
+        if s_rows:
+            pieces = np.split(cmds_flat, np.cumsum(clens)[:-1]) if len(clens) else []
+            rows_all = np.concatenate([feat_rows, np.asarray(s_rows, dtype=np.int64)])
+            order = np.argsort(rows_all, kind="stable")
+            all_cmds = pieces + s_cmds
+            all_gtypes = np.concatenate(
+                [gtypes_v, np.asarray(s_gtypes, dtype=np.int64)]
+            )
+            feat_rows = rows_all[order]
+            gtypes_v = all_gtypes[order]
+            cmd_list = [all_cmds[j] for j in order]
+            cmds_flat = np.concatenate(cmd_list)
+            clens = np.array([len(c) for c in cmd_list], dtype=np.int64)
+
+    unresolved = np.zeros(n_groups, dtype=np.int64)
+    for f in stats.get("budget_exceeded_feats", []):
+        unresolved[gid[f]] += 1
+
+    # feature framing for the whole batch; per-group = byte-range slice
+    if len(feat_rows):
+        kt = tags[feat_rows]
+        blob, flens = pbf.encode_features_packed_ragged(
+            gtypes_v, cmds_flat, clens,
+            kt.reshape(-1), np.full(len(feat_rows), kt.shape[1], dtype=np.int64),
+            None, return_lengths=True,
+        )
+        feat_gid = gid[feat_rows]
+        fo = np.concatenate([[0], np.cumsum(flens)])
+        g_lo = np.searchsorted(feat_gid, np.arange(n_groups), side="left")
+        g_hi = np.searchsorted(feat_gid, np.arange(n_groups), side="right")
+    else:
+        blob = b""
+        fo = np.zeros(1, dtype=np.int64)
+        g_lo = g_hi = np.zeros(n_groups, dtype=np.int64)
+
+    prefix, suffix = _layer_prefix_suffix(layer_name, prop_cols, extent, version)
+    out: list[tuple] = []
+    compress = Z.compress
+    for g in range(n_groups):
+        nf = int(g_hi[g] - g_lo[g])
+        if nf == 0:
+            out.append((int(gz[g]), int(gx[g]), int(gy[g]), b"", 0, 0, False,
+                        int(unresolved[g])))
+            continue
+        vals = gathered_b[gat_off[dict_off[g]] : gat_off[dict_off[g + 1]]]
+        layer = prefix + vals + suffix + blob[fo[g_lo[g]] : fo[g_hi[g]]]
+        tile = pbf.encode_tile([layer])
+        if compress_tiles:
+            tile = compress(tile)
+        out.append((int(gz[g]), int(gx[g]), int(gy[g]), tile, nf, 1, True,
+                    int(unresolved[g])))
+    return out
+
+
 def encode_geom_layer(
     pdf: pd.DataFrame,
     z: int,
@@ -381,48 +555,66 @@ def encode_geom_layer(
         if geom_col
         else [G.from_wkt(w) for w in pdf[wkt_col]]
     )
-    # ONE flat transform+quantize pass for the whole group; per-feature
-    # bboxes then route fully-inside features past the box-clip stages
-    transformed = G.transform_geoms_batch(geoms, vt)
-    cx0, cy0, cx1, cy1 = clip_box
-    gtypes: list[int] = []
-    cmd_arrays: list[np.ndarray] = []
-    keep_idx: list[int] = []
-    for i, (tg0, bbox) in enumerate(transformed):
-        if tg0[0] == "empty":
-            continue
-        if simplify_distance > 0:
-            tg0 = G.simplify_geom(tg0, simplify_distance)
+    # the WHOLE simplify/clip/assemble/encode pass runs as flat numpy
+    # over every feature at once (functions/ragged.py — the fused
+    # vectorized twin of the reference's per-feature visitor chain,
+    # src/vector_tile_processor.ipp:82-174); rare complex features
+    # (geometry collections, fill-resolver polygons) come back as ejects
+    # and go through the scalar pipeline below
+    feat_rows, gtypes_v, cmds_flat, clens, ejects = RG.encode_batch(
+        geoms, vt, clip_box, simplify_distance, area_threshold, stats
+    )
+    if ejects:
+        cx0, cy0, cx1, cy1 = clip_box
+        s_rows: list[int] = []
+        s_gtypes: list[int] = []
+        s_cmds: list[np.ndarray] = []
+        for i in ejects:
+            tg0 = G.transform_geom(geoms[i], vt)
             if tg0[0] == "empty":
                 continue
-        inside = (
-            bbox is not None
-            and bbox[0] >= cx0 and bbox[1] >= cy0
-            and bbox[2] <= cx1 and bbox[3] <= cy1
-            and tg0[0] != "geometrycollection"
-        )
-        if inside:
-            tg = G.clip_geom_inside(
-                tg0, area_threshold=area_threshold, stats=stats
+            bbox = G._geom_px_bbox(tg0)
+            if simplify_distance > 0:
+                tg0 = G.simplify_geom(tg0, simplify_distance)
+                if tg0[0] == "empty":
+                    continue
+            inside = (
+                bbox is not None
+                and bbox[0] >= cx0 and bbox[1] >= cy0
+                and bbox[2] <= cx1 and bbox[3] <= cy1
+                and tg0[0] != "geometrycollection"
             )
-        else:
-            tg = G.clip_geom(
-                tg0, clip_box, area_threshold=area_threshold, stats=stats
-            )
-        gtype, cmds = Cmd.encode_geometry(tg)
-        if gtype is None:
-            continue
-        gtypes.append(gtype)
-        cmd_arrays.append(np.asarray(cmds, dtype=np.uint64))
-        keep_idx.append(i)
-    if not gtypes:
+            if inside:
+                tg = G.clip_geom_inside(tg0, area_threshold=area_threshold, stats=stats)
+            else:
+                tg = G.clip_geom(tg0, clip_box, area_threshold=area_threshold, stats=stats)
+            gtype, cmds = Cmd.encode_geometry(tg)
+            if gtype is None:
+                continue
+            s_rows.append(i)
+            s_gtypes.append(gtype)
+            s_cmds.append(np.asarray(cmds, dtype=np.uint64))
+        if s_rows:
+            # merge scalar features back in original feature order
+            pieces = np.split(cmds_flat, np.cumsum(clens)[:-1]) if len(clens) else []
+            rows_all = np.concatenate([feat_rows, np.asarray(s_rows, dtype=np.int64)])
+            order = np.argsort(rows_all, kind="stable")
+            all_cmds = pieces + s_cmds
+            all_gtypes = np.concatenate([gtypes_v, np.asarray(s_gtypes, dtype=np.int64)])
+            feat_rows = rows_all[order]
+            gtypes_v = all_gtypes[order]
+            cmd_list = [all_cmds[j] for j in order]
+            cmds_flat = np.concatenate(cmd_list) if cmd_list else cmds_flat
+            clens = np.array([len(c) for c in cmd_list], dtype=np.int64)
+    if len(feat_rows) == 0:
         return b"", 0
+    keep_idx = feat_rows
     kept_tags = tags[keep_idx]
     tmask = kept_tags >= 0
     blob = pbf.encode_features_packed_ragged(
-        np.asarray(gtypes, dtype=np.int64),
-        np.concatenate(cmd_arrays),
-        np.array([len(c) for c in cmd_arrays], dtype=np.int64),
+        gtypes_v,
+        cmds_flat,
+        clens,
         kept_tags[tmask].astype(np.int64),
         tmask.sum(axis=1).astype(np.int64),
         ids[keep_idx].astype(np.int64) if ids is not None else None,
@@ -431,7 +623,7 @@ def encode_geom_layer(
     layer = pbf.encode_layer_packed(
         layer_name, blob, keys, vals, extent=extent, version=version
     )
-    return layer, len(gtypes)
+    return layer, len(feat_rows)
 
 
 def _layer_prefix_suffix(layer_name: str, prop_cols: list[str], extent: int, version: int):

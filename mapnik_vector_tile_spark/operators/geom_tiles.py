@@ -202,6 +202,20 @@ def build_geom_tiles(
 
         def flush(frames) -> list[tuple]:
             full = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            # whole-batch ragged kernel: ONE vectorized
+            # simplify/clip/assemble/encode pass over every tile of the
+            # batch (encode._encode_geom_tiles_segmented); None means a
+            # null property value -> per-group fallback lane
+            from mapnik_vector_tile_spark.operators.encode import (
+                _encode_geom_tiles_segmented,
+            )
+
+            rows = _encode_geom_tiles_segmented(
+                full, layer_name, prop_cols, extent, buffer_px,
+                simplify_distance, area_threshold, "_gpk", compress_tiles,
+            )
+            if rows is not None:
+                return rows
             out = []
             for (gz, gx, gy), grp in full.groupby(["z", "x", "y"], sort=False):
                 out.append(encode_group(int(gz), int(gx), int(gy), grp.reset_index(drop=True)))
