@@ -266,6 +266,61 @@ def decode_kernel_anchor(n_tiles: int = 20000) -> float:
     return n_tiles / best
 
 
+def decode_kernel_anchor_dense(n_feats: int = 6800, n_tiles: int = 50) -> float:
+    """Like-for-like dense-tile anchor: one z14-shaped tile with ~6,800
+    tagged point features (the reference's tile_datasource_pbf headline,
+    bench/readme.md:24-30, 481k feats/s on one C++ core), decoded
+    through the EXACT distributed stages (operators.decode
+    columnar_kernel) single-core. Returns feats/s."""
+    import time as _t
+    import zlib as _z
+
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import commands as Cmd
+    from mapnik_vector_tile_spark.functions import pbf as P
+    from mapnik_vector_tile_spark.operators.decode import columnar_kernel
+
+    prop_keys = ["image_id", "caption", "fmt"]
+    n = n_feats
+    rng = np.random.default_rng(7)
+    pxy = rng.integers(0, 4096, size=(n, 2)).astype(np.int64)
+    zz = np.column_stack([Cmd.zigzag32(pxy[:, 0]), Cmd.zigzag32(pxy[:, 1])])
+    # per-feature distinct tag values (ids/captions) + one shared fmt
+    tags = np.empty((n, 6), dtype=np.int64)
+    tags[:, 0] = 0
+    tags[:, 1] = np.arange(n) * 2
+    tags[:, 2] = 1
+    tags[:, 3] = np.arange(n) * 2 + 1
+    tags[:, 4] = 2
+    tags[:, 5] = 2 * n
+    blob = P.encode_point_features_packed(tags, zz, None)
+    values = []
+    for i in range(n):
+        values.append(P.encode_value(f"im-{i:07d}"))
+        values.append(P.encode_value(f"caption text number {i} of this tile"))
+    values.append(P.encode_value("png"))
+    layer = P.encode_layer_packed("layer", blob, prop_keys, values)
+    tile = _z.compress(P.encode_tile([layer]))
+    pdf = pd.DataFrame(
+        {
+            "z": np.full(n_tiles, 14, dtype=np.int32),
+            "x": np.arange(n_tiles, dtype=np.int64) + 5000,
+            "y": np.full(n_tiles, 6000, dtype=np.int64),
+            "tile": [tile] * n_tiles,
+        }
+    )
+    kern = columnar_kernel(prop_keys)
+    best = float("inf")
+    for _ in range(5):
+        t0 = _t.perf_counter()
+        got = sum(len(f) for f in kern(iter([pdf])))
+        best = min(best, _t.perf_counter() - t0)
+    assert got == n * n_tiles, (got, n * n_tiles)
+    return got / best
+
+
 def _calibration_work(n):
     s = 0
     for i in range(n):
@@ -387,8 +442,9 @@ def main() -> None:
         print(json.dumps(out))
         return
 
-    # anchor first, before any Spark session competes for the host
+    # anchors first, before any Spark session competes for the host
     decode_anchor = round(decode_kernel_anchor(), 1)
+    decode_dense = round(decode_kernel_anchor_dense(), 1)
     res = one_run(cpus, sf_dir)
     out = {
         "metric": "tiles+join-rows/sec",
@@ -399,6 +455,7 @@ def main() -> None:
         "bench_image_rows": BENCH_IMAGE_ROWS,
         "rows_per_sec": round(res["throughput_rows_per_sec"], 1),
         "decode_kernel_feats_per_sec_core": decode_anchor,
+        "decode_dense_feats_per_sec_core": decode_dense,
     }
     print(json.dumps(out))
 

@@ -752,6 +752,193 @@ def read_varints_at(buf: np.ndarray, pos: np.ndarray):
     return vals, lens
 
 
+def _chain_finish(buf, starts, ends, pos, straggler_idx,
+                  name_s, name_l, extent, version, seen_ext, seen_ver,
+                  feat_start, ok, rec_layer, rec_field, rec_ps, rec_pl):
+    """Vectorized finisher for layers whose header has more frames than
+    the masked walk's step budget (many-value layers — the dense-tile
+    shape, bench/readme.md:24-30). Strategy:
+
+      1. candidate positions = bytes matching a valid single-byte layer
+         tag (0x0A name / 0x12 feature / 0x1A key / 0x22 value /
+         0x28 extent / 0x78 version) in the unconsumed regions;
+      2. per-candidate next-frame pointer (lean vectorized varints);
+      3. sieve rounds drop junk candidates (payload bytes) whose
+         pointer does not land on another live candidate or the region
+         end — true frames always survive;
+      4. pointer-doubling enumeration of each layer's chain FROM ITS
+         TRUE WALK POSITION over the sieved set: the orbit follows true
+         pointers only, so junk candidates are simply unreachable and
+         the enumerated frames are exactly the frame sequence a
+         sequential parse would visit, cut at the first Feature frame.
+
+    Mutates the caller's per-layer arrays / record lists like the
+    masked walk; returns rows for the per-layer Python fallback
+    (chains past the cap or malformed mid-chain)."""
+    S = len(straggler_idx)
+    if S == 0:
+        return []
+    B = len(buf)
+    p0 = pos[straggler_idx]
+    pend = ends[straggler_idx]
+
+    # 1. candidates over the straggler regions. 0x0A (name) is NOT a
+    # candidate: the masked walk always consumes the name frame in its
+    # first steps, and every Value message payload starts with 0x0A —
+    # including it would double the candidate set. A (foreign) layer
+    # whose name appears this late breaks its chain on the missing
+    # candidate and takes the Python fallback — slower, never wrong.
+    is_tag = (
+        (buf == 0x12) | (buf == 0x1A)
+        | (buf == 0x22) | (buf == 0x28) | (buf == 0x78)
+    )
+    cand_all = np.flatnonzero(is_tag)
+    lo = np.searchsorted(cand_all, p0)
+    hi = np.searchsorted(cand_all, pend)
+    seg = hi - lo
+    take = np.repeat(lo, seg) + (np.arange(int(seg.sum())) -
+                                 np.repeat(np.cumsum(seg) - seg, seg))
+    cand = cand_all[take]
+    crow = np.repeat(np.arange(S), seg)
+    C = len(cand)
+    if C == 0:
+        return [int(i) for i in straggler_idx]
+
+    # 2. next-frame pointers (lean varint at cand+1, bounds-guarded).
+    # Lanes compact each round: 1-byte varints (ASCII payload junk and
+    # most real lengths) exit after round one, so later rounds touch
+    # only the long-varint tail.
+    cend = pend[crow]
+    limit = np.minimum(cend, B)
+    q0 = cand + 1
+    val = np.zeros(C, dtype=np.int64)
+    ln = np.zeros(C, dtype=np.int64)
+    idx = np.flatnonzero(q0 < limit)
+    q = q0[idx]
+    shift = 0
+    while len(idx) and shift < 70:
+        bb = buf[q].astype(np.int64)
+        val[idx] |= (bb & 0x7F) << shift
+        ln[idx] += 1
+        q = q + 1
+        cont = bb >= 128
+        still = cont & (q < limit[idx])
+        ln[idx[cont & ~still]] = 0
+        idx = idx[still]
+        q = q[still]
+        shift += 7
+    ln[idx] = 0
+    tagb = buf[cand].astype(np.int64)
+    wire0 = (tagb == 0x28) | (tagb == 0x78)
+    nxt = np.where(wire0, cand + 1 + ln, cand + 1 + ln + val)
+    valid = (ln > 0) & (nxt <= cend)
+
+    # 3. sieve (pure shrink; correctness comes from the orbit in step 4).
+    # Membership via an O(1) byte-position mask — searchsorted over the
+    # full candidate set per round dominated the dense-tile profile.
+    mask_at = np.zeros(B + 1, dtype=bool)
+    mask_at[cand[valid]] = True
+    alive = valid.copy()
+    live_idx = np.flatnonzero(valid)
+    for _ in range(3):
+        if len(live_idx) == 0:
+            break
+        keep = mask_at[nxt[live_idx]] | (nxt[live_idx] == cend[live_idx])
+        if keep.all():
+            break
+        died = live_idx[~keep]
+        mask_at[cand[died]] = False
+        alive[died] = False
+        live_idx = live_idx[keep]
+
+    scand = cand[alive]
+    snxt = nxt[alive]
+    stag = tagb[alive]
+    sval = val[alive]
+    sln = ln[alive]
+    scend = cend[alive]
+    srow_local = crow[alive]
+    Cs = len(scand)
+    DONE, BAD = Cs, Cs + 1
+    # 4. jump table over survivors
+    jump = np.full(Cs + 2, BAD, dtype=np.int64)
+    jump[DONE] = DONE
+    jump[BAD] = BAD
+    pos2idx = np.full(B + 1, -1, dtype=np.int32)
+    if Cs:
+        pos2idx[scand] = np.arange(Cs, dtype=np.int32)
+        ni = pos2idx[snxt]
+        hitm = ni >= 0
+        jump[:Cs][hitm] = ni[hitm]
+        jump[:Cs][~hitm & (snxt == scend)] = DONE
+        # feature frames terminate the walk regardless of their pointer
+        jump[:Cs][stag == 0x12] = DONE
+
+    sidx = pos2idx[p0].astype(np.int64)
+    s_ok = sidx >= 0
+    py_rows = [int(i) for i in straggler_idx[~s_ok]]
+    rows_sel = np.flatnonzero(s_ok)
+    if len(rows_sel) == 0:
+        return py_rows
+
+    blocks = [sidx[rows_sel][:, None]]
+    JP = jump.copy()
+    width = 1
+    CAP = 1 << 17
+    while width < CAP:
+        allc = np.concatenate(blocks, axis=1)
+        if (blocks[-1] >= Cs).all():
+            break
+        if allc.size * 2 > 64_000_000:
+            break
+        # jump^width applied to entries 0..width-1 yields width..2width-1
+        blocks.append(JP[allc])
+        JP = JP[JP]
+        width *= 2
+    allc = np.concatenate(blocks, axis=1)
+    unfinished = allc[:, -1] < Cs
+    ended_bad = np.zeros(len(rows_sel), dtype=bool)
+    fin = ~unfinished
+    ended_bad[fin] = allc[fin, -1] == BAD
+    py_rows += [int(straggler_idx[rows_sel[i]]) for i in np.flatnonzero(unfinished)]
+    ok[straggler_idx[rows_sel[ended_bad]]] = False
+    keep = ~unfinished & ~ended_bad
+    rows_keep = rows_sel[keep]
+    allc = allc[keep]
+    if len(rows_keep) == 0:
+        return py_rows
+
+    flat = allc.reshape(-1)
+    fvalid = flat < Cs
+    frames = flat[fvalid]
+    frow = straggler_idx[np.repeat(rows_keep, allc.shape[1])[fvalid]]
+    ft = stag[frames]
+    fvv = sval[frames]
+    pay_s = scand[frames] + 1 + sln[frames]
+    feat_m = ft == 0x12
+    if feat_m.any():
+        feat_start[frow[feat_m]] = scand[frames[feat_m]]
+    nm = ft == 0x0A
+    if nm.any():
+        name_s[frow[nm]] = pay_s[nm]
+        name_l[frow[nm]] = fvv[nm]
+    ex = ft == 0x28
+    if ex.any():
+        extent[frow[ex]] = fvv[ex]
+        seen_ext[frow[ex]] = True
+    vr = ft == 0x78
+    if vr.any():
+        version[frow[vr]] = fvv[vr]
+        seen_ver[frow[vr]] = True
+    kv = (ft == 0x1A) | (ft == 0x22)
+    if kv.any():
+        rec_layer.append(frow[kv])
+        rec_field.append(np.where(ft[kv] == 0x1A, 3, 4))
+        rec_ps.append(pay_s[kv])
+        rec_pl.append(fvv[kv])
+    return py_rows
+
+
 def parse_layers_batch(layer_blobs: list[bytes]) -> dict:
     """Header walk over many layer messages at once.
 
@@ -856,7 +1043,11 @@ def parse_layers_batch(layer_blobs: list[bytes]) -> dict:
         keep = ~bad & ~feat & (nxt < ends[active_idx])
         active_idx = active_idx[keep]
         if step == max_steps - 1 and len(active_idx):
-            py_finish = [int(i) for i in active_idx]
+            py_finish = _chain_finish(
+                buf, starts, ends, pos, active_idx,
+                name_s, name_l, extent, version, seen_ext, seen_ver,
+                feat_start, ok, rec_layer, rec_field, rec_ps, rec_pl,
+            )
 
     py_parsed: dict[int, tuple] = {}
     for i in py_finish:

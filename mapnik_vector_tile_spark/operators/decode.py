@@ -217,6 +217,14 @@ def decode_tiles_columnar(tiles: DataFrame, prop_keys: list[str]) -> DataFrame:
         "z int, x long, y long, layer string, mx double, my double, "
         + ", ".join(f"`{k}` string" for k in prop_keys)
     )
+    kernel = columnar_kernel(prop_keys)
+    return tiles.select("z", "x", "y", "tile").mapInPandas(kernel, schema=out_schema)
+
+
+def columnar_kernel(prop_keys: list[str]):
+    """The mapInPandas kernel of decode_tiles_columnar, exposed so the
+    bench harness can drive the exact distributed stages single-core
+    (the dense-tile decode anchor)."""
     c_expected = len(prop_keys)
     w = 11 + 2 * c_expected
 
@@ -369,4 +377,4 @@ def decode_tiles_columnar(tiles: DataFrame, prop_keys: list[str]) -> DataFrame:
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    return tiles.select("z", "x", "y", "tile").mapInPandas(kernel, schema=out_schema)
+    return kernel

@@ -129,3 +129,53 @@ def test_parse_layers_batch_python_finish_splice():
     assert vals_big == [f"v{i}" for i in range(n)]
     assert list(meta["values"][meta["val_layer"] == 1]) == ["s"]
     assert meta["feat_start"][0] >= 0 and meta["feat_start"][1] >= 0
+
+
+def test_parse_layers_batch_dense_chain_finisher():
+    """Layers whose header frame count exceeds the masked walk's step
+    budget (dense tiles, bench/readme.md:24-30 shape) must parse
+    IDENTICALLY through the vectorized chain finisher as through the
+    per-layer Python walk — names, keys, values, extent, version,
+    feature regions."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import commands as Cmd
+    from mapnik_vector_tile_spark.functions import pbf as P
+
+    rng = np.random.default_rng(3)
+    layers = []
+    for li, n in enumerate([1, 5, 40, 200, 1000, 6800]):
+        pxy = rng.integers(0, 4096, size=(n, 2)).astype(np.int64)
+        zz = np.column_stack([Cmd.zigzag32(pxy[:, 0]), Cmd.zigzag32(pxy[:, 1])])
+        tags = np.empty((n, 6), dtype=np.int64)
+        tags[:, 0] = 0
+        tags[:, 1] = np.arange(n) * 2
+        tags[:, 2] = 1
+        tags[:, 3] = np.arange(n) * 2 + 1
+        tags[:, 4] = 2
+        tags[:, 5] = 2 * n
+        blob = P.encode_point_features_packed(tags, zz, None)
+        values = []
+        for i in range(n):
+            values.append(P.encode_value(f"im-{li}-{i:07d}"))
+            # adversarial captions: bytes that mimic frame tags (x, (,
+            # quotes, control chars) to stress the candidate sieve
+            values.append(P.encode_value(f'x(x" tile {li} caption\x12\x1a\x22 {i} xx(('))
+        values.append(P.encode_value("png"))
+        layers.append(
+            P.encode_layer_packed(f"layer{li}", blob, ["image_id", "caption", "fmt"], values)
+        )
+    meta = P.parse_layers_batch(layers)
+    assert meta["ok"].all(), meta["ok"]
+    for li, blob in enumerate(layers):
+        ref, region = P.layer_features_region(blob)
+        assert meta["name"][li] == ref["name"]
+        assert meta["version"][li] == ref["version"]
+        assert meta["extent"][li] == ref["extent"]
+        got_keys = list(meta["keys"][meta["key_layer"] == li])
+        assert got_keys == ref["keys"]
+        got_vals = list(meta["values"][meta["val_layer"] == li])
+        assert got_vals == ref["values"]
+        fs, fe = meta["feat_start"][li], meta["feat_end"][li]
+        got_region = meta["buf"][fs:fe].tobytes()
+        assert got_region == region
