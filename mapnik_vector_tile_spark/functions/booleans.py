@@ -44,12 +44,191 @@ def _segments(rings: list[np.ndarray]):
     return np.concatenate(p0s), np.concatenate(p1s)
 
 
+def candidate_pairs(P0: np.ndarray, P1: np.ndarray):
+    """Grid-binned candidate segment pairs (I < J): every genuinely
+    intersecting or overlapping pair shares at least one covered grid
+    cell (cell coverage = all cells touching the segment bbox), so the
+    exact tests downstream see every real hit while skipping the
+    quadratic bulk. Long segments covering > 64 cells are tested against
+    everything (rare; keeps the expansion bounded)."""
+    E = len(P0)
+    if E < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    mins = np.minimum(P0, P1)
+    maxs = np.maximum(P0, P1)
+    lo = mins.min(axis=0)
+    hi = maxs.max(axis=0)
+    g = max(1, int(np.ceil(np.sqrt(E / 4.0))))
+    span = np.maximum(hi - lo, 1e-9)
+    cw = span / g
+    c0 = np.clip(((mins - lo) / cw).astype(np.int64), 0, g - 1)
+    c1 = np.clip(((maxs - lo) / cw).astype(np.int64), 0, g - 1)
+    ncell = (c1[:, 0] - c0[:, 0] + 1) * (c1[:, 1] - c0[:, 1] + 1)
+    big = ncell > 64
+    small = np.flatnonzero(~big)
+    bigs = np.flatnonzero(big)
+    pairs_i: list[np.ndarray] = []
+    pairs_j: list[np.ndarray] = []
+    if len(small):
+        nc = ncell[small]
+        segs = np.repeat(small, nc)
+        # enumerate covered cells row-major within each segment's rect
+        off = np.cumsum(nc) - nc
+        loc = np.arange(int(nc.sum())) - off[np.repeat(np.arange(len(small)), nc)]
+        w = (c1[small, 0] - c0[small, 0] + 1)
+        wrep = np.repeat(w, nc)
+        cx = c0[segs, 0] + loc % wrep
+        cy = c0[segs, 1] + loc // wrep
+        cell = cy * g + cx
+        order = np.argsort(cell, kind="stable")
+        cell_s = cell[order]
+        seg_s = segs[order]
+        # within-cell pairs (i < j by position; map to segment ids)
+        bound = np.flatnonzero(np.diff(cell_s)) + 1
+        block_start = np.concatenate([[0], bound])
+        block_len = np.diff(np.append(block_start, len(cell_s)))
+        blk = np.repeat(np.arange(len(block_start)), block_len)
+        posg = np.arange(len(cell_s))
+        cnt = (block_start[blk] + block_len[blk] - 1) - posg
+        T = int(cnt.sum())
+        if T:
+            I0 = np.repeat(posg, cnt)
+            coff = np.cumsum(cnt) - cnt
+            J0 = np.arange(T) - coff[I0] + I0 + 1
+            a = seg_s[I0]
+            b = seg_s[J0]
+            ii = np.minimum(a, b)
+            jj = np.maximum(a, b)
+            keep = ii != jj
+            pairs_i.append(ii[keep])
+            pairs_j.append(jj[keep])
+    if len(bigs):
+        # big segments vs everything
+        allidx = np.arange(E)
+        bi = np.repeat(bigs, E)
+        bj = np.tile(allidx, len(bigs))
+        ii = np.minimum(bi, bj)
+        jj = np.maximum(bi, bj)
+        keep = ii != jj
+        pairs_i.append(ii[keep])
+        pairs_j.append(jj[keep])
+    if not pairs_i:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    I = np.concatenate(pairs_i)
+    J = np.concatenate(pairs_j)
+    key = I * E + J
+    uk = np.unique(key)
+    return (uk // E).astype(np.int64), (uk % E).astype(np.int64)
+
+
+def _split_params_grid(P0: np.ndarray, P1: np.ndarray) -> list[np.ndarray]:
+    """Grid-pruned sibling of _split_params_all for large inputs: exact
+    same split semantics (proper crossings at interior parameters,
+    collinear overlaps at the other segment's interior endpoints), only
+    the candidate enumeration differs."""
+    E = len(P0)
+    r = P1 - P0
+    rr = (r * r).sum(axis=1)
+    out: list[list[float]] = [[] for _ in range(E)]
+    I, J = candidate_pairs(P0, P1)
+    if len(I) == 0:
+        return [np.array([0.0, 1.0]) for _ in range(E)]
+    for s in range(0, len(I), 4_000_000):
+        e = min(len(I), s + 4_000_000)
+        Ii, Jj = I[s:e], J[s:e]
+        a0 = P0[Ii]
+        ra = r[Ii]
+        q = P0[Jj] - a0
+        sb = r[Jj]
+        denom = ra[:, 0] * sb[:, 1] - ra[:, 1] * sb[:, 0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (q[:, 0] * sb[:, 1] - q[:, 1] * sb[:, 0]) / denom
+            u = (q[:, 0] * ra[:, 1] - q[:, 1] * ra[:, 0]) / denom
+        nz = denom != 0.0
+        ti = nz & (t > 0.0) & (t < 1.0) & (u >= 0.0) & (u <= 1.0)
+        uj = nz & (u > 0.0) & (u < 1.0) & (t >= 0.0) & (t <= 1.0)
+        for k in np.flatnonzero(ti):
+            out[Ii[k]].append(float(t[k]))
+        for k in np.flatnonzero(uj):
+            out[Jj[k]].append(float(u[k]))
+        crossq = q[:, 0] * ra[:, 1] - q[:, 1] * ra[:, 0]
+        col = (denom == 0.0) & (crossq == 0.0) & (rr[Ii] > 0) & (rr[Jj] > 0)
+        for k in np.flatnonzero(col):
+            i, j = int(Ii[k]), int(Jj[k])
+            for pnt in (P0[j], P1[j]):
+                tv = float((pnt - P0[i]) @ r[i]) / rr[i]
+                if 0.0 < tv < 1.0:
+                    out[i].append(tv)
+            for pnt in (P0[i], P1[i]):
+                tv = float((pnt - P0[j]) @ r[j]) / rr[j]
+                if 0.0 < tv < 1.0:
+                    out[j].append(tv)
+    return [np.array(sorted(set([0.0, 1.0] + ts))) for ts in out]
+
+
+_GRID_SPLIT_MIN_SEGS = 1500
+
+
+def _slab_winding_crossings(pts: np.ndarray, P0: np.ndarray, P1: np.ndarray):
+    """y-slab accelerated ray-cast winding/crossings: each probe only
+    meets segments whose y-span touches its slab. Exact same per-pair
+    arithmetic as the dense path."""
+    M = len(pts)
+    wn = np.zeros(M, dtype=np.int64)
+    cr = np.zeros(M, dtype=np.int64)
+    E = len(P0)
+    if E == 0 or M == 0:
+        return wn, cr
+    ymin = np.minimum(P0[:, 1], P1[:, 1])
+    ymax = np.maximum(P0[:, 1], P1[:, 1])
+    lo = min(float(ymin.min()), float(pts[:, 1].min()))
+    hi = max(float(ymax.max()), float(pts[:, 1].max()))
+    g = max(1, int(np.ceil(np.sqrt(E))))
+    h = max((hi - lo) / g, 1e-9)
+    s0 = np.clip(((ymin - lo) / h).astype(np.int64), 0, g - 1)
+    s1 = np.clip(((ymax - lo) / h).astype(np.int64), 0, g - 1)
+    nsl = s1 - s0 + 1
+    segrep = np.repeat(np.arange(E), nsl)
+    off = np.cumsum(nsl) - nsl
+    slab_of_seg = s0[segrep] + (np.arange(int(nsl.sum())) - off[segrep])
+    order = np.argsort(slab_of_seg, kind="stable")
+    slab_s = slab_of_seg[order]
+    seg_s = segrep[order]
+    slab_start = np.searchsorted(slab_s, np.arange(g))
+    slab_end = np.searchsorted(slab_s, np.arange(g), side="right")
+    p_slab = np.clip(((pts[:, 1] - lo) / h).astype(np.int64), 0, g - 1)
+    cnt = slab_end[p_slab] - slab_start[p_slab]
+    T = int(cnt.sum())
+    if T == 0:
+        return wn, cr
+    prow = np.repeat(np.arange(M), cnt)
+    poff = np.cumsum(cnt) - cnt
+    sidx = seg_s[slab_start[p_slab][prow] + (np.arange(T) - poff[prow])]
+    x0 = P0[sidx, 0]
+    y0 = P0[sidx, 1]
+    x1 = P1[sidx, 0]
+    y1 = P1[sidx, 1]
+    px = pts[prow, 0]
+    py = pts[prow, 1]
+    upward = (y0 <= py) & (y1 > py)
+    downward = (y0 > py) & (y1 <= py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+    hit = xint > px
+    np.add.at(wn, prow[upward & hit], 1)
+    np.add.at(wn, prow[downward & hit], -1)
+    np.add.at(cr, prow[(upward | downward) & hit], 1)
+    return wn, cr
+
+
 def _split_params_all(P0: np.ndarray, P1: np.ndarray) -> list[np.ndarray]:
     """Per segment i: sorted split parameters t in (0,1) against every
     other segment — all-pairs vectorized in row blocks (the r1 resolver
     did this with a Python double loop, which capped the vertex budget
     at 512)."""
     E = len(P0)
+    if E > _GRID_SPLIT_MIN_SEGS:
+        return _split_params_grid(P0, P1)
     r = P1 - P0
     out: list[list[float]] = [[] for _ in range(E)]
     if E == 0:
@@ -94,6 +273,8 @@ def _winding_crossings_many(pts: np.ndarray, rings: list[np.ndarray]):
     cr = np.zeros(M, dtype=np.int64)
     if len(P0) == 0 or M == 0:
         return wn, cr
+    if len(P0) * M > 16_000_000:
+        return _slab_winding_crossings(pts, P0, P1)
     x0, y0 = P0[:, 0][None, :], P0[:, 1][None, :]
     x1, y1 = P1[:, 0][None, :], P1[:, 1][None, :]
     block = max(1, min(M, 8_000_000 // max(len(P0), 1)))

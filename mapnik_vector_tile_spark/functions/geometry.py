@@ -965,7 +965,12 @@ def _clip_polygon_rings(rings, box, area_threshold, process_all_rings):
     return out
 
 
-RESOLVE_VERTEX_BUDGET = 4096  # run the (vectorized) fill resolver below this
+# Fill-resolver ceiling. r2 gated the resolver at 4096 vertices (the
+# all-pairs check/split were quadratic); the grid-binned candidate
+# pruning (functions.booleans.candidate_pairs) and y-slab winding make
+# both ~linear, so the gate is now a pathological-input backstop only —
+# the reference's Wagyu union has no limit (clipper.hpp:226-301).
+RESOLVE_VERTEX_BUDGET = 1_000_000
 
 
 def _segments_intersect(a0, a1, b0, b1) -> bool:
@@ -1030,6 +1035,8 @@ def _needs_fill_resolution(tagged_rings, stats: dict | None = None) -> bool:
         return False
     if total <= 16:
         return _needs_fill_resolution_scalar(rings)
+    if total > 2000:
+        return _needs_fill_resolution_grid(rings)
     p0s, p1s, rids, sidx = [], [], [], []
     for ri, r in enumerate(rings):
         rr = np.vstack([r, r[:1]])
@@ -1086,6 +1093,57 @@ def _needs_fill_resolution(tagged_rings, stats: dict | None = None) -> bool:
         idx = np.arange(e - s)
         col_hit[idx, s + idx] = False  # a segment overlaps itself trivially
         if ((hit | col_hit) & ~adjacent).any():
+            return True
+    return False
+
+
+def _needs_fill_resolution_grid(rings: list[np.ndarray]) -> bool:
+    """Large-input sibling of the blocked all-pairs check: grid-binned
+    candidate pairs (booleans.candidate_pairs) with the SAME proper-
+    crossing + collinear-overlap + adjacency-exclusion semantics. Every
+    genuinely intersecting pair shares a grid cell, so no hit is ever
+    missed."""
+    from mapnik_vector_tile_spark.functions.booleans import candidate_pairs
+
+    p0s, p1s, rids, sidx = [], [], [], []
+    for ri, r in enumerate(rings):
+        rr_ = np.vstack([r, r[:1]])
+        p0s.append(rr_[:-1])
+        p1s.append(rr_[1:])
+        rids.append(np.full(len(r), ri))
+        sidx.append(np.arange(len(r)))
+    P0 = np.concatenate(p0s)
+    P1 = np.concatenate(p1s)
+    rid = np.concatenate(rids)
+    six = np.concatenate(sidx)
+    nring = np.array([len(r) for r in rings])
+    I, J = candidate_pairs(P0, P1)
+    for s_ in range(0, len(I), 4_000_000):
+        e_ = min(len(I), s_ + 4_000_000)
+        Ii, Jj = I[s_:e_], J[s_:e_]
+        a0, a1 = P0[Ii], P1[Ii]
+        b0, b1 = P0[Jj], P1[Jj]
+        d1 = (b1[:, 0] - b0[:, 0]) * (a0[:, 1] - b0[:, 1]) - (
+            b1[:, 1] - b0[:, 1]) * (a0[:, 0] - b0[:, 0])
+        d2 = (b1[:, 0] - b0[:, 0]) * (a1[:, 1] - b0[:, 1]) - (
+            b1[:, 1] - b0[:, 1]) * (a1[:, 0] - b0[:, 0])
+        d3 = (a1[:, 0] - a0[:, 0]) * (b0[:, 1] - a0[:, 1]) - (
+            a1[:, 1] - a0[:, 1]) * (b0[:, 0] - a0[:, 0])
+        d4 = (a1[:, 0] - a0[:, 0]) * (b1[:, 1] - a0[:, 1]) - (
+            a1[:, 1] - a0[:, 1]) * (b1[:, 0] - a0[:, 0])
+        hit = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+        ra = a1 - a0
+        rr = (ra * ra).sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tb0 = ((b0 - a0) * ra).sum(axis=1) / rr
+            tb1 = ((b1 - a0) * ra).sum(axis=1) / rr
+        lo = np.minimum(tb0, tb1)
+        hi = np.maximum(tb0, tb1)
+        col = (rr > 0) & (d3 == 0.0) & (d4 == 0.0) & (hi > 0.0) & (lo < 1.0)
+        same = rid[Ii] == rid[Jj]
+        di = np.abs(six[Ii] - six[Jj])
+        adjacent = same & ((di <= 1) | (di == (nring[rid[Ii]] - 1)))
+        if ((hit | col) & ~adjacent).any():
             return True
     return False
 

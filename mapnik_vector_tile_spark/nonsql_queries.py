@@ -105,6 +105,45 @@ FROM loc GROUP BY 1, 2, 3, 4
 """
 
 
+def q_dense_tile_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 at the reference's bench shape (bench/readme.md:24-30): FEW,
+    LARGE multi-feature tiles. z=2 packs the 4000-row parity fixture
+    into <=16 tiles (hundreds-to-thousands of tagged features each, past
+    the batched header walk's step budget -> exercises the vectorized
+    dense chain finisher), then decodes through the columnar scale path.
+    Conservation oracle: every row decodes back in its assigned cell
+    exactly once with image_id, caption and fmt intact."""
+    from mapnik_vector_tile_spark.operators import assign, decode, encode
+
+    located = _located(spark, sf_dir)
+    assigned = assign.assign_tiles(located, 2)
+    tiles = encode.build_point_tiles(
+        assigned, prop_cols=["image_id", "caption", "fmt"], order_col="image_id"
+    )
+    decoded = decode.decode_tiles_columnar(tiles, ["image_id", "caption", "fmt"])
+    return decoded.groupBy("z", "x", "y").agg(
+        F.count("*").alias("n_decoded"),
+        F.countDistinct("image_id").alias("n_ids"),
+        F.min("image_id").alias("min_id"),
+        F.max("caption").alias("max_caption"),
+        F.countDistinct("fmt").alias("n_fmt"),
+    )
+
+
+def o_dense_tile_decode() -> str:
+    cell = tilemath.lonlat_to_tile_sql(2, "lon", "lat")
+    return f"""
+WITH loc AS ({_loc_cte()})
+SELECT 2 AS z, {cell['x']} AS x, {cell['y']} AS y,
+       count(*) AS n_decoded,
+       count(DISTINCT image_id) AS n_ids,
+       min(image_id) AS min_id,
+       max(caption) AS max_caption,
+       count(DISTINCT fmt) AS n_fmt
+FROM loc GROUP BY 1, 2, 3
+"""
+
+
 def q_composite_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 fast path: merge two layer-disjoint tile sets per (z,x,y)."""
     from mapnik_vector_tile_spark.operators import assign, composite, encode
@@ -705,6 +744,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geom_tiles_roundtrip": q_geom_tiles,
     "tile_validity_stats": q_tile_validity,
     "tile_encode_roundtrip": q_tile_encode_roundtrip,
+    "dense_tile_decode": q_dense_tile_decode,
     "geom_kernel_goldens": q_geom_kernel_goldens,
     "raster_invariants": q_raster_invariants,
     "composite_merge": q_composite_merge,
@@ -722,6 +762,7 @@ _ORACLE_BUILDERS: dict[str, Callable[[], str]] = {
     "geom_tiles_roundtrip": o_geom_tiles,
     "tile_validity_stats": o_tile_validity,
     "tile_encode_roundtrip": o_tile_encode_roundtrip,
+    "dense_tile_decode": o_dense_tile_decode,
     "geom_kernel_goldens": o_geom_kernel_goldens,
     "raster_invariants": o_raster_invariants,
     "composite_merge": o_composite_merge,

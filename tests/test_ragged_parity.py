@@ -209,9 +209,11 @@ def test_geometrycollection_ejects():
     assert 0 in ejects
 
 
-def test_budget_exceeded_stats_parity():
+def test_budget_exceeded_stats_parity(monkeypatch):
     rng = np.random.default_rng(4)
-    # double-wound big ring exceeding the resolve budget -> stats, no eject
+    # double-wound big ring exceeding the (lowered backstop) resolve
+    # budget -> stats, no eject; parity between scalar and ragged paths
+    monkeypatch.setattr(G, "RESOLVE_VERTEX_BUDGET", 4096)
     n = G.RESOLVE_VERTEX_BUDGET + 64
     ang = np.linspace(0, 4 * np.pi, n, endpoint=False)
     ring = np.stack([2000 + 900 * np.cos(ang), 2000 + 900 * np.sin(ang)], axis=1)
