@@ -1137,7 +1137,13 @@ def parse_layers_batch(layer_blobs: list[bytes]) -> dict:
         slow = np.flatnonzero(~is_str)
         raw = buf.tobytes() if len(slow) else b""
         for i in slow:
-            values[i] = decode_value(raw[val_ps[i] : val_ps[i] + val_pl[i]])
+            try:
+                values[i] = decode_value(raw[val_ps[i] : val_ps[i] + val_pl[i]])
+            except Exception:
+                # corrupt Value payload: reject the OWNING layer (it
+                # falls back to the strict parser) instead of failing
+                # the whole batch
+                ok[val_layer[i]] = False
 
     if py_parsed:  # splice python-finished layers' keys/values/names
         kpos: list[int] = []

@@ -252,8 +252,21 @@ def columnar_kernel(prop_keys: list[str]):
             nlay = len(blobs)
             if nlay:
                 # one vectorized header walk for the whole batch (the
-                # per-layer Python walk was ~75% of worst-case decode)
-                meta = pbf.parse_layers_batch(blobs)
+                # per-layer Python walk was ~75% of worst-case decode);
+                # a batch-global parse failure (hostile bytes) routes
+                # every layer through the strict per-layer parser
+                try:
+                    meta = pbf.parse_layers_batch(blobs)
+                except Exception:
+                    meta = None
+            if nlay and meta is None:
+                for i, lb in enumerate(blobs):
+                    t = blob_tile[i]
+                    fallback_rows.extend(
+                        decode_layer_rows(int(zs[t]), int(xs[t]), int(ys[t]), lb)
+                    )
+                nlay = 0
+            if nlay:
                 buf = meta["buf"]
                 ltile = np.asarray(blob_tile, dtype=np.int64)
 
