@@ -193,8 +193,24 @@ def forward(crs: dict, lon, lat):
         return _tmerc_fwd(lon, lat, lon0, 0.9996, 500000.0,
                           10000000.0 if crs.get("south") else 0.0)
     if p == "tmerc":
-        return _tmerc_fwd(lon, lat, crs["lon_0"], crs["k"], crs["x_0"], crs["y_0"])
+        return _tmerc_fwd(lon, lat, crs["lon_0"], crs["k"], crs["x_0"],
+                          crs["y_0"] - _tmerc_lat0_northing(crs))
     raise NotImplementedError(p)
+
+
+def _tmerc_lat0_northing(crs: dict) -> float:
+    """Northing of +lat_0 on the central meridian (proj4 tmerc measures
+    y from lat_0, not the equator; UTM's lat_0=0 makes this vanish).
+    Evaluated with the same Krüger series so fwd/inv stay bit-exact
+    mutual inverses."""
+    lat0 = crs.get("lat_0", 0.0)
+    if not lat0:
+        return 0.0
+    _x, y = _tmerc_fwd(
+        np.asarray([crs["lon_0"]]), np.asarray([lat0]),
+        crs["lon_0"], crs["k"], 0.0, 0.0,
+    )
+    return float(y[0])
 
 
 def inverse(crs: dict, x, y):
@@ -208,7 +224,8 @@ def inverse(crs: dict, x, y):
         return _tmerc_inv(x, y, lon0, 0.9996, 500000.0,
                           10000000.0 if crs.get("south") else 0.0)
     if p == "tmerc":
-        return _tmerc_inv(x, y, crs["lon_0"], crs["k"], crs["x_0"], crs["y_0"])
+        return _tmerc_inv(x, y, crs["lon_0"], crs["k"], crs["x_0"],
+                          crs["y_0"] - _tmerc_lat0_northing(crs))
     raise NotImplementedError(p)
 
 

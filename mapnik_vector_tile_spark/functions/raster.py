@@ -188,12 +188,23 @@ def sniff_format(data: bytes) -> str:
         return "png"
     if data[:2] == b"\xff\xd8":
         return "jpeg"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"  # the reference's DEFAULT (processor.hpp:55)
     raise ValueError("unknown image format")
 
 
 def decode_image(data: bytes) -> np.ndarray:
     fmt = sniff_format(data)
-    return png_decode(data) if fmt == "png" else jpeg_decode(data)
+    if fmt == "png":
+        return png_decode(data)
+    if fmt == "webp":
+        from mapnik_vector_tile_spark.functions import webp as _webp
+
+        rgba = _webp.decode(data)
+        if (rgba[..., 3] == 255).all():  # fully opaque -> RGB, like png_decode
+            return np.ascontiguousarray(rgba[..., :3])
+        return rgba
+    return jpeg_decode(data)
 
 
 def encode_image(img: np.ndarray, fmt: str) -> bytes:
@@ -201,6 +212,10 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         return png_encode(img)
     if fmt == "jpeg":
         return jpeg_encode(img)
+    if fmt == "webp":
+        from mapnik_vector_tile_spark.functions import webp as _webp
+
+        return _webp.encode(img)
     raise ValueError(f"unknown format {fmt!r}")
 
 

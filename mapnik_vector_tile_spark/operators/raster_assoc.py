@@ -57,7 +57,11 @@ def raster_patch_invariants(located: DataFrame) -> DataFrame:
                 reenc = R.encode_image(out, r.fmt)
                 back = R.decode_image(reenc)
                 psnr = R.psnr(out, back)
-                psnr_ok = (psnr == float("inf")) if r.fmt == "png" else (psnr >= 40.0)
+                psnr_ok = (
+                    (psnr == float("inf"))
+                    if r.fmt in ("png", "webp")  # both lossless
+                    else (psnr >= 40.0)
+                )
                 caption_ok = r.caption == f"caption for {r.image_id}"
                 # overzoom crop: pixel window of the z14 child tile within
                 # the z13 tile this image's patch covers

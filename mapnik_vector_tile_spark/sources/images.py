@@ -61,7 +61,7 @@ def generate_images_pandas(n_rows: int, start: int = 0):
     for i in range(start, start + n_rows):
         image_id = f"img{i:012d}"
         w = h = 64 if i % 5 == 0 else 32
-        fmt = "jpeg" if i % 3 == 2 else "png"
+        fmt = ("png", "webp", "jpeg")[i % 3]
         img = _pixels_for(i, w, h)
         data = raster.encode_image(img, fmt)
         rows.append(
