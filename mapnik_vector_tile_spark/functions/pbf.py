@@ -265,7 +265,10 @@ def decode_layer(data: bytes) -> dict:
     src/vector_tile_datasource_pbf.ipp:35-170): name, version, extent,
     keys, values, raw feature messages."""
     pos = 0
-    out = {"name": None, "version": 1, "extent": 4096, "keys": [], "values": [], "features": []}
+    out = {
+        "name": None, "version": 1, "extent": 4096, "keys": [], "values": [],
+        "features": [], "has_extent": False,
+    }
     while pos < len(data):
         t, pos = read_varint(data, pos)
         field, wire = t >> 3, t & 0x7
@@ -277,6 +280,7 @@ def decode_layer(data: bytes) -> dict:
             out["version"], pos = read_varint(data, pos)
         elif field == 5 and wire == WT_VARINT:
             out["extent"], pos = read_varint(data, pos)
+            out["has_extent"] = True
         elif field == 3 and wire == WT_LEN:
             ln, pos = read_varint(data, pos)
             out["keys"].append(data[pos : pos + ln].decode("utf-8"))
@@ -881,37 +885,85 @@ def _chain_finish(buf, starts, ends, pos, straggler_idx,
     if len(rows_sel) == 0:
         return py_rows
 
-    blocks = [sidx[rows_sel][:, None]]
-    JP = jump.copy()
-    width = 1
-    CAP = 1 << 17
-    while width < CAP:
-        allc = np.concatenate(blocks, axis=1)
-        if (blocks[-1] >= Cs).all():
-            break
-        if allc.size * 2 > 64_000_000:
-            break
-        # jump^width applied to entries 0..width-1 yields width..2width-1
-        blocks.append(JP[allc])
-        JP = JP[JP]
-        width *= 2
-    allc = np.concatenate(blocks, axis=1)
-    unfinished = allc[:, -1] < Cs
-    ended_bad = np.zeros(len(rows_sel), dtype=bool)
-    fin = ~unfinished
-    ended_bad[fin] = allc[fin, -1] == BAD
-    py_rows += [int(straggler_idx[rows_sel[i]]) for i in np.flatnonzero(unfinished)]
-    ok[straggler_idx[rows_sel[ended_bad]]] = False
-    keep = ~unfinished & ~ended_bad
-    rows_keep = rows_sel[keep]
-    allc = allc[keep]
-    if len(rows_keep) == 0:
-        return py_rows
+    frames_parts: list[np.ndarray] = []
+    frow_parts: list[np.ndarray] = []
 
-    flat = allc.reshape(-1)
-    fvalid = flat < Cs
-    frames = flat[fvalid]
-    frow = straggler_idx[np.repeat(rows_keep, allc.shape[1])[fvalid]]
+    # 4a. linear-chain fast path: in a well-formed layer the sieved
+    # survivors ARE the frame chain in byte order — jump[i] == i+1 up to
+    # the terminating frame — so the orbit is an arange. One ragged
+    # verification pass replaces the O(log n) pointer-doubling matrices
+    # (the dense-tile profile's hot spot). Rows that deviate (junk
+    # survivors, malformed chains) fall through to the doubling orbit.
+    start = sidx[rows_sel]
+    done_pos = np.flatnonzero(jump[:Cs] == DONE)
+    lin_rows = np.zeros(len(rows_sel), dtype=bool)
+    if len(done_pos):
+        di = np.searchsorted(done_pos, start)
+        has_done = di < len(done_pos)
+        j_end = np.where(has_done, done_pos[np.minimum(di, len(done_pos) - 1)], 0)
+        cand_lin = has_done & (srow_local[j_end] == srow_local[start])
+        spans = np.where(cand_lin, j_end - start, 0)
+        tot = int(spans.sum())
+        row_ok = np.ones(len(rows_sel), dtype=bool)
+        if tot:
+            base = np.repeat(start, spans)
+            offs = np.arange(tot) - np.repeat(np.cumsum(spans) - spans, spans)
+            ii = base + offs
+            bad_idx = np.flatnonzero(jump[ii] != ii + 1)
+            if len(bad_idx):
+                seg_ends = np.cumsum(spans)
+                row_ok[np.searchsorted(seg_ends, bad_idx, side="right")] = False
+        lin_rows = cand_lin & row_ok
+        if lin_rows.any():
+            spans_l = (j_end - start + 1)[lin_rows]
+            base = np.repeat(start[lin_rows], spans_l)
+            offs = np.arange(int(spans_l.sum())) - np.repeat(
+                np.cumsum(spans_l) - spans_l, spans_l
+            )
+            frames_parts.append(base + offs)
+            frow_parts.append(
+                straggler_idx[np.repeat(rows_sel[lin_rows], spans_l)]
+            )
+
+    # 4b. pointer-doubling orbit for the remaining rows
+    rows_dbl = rows_sel[~lin_rows]
+    if len(rows_dbl):
+        blocks = [sidx[rows_dbl][:, None]]
+        JP = jump.copy()
+        width = 1
+        CAP = 1 << 17
+        while width < CAP:
+            allc = np.concatenate(blocks, axis=1)
+            if (blocks[-1] >= Cs).all():
+                break
+            if allc.size * 2 > 64_000_000:
+                break
+            # jump^width applied to entries 0..width-1 yields width..2width-1
+            blocks.append(JP[allc])
+            JP = JP[JP]
+            width *= 2
+        allc = np.concatenate(blocks, axis=1)
+        unfinished = allc[:, -1] < Cs
+        ended_bad = np.zeros(len(rows_dbl), dtype=bool)
+        fin = ~unfinished
+        ended_bad[fin] = allc[fin, -1] == BAD
+        py_rows += [int(straggler_idx[rows_dbl[i]]) for i in np.flatnonzero(unfinished)]
+        ok[straggler_idx[rows_dbl[ended_bad]]] = False
+        keep = ~unfinished & ~ended_bad
+        rows_keep = rows_dbl[keep]
+        allc = allc[keep]
+        if len(rows_keep):
+            flat = allc.reshape(-1)
+            fvalid = flat < Cs
+            frames_parts.append(flat[fvalid])
+            frow_parts.append(
+                straggler_idx[np.repeat(rows_keep, allc.shape[1])[fvalid]]
+            )
+
+    if not frames_parts:
+        return py_rows
+    frames = np.concatenate(frames_parts)
+    frow = np.concatenate(frow_parts)
     ft = stag[frames]
     fvv = sval[frames]
     pay_s = scand[frames] + 1 + sln[frames]

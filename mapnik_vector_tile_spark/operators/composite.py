@@ -12,12 +12,141 @@ unionByName of decoded rows + groupBy(z,x,y) re-encode.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from mapnik_vector_tile_spark.functions import compression as Z
 from mapnik_vector_tile_spark.functions import pbf
 from mapnik_vector_tile_spark.operators.encode import TILE_SCHEMA
+
+
+def _px_geom(cmds: list[int], gtype: int):
+    """v1 command stream -> px-space geom tuple (y-down tile ints, no
+    coordinate transform, no ring classification — the upgrade is a
+    wire-level rewrite, so orientation/area semantics stay untouched)."""
+    from mapnik_vector_tile_spark.functions import commands as Cmd
+
+    cur = Cmd._Cursor(cmds)
+    if gtype == 1:
+        pts = []
+        while True:
+            op, x, y = cur.point_next()
+            if op == "end":
+                break
+            pts.append((x, y))
+        if not pts:
+            return None
+        if len(pts) == 1:
+            return ("point", np.asarray(pts[0], dtype=np.int64))
+        return ("multipoint", np.asarray(pts, dtype=np.int64))
+    paths: list[list] = []
+    path: list = []
+    if gtype == 2:
+        while True:
+            op, x, y = cur.line_next(True)
+            if op == "end":
+                break
+            if op == "move_to":
+                if len(path) > 1:
+                    paths.append(path)
+                path = [(x, y)]
+            else:
+                path.append((x, y))
+        if len(path) > 1:
+            paths.append(path)
+        if not paths:
+            return None
+        arrs = [np.asarray(p, dtype=np.int64) for p in paths]
+        return ("linestring", arrs[0]) if len(arrs) == 1 else ("multilinestring", arrs)
+    if gtype == 3:
+        while True:
+            op, x, y = cur.ring_next(True)
+            if op == "end":
+                break
+            if op == "move_to":
+                if len(path) > 2:
+                    paths.append(path)
+                path = [(x, y)]
+            elif op == "close":
+                path.append((x, y))
+                if len(path) > 3:
+                    paths.append(path)
+                path = []
+            else:
+                path.append((x, y))
+        if not paths:
+            return None
+        arrs = [np.asarray(p, dtype=np.int64) for p in paths]
+        return ("polygon", arrs)
+    return None
+
+
+def upgrade_layer_v1_to_v2(layer_bytes: bytes) -> bytes:
+    """v1 layer -> v2 (merge_from_buffer's upgrade leg,
+    src/vector_tile_load_tile.hpp:93-137): geometry command streams
+    re-emitted under v2 rules (repeated points dropped, degenerate
+    paths rolled back) at the same extent, values re-encoded, version
+    stamped 2."""
+    from mapnik_vector_tile_spark.functions import commands as Cmd
+
+    lay = pbf.decode_layer(bytes(layer_bytes))
+    feats_out: list[bytes] = []
+    for fmsg in lay["features"]:
+        f = pbf.decode_feature(fmsg)
+        if f["geometry"]:
+            g = _px_geom(f["geometry"], f["type"])
+            if g is None:
+                continue
+            gtype, cmds = Cmd.encode_geometry(g)
+            if gtype is None:
+                continue
+            feats_out.append(
+                pbf.encode_feature(f["id"] or None, f["tags"], gtype, cmds)
+            )
+        elif f["raster"] is not None:
+            feats_out.append(
+                pbf.encode_feature(f["id"] or None, f["tags"], 0, [], raster=f["raster"])
+            )
+    values = [pbf.encode_value(v) for v in lay["values"]]
+    return pbf.encode_layer(
+        lay["name"], feats_out, lay["keys"], values,
+        extent=lay["extent"], version=2,
+    )
+
+
+def merge_from_compressed_buffer(
+    layers: list[tuple[str, bytes]],
+    buf: bytes,
+    validate: bool = False,
+    upgrade: bool = False,
+) -> list[tuple[str, bytes]]:
+    """Append one (possibly compressed) tile buffer's layers into an
+    ordered (name, layer_bytes) list — merge_from_compressed_buffer
+    semantics (src/vector_tile_load_tile.hpp:53-150): duplicate names
+    are silently skipped (first-wins), unless `validate`, which raises
+    on duplicates / unsupported versions / any layer validity error;
+    `upgrade` re-encodes v1 layers as v2."""
+    from mapnik_vector_tile_spark.operators import validity as V
+
+    data = Z.decompress(bytes(buf))
+    existing = {n for n, _ in layers}
+    for layer_bytes in pbf.decode_tile(data):
+        errors, meta = V._layer_walk(layer_bytes)
+        name = meta["name"] or ""
+        if validate:
+            errs = set(errors)
+            if name in existing:
+                errs.add("TILE_REPEATED_LAYER_NAMES")
+            if errs:
+                raise ValueError(", ".join(sorted(errs)))
+        elif not name or name in existing:
+            continue
+        if upgrade and meta["version"] == 1:
+            layer_bytes = upgrade_layer_v1_to_v2(layer_bytes)
+        layers.append((name, layer_bytes))
+        existing.add(name)
+    return layers
 
 
 def merge_tiles_fast(tiles: DataFrame, source_order_col: str = "source") -> DataFrame:

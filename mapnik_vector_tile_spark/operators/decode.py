@@ -40,6 +40,16 @@ def decode_layer_rows(
         bounds = tilemath.tile_mercator_bbox_np(x, y, z)
     minx, miny, maxx, maxy = bounds
     layer = pbf.decode_layer(bytes(layer_bytes))
+    # datasource_pbf construction semantics (test/unit/datasource-pbf/
+    # from_layer.cpp): an unknown layer version yields no features but
+    # processing continues with subsequent layers; a v2 layer without a
+    # declared extent is rejected (the reference throws — the scan skips
+    # it so one hostile layer cannot fail a distributed decode; the
+    # validity checker carries the LAYER_HAS_NO_EXTENT finding).
+    if layer["version"] not in (1, 2):
+        return []
+    if layer["version"] == 2 and not layer["has_extent"]:
+        return []
     extent = layer["extent"]
     # decode transform: px -> mercator (datasource_pbf scale semantics)
     scale = extent / (float(maxx) - float(minx))

@@ -211,6 +211,21 @@ def buffered_tile_px_box(size: int, buffer_px: int):
     return (-buffer_px, -buffer_px, size + buffer_px, size + buffer_px)
 
 
+def buffered_mercator_extent(
+    minx: float, miny: float, maxx: float, maxy: float,
+    tile_size: int, buffer_px: int,
+):
+    """tile::get_buffered_extent (src/vector_tile_tile.hpp:86-103): the
+    mercator extent grown by buffer_px at the tile's px scale; a buffer
+    negative enough to invert the box collapses it to the empty
+    (0, 0, 0, 0) box (test/unit/tile_impl/tile.cpp goldens)."""
+    b = buffer_px * (maxx - minx) / tile_size if tile_size else 0.0
+    out = (minx - b, miny - b, maxx + b, maxy + b)
+    if out[0] > out[2] or out[1] > out[3]:
+        return (0.0, 0.0, 0.0, 0.0)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Column forms (exact integer math; used on the images table where the
 # DuckDB oracle is not involved and bit-exactness with numpy matters)
