@@ -321,6 +321,60 @@ def decode_kernel_anchor_dense(n_feats: int = 6800, n_tiles: int = 50) -> float:
     return got / best
 
 
+def decode_real_tile_anchor() -> dict:
+    """Like-for-like decode of the reference's OWN bench tiles
+    (bench/readme.md: enf z14 = 34 multipoints / ~676k points, 14.1 ms
+    per iteration on one C++ core; multi_line z13 = 168k two-point
+    segments, ~40 ms). Single-core, same stages the reference times:
+    decompress + layer walk + geometry decode to mercator doubles.
+    Returns {} when the reference checkout is not mounted."""
+    import os as _os
+    import time as _t
+
+    from mapnik_vector_tile_spark import tilemath
+    from mapnik_vector_tile_spark.functions import commands as Cmd
+    from mapnik_vector_tile_spark.functions import compression as Z
+    from mapnik_vector_tile_spark.functions import pbf as P
+
+    tiles = {
+        "enf_z14": ("/root/reference/bench/enf.t5yd5cdi_14_13089_8506.vector.mvt",
+                    14, 13089, 8506),
+        "multi_line_z13": ("/root/reference/bench/multi_line_13_1310_3166.vector.mvt",
+                           13, 1310, 3166),
+    }
+    out = {}
+    for name, (path, z, x, y) in tiles.items():
+        if not _os.path.exists(path):
+            continue
+        buf = open(path, "rb").read()
+        minx, _miny, maxx, maxy = tilemath.tile_mercator_bbox_np(x, y, z)
+        best = float("inf")
+        for _ in range(7):
+            t0 = _t.perf_counter()
+            data = Z.decompress(buf)
+            for lb in P.decode_tile(data):
+                lay = P.decode_layer(lb)
+                scale = lay["extent"] / (float(maxx) - float(minx))
+                for fm in lay["features"]:
+                    f = P.decode_feature_arrays(fm)
+                    if not len(f["geometry"]):
+                        continue
+                    g = Cmd.decode_geometry_vec(
+                        f["geometry"], f["type"], version=lay["version"],
+                        tile_x=float(minx), tile_y=float(maxy),
+                        scale_x=scale, scale_y=-scale,
+                    )
+                    if g is None:
+                        g = Cmd.decode_geometry(
+                            f["geometry"], f["type"], version=lay["version"],
+                            tile_x=float(minx), tile_y=float(maxy),
+                            scale_x=scale, scale_y=-scale,
+                        )
+            best = min(best, _t.perf_counter() - t0)
+        out[name] = round(best * 1e3, 1)
+    return out
+
+
 def _calibration_work(n):
     s = 0
     for i in range(n):
@@ -445,6 +499,7 @@ def main() -> None:
     # anchors first, before any Spark session competes for the host
     decode_anchor = round(decode_kernel_anchor(), 1)
     decode_dense = round(decode_kernel_anchor_dense(), 1)
+    real_tiles = decode_real_tile_anchor()
     res = one_run(cpus, sf_dir)
     out = {
         "metric": "tiles+join-rows/sec",
@@ -456,6 +511,7 @@ def main() -> None:
         "rows_per_sec": round(res["throughput_rows_per_sec"], 1),
         "decode_kernel_feats_per_sec_core": decode_anchor,
         "decode_dense_feats_per_sec_core": decode_dense,
+        **{f"decode_real_{k}_ms": v for k, v in real_tiles.items()},
     }
     print(json.dumps(out))
 

@@ -351,6 +351,313 @@ def decode_geometry(
     return ("empty", None)  # UNKNOWN ignored (decoder.ipp:826-833)
 
 
+def decode_geometry_vec(
+    commands,
+    geom_type: int,
+    version: int = 2,
+    tile_x: float = 0.0,
+    tile_y: float = 0.0,
+    scale_x: float = 1.0,
+    scale_y: float = 1.0,
+    bbox=None,
+    value_type: str = "double",
+):
+    """Vectorized decode for CANONICAL command streams — the shapes every
+    conformant encoder emits (POINT: MoveTo blocks only; LINESTRING:
+    [MoveTo(1), LineTo(k>=1)+]*; POLYGON: [MoveTo(1), LineTo(k>=2)+,
+    Close]*). Cost is O(#command headers) Python + O(#points) numpy:
+    one unzigzag + cumsum replaces the per-point cursor walk, which is
+    what the reference's decode bench actually measures (its z14 anchor
+    tile is 34 multipoints totalling ~676k points, bench/readme.md).
+
+    Returns None to DECLINE — any structural deviation, degenerate part
+    (all-zero LineTo runs), or coordinate overflow — and the caller
+    replays through decode_geometry's exact per-point state machine, so
+    the full v1/v2 error matrix and leniency behavior stay bit-identical.
+    Raises the same first-ring-clockwise DecodeError as the scalar path
+    (the only error reachable from a canonical stream)."""
+    g = np.asarray(commands, dtype=np.uint64)
+    n = len(g)
+    if n == 0 or geom_type not in (POINT, LINESTRING, POLYGON):
+        return None
+
+    # --- header walk: Python per UNIQUE block shape, vectorized over
+    # periodic runs (real tiles repeat one header pattern — e.g. the
+    # reference's multi_line bench tile is 168k (MoveTo(1), LineTo(1))
+    # pairs — so the walk closes whole runs with one strided compare) ---
+    seg_cmd: list[np.ndarray] = []
+    seg_cnt: list[np.ndarray] = []
+    seg_vst: list[np.ndarray] = []
+    p = 0
+    while p < n:
+        # probe up to 3 consecutive headers from p
+        probe = []  # (pos, header, cmd, count, next_pos)
+        q = p
+        for _ in range(3):
+            if q >= n:
+                break
+            h = int(g[q])
+            c = h & 7
+            k = h >> 3
+            if c == MOVE_TO or c == LINE_TO:
+                if k == 0:
+                    return None
+                nq = q + 1 + 2 * k
+            elif c == CLOSE:
+                nq = q + 1
+            else:
+                return None
+            if nq > n:
+                return None
+            probe.append((q, h, c, k, nq))
+            q = nq
+        run = None
+        for L in (1, 2, 3):
+            if len(probe) < L:
+                break
+            period = probe[L - 1][4] - p
+            max_r = (n - p) // period
+            if max_r < 8:
+                continue
+            reps = max_r
+            for j in range(L):
+                lane = g[probe[j][0] : probe[j][0] + period * max_r : period]
+                neq = np.flatnonzero(lane != probe[j][1])
+                if len(neq):
+                    reps = min(reps, int(neq[0]))
+            if reps >= 8:
+                run = (L, period, reps)
+                break
+        if run:
+            L, period, reps = run
+            lane_off = np.asarray([probe[j][0] - p + 1 for j in range(L)], dtype=np.int64)
+            cmd_pat = np.asarray([probe[j][2] for j in range(L)], dtype=np.int64)
+            cnt_pat = np.asarray([probe[j][3] for j in range(L)], dtype=np.int64)
+            rep_idx = np.repeat(np.arange(reps, dtype=np.int64), L)
+            seg_cmd.append(np.tile(cmd_pat, reps))
+            seg_cnt.append(np.tile(cnt_pat, reps))
+            seg_vst.append(p + rep_idx * period + np.tile(lane_off, reps))
+            p += period * reps
+        else:
+            q0, _h, c, k, nq = probe[0]
+            seg_cmd.append(np.asarray([c], dtype=np.int64))
+            seg_cnt.append(np.asarray([k], dtype=np.int64))
+            seg_vst.append(np.asarray([q0 + 1], dtype=np.int64))
+            p = nq
+    cmds = np.concatenate(seg_cmd) if len(seg_cmd) > 1 else seg_cmd[0]
+    cnts = np.concatenate(seg_cnt) if len(seg_cnt) > 1 else seg_cnt[0]
+    vstarts = np.concatenate(seg_vst) if len(seg_vst) > 1 else seg_vst[0]
+
+    # --- canonical structure checks (vectorized) ---
+    is_mt = cmds == MOVE_TO
+    is_lt = cmds == LINE_TO
+    is_cl = cmds == CLOSE
+    if geom_type == POINT:
+        if not is_mt.all():
+            return None
+    elif geom_type == LINESTRING:
+        if is_cl.any() or not is_mt[0] or (cnts[is_mt] != 1).any():
+            return None
+        if version != 1:
+            # v2 forbids a MoveTo with no LineTo following (repeated
+            # MOVETO / trailing MOVETO raise in the scalar walk)
+            if is_mt[-1] or (is_mt[:-1] & is_mt[1:]).any():
+                return None
+    else:  # POLYGON: strict (MT(1), LT+, CLOSE)* grouping
+        if not is_mt[0] or not is_cl[-1] or (cnts[is_mt] != 1).any():
+            return None
+        if (is_mt[:-1] & ~is_lt[1:]).any():
+            return None  # MOVETO without LINETO
+        if (is_lt[:-1] & is_mt[1:]).any():
+            return None  # ring not closed by CLOSE
+        if (is_cl[:-1] & ~is_mt[1:]).any():
+            return None  # CLOSE followed by CLOSE / LINETO
+
+    # --- gather all deltas in visit order; cumsum -> raw int coords ---
+    m = ~is_cl
+    sp_start = vstarts[m]
+    sp_npts = cnts[m]
+    sp_cmd = cmds[m]
+    nvals = sp_npts * 2
+    tot = int(nvals.sum())
+    if tot == 0:
+        return None
+    if len(sp_start) == 1:  # one block (multipoint / single long line)
+        vals = g[sp_start[0] : sp_start[0] + tot]
+    else:
+        # the header walk tiles the whole stream, so the deltas are
+        # exactly the non-header positions, in order
+        hdr = np.zeros(n, dtype=bool)
+        hdr[vstarts - 1] = True
+        vals = g[~hdr]
+    v64 = vals.astype(np.int64)
+    deltas = ((v64 >> 1) ^ -(v64 & 1)).reshape(-1, 2)  # fused unzigzag32
+    pts = np.cumsum(deltas, axis=0)
+    if len(pts) and np.abs(pts).max() > (1 << 25):
+        return None  # keep the int area math exact; scalar handles extremes
+
+    per_pt_cmd = np.repeat(sp_cmd, sp_npts)
+    part_id = np.repeat(np.arange(len(sp_cmd), dtype=np.int64), sp_npts)
+    # part index per MoveTo group (polygon ring / line id): cumsum of MTs
+    is_mt_blk = sp_cmd == MOVE_TO
+    grp_of_blk = np.cumsum(is_mt_blk) - 1
+    grp = grp_of_blk[part_id] if geom_type != POINT else part_id
+
+    if geom_type == POINT:
+        X = tile_x + pts[:, 0] / scale_x
+        Y = tile_y + pts[:, 1] / scale_y
+        if value_type == "int64":
+            X, Y = _round_half_away(pts[:, 0] / scale_x) + tile_x, _round_half_away(
+                pts[:, 1] / scale_y
+            ) + tile_y
+        if bbox is not None:
+            m = (bbox[0] <= X) & (X <= bbox[2]) & (bbox[1] <= Y) & (Y <= bbox[3])
+            X, Y = X[m], Y[m]
+        if len(X) == 0:
+            return ("empty", None)
+        arr = np.column_stack([X, Y]).astype(np.float64)
+        return ("point", arr[0]) if len(arr) == 1 else ("multipoint", arr)
+
+    # skip-zero: zero LineTo deltas never append a vertex (line_next /
+    # ring_next with skip_zero=True); MoveTo deltas always do
+    zero = (deltas[:, 0] == 0) & (deltas[:, 1] == 0) & (per_pt_cmd == LINE_TO)
+    keep = ~zero
+    kpts = pts[keep]
+    kgrp = grp[keep]
+    kcmd = per_pt_cmd[keep]
+    ngroups = int(grp_of_blk[-1]) + 1
+    counts = np.bincount(kgrp, minlength=ngroups)
+    mt_counts = np.bincount(kgrp[kcmd == MOVE_TO], minlength=ngroups)
+    lt_counts = counts - mt_counts
+    min_lt = 1 if geom_type == LINESTRING else 2
+    bad_grp = (mt_counts != 1) | (lt_counts < min_lt)
+    if bad_grp.any():
+        if version != 1:
+            return None  # v2: scalar replays the exact error
+        # v1 leniency (line_next/ring_next "move_to"/"close" resets): a
+        # part whose LineTos all collapsed is silently dropped; its
+        # deltas already advanced the shared cursor via the cumsum, so
+        # dropping the points here reproduces the scalar walk exactly
+        dm = ~bad_grp[kgrp]
+        kpts, kgrp, kcmd = kpts[dm], kgrp[dm], kcmd[dm]
+        counts = np.bincount(kgrp, minlength=ngroups)
+
+    if value_type == "int64":
+        X = tile_x + _round_half_away(kpts[:, 0] / scale_x)
+        Y = tile_y + _round_half_away(kpts[:, 1] / scale_y)
+    else:
+        X = tile_x + kpts[:, 0] / scale_x
+        Y = tile_y + kpts[:, 1] / scale_y
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    if geom_type == LINESTRING:
+        # parts are VIEWS into one (N,2) array — a 168k-segment feature
+        # (the reference's multi_line bench tile) costs one column_stack
+        # plus slice handles, not 168k small copies
+        XY = np.column_stack([X, Y])
+        gi_keep = np.flatnonzero(counts >= 2)
+        if bbox is not None and len(gi_keep):
+            st = starts[gi_keep]
+            mnx = np.minimum.reduceat(X, st)
+            mxx = np.maximum.reduceat(X, st)
+            mny = np.minimum.reduceat(Y, st)
+            mxy = np.maximum.reduceat(Y, st)
+            inb = ~((mxx < bbox[0]) | (mnx > bbox[2])
+                    | (mxy < bbox[1]) | (mny > bbox[3]))
+            gi_keep = gi_keep[inb]
+        lines = [
+            XY[starts[gi] : starts[gi] + counts[gi]] for gi in gi_keep
+        ]
+        if not lines:
+            return ("empty", None)
+        if len(lines) == 1:
+            return ("linestring", lines[0]) if len(lines[0]) > 1 else ("empty", None)
+        return ("multilinestring", lines)
+
+    # POLYGON — per-ring int shoelace (exact: |coord| <= 2^25), closing
+    # points inserted in ONE global scatter, then the scalar path's
+    # classification/assembly over ring views
+    cross = kpts[:-1, 0] * kpts[1:, 1] - kpts[:-1, 1] * kpts[1:, 0]
+    same = kgrp[:-1] == kgrp[1:]
+    areas = np.bincount(kgrp[:-1][same], weights=cross[same].astype(np.float64),
+                        minlength=ngroups).astype(np.float64)
+
+    gi_all = np.flatnonzero(counts > 0)
+    a_arr = starts[gi_all]
+    b_arr = a_arr + counts[gi_all]
+    need = (X[a_arr] != X[b_arr - 1]) | (Y[a_arr] != Y[b_arr - 1])
+    areas = areas[gi_all]
+    areas[need] += (
+        kpts[b_arr - 1, 0] * kpts[a_arr, 1] - kpts[b_arr - 1, 1] * kpts[a_arr, 0]
+    )[need].astype(np.float64)
+    out_len = counts[gi_all] + need
+    out_starts = np.concatenate([[0], np.cumsum(out_len)[:-1]]).astype(np.int64)
+    OUT = np.empty((int(out_len.sum()), 2), dtype=np.float64)
+    # ordinal ring index per kept point -> shifted destination
+    ord_of_grp = np.full(ngroups, -1, dtype=np.int64)
+    ord_of_grp[gi_all] = np.arange(len(gi_all))
+    shift = np.concatenate([[0], np.cumsum(need)[:-1]]).astype(np.int64)
+    dest = np.arange(len(X), dtype=np.int64) + shift[ord_of_grp[kgrp]]
+    OUT[dest, 0] = X
+    OUT[dest, 1] = Y
+    closers = np.flatnonzero(need)
+    OUT[(out_starts + out_len - 1)[closers], 0] = X[a_arr[closers]]
+    OUT[(out_starts + out_len - 1)[closers], 1] = Y[a_arr[closers]]
+    if bbox is not None and len(gi_all):
+        mnx = np.minimum.reduceat(OUT[:, 0], out_starts)
+        mxx = np.maximum.reduceat(OUT[:, 0], out_starts)
+        mny = np.minimum.reduceat(OUT[:, 1], out_starts)
+        mxy = np.maximum.reduceat(OUT[:, 1], out_starts)
+
+    rings: list[np.ndarray] = []
+    rings_exterior: list[bool] = []
+    first_ring = True
+    first_ring_is_clockwise = False
+    last_exterior_not_included = False
+    for ri in range(len(gi_all)):
+        if out_len[ri] <= 3:
+            continue
+        area_cw = float(areas[ri]) < 0.0
+        if first_ring:
+            first_ring_is_clockwise = area_cw
+            if version != 1 and first_ring_is_clockwise:
+                raise DecodeError("POLYGON first ring clockwise (invalid in v2)")
+            first_ring = False
+        is_exterior = first_ring_is_clockwise == area_cw
+        in_box = True
+        if bbox is not None:
+            in_box = not (
+                mxx[ri] < bbox[0] or mnx[ri] > bbox[2]
+                or mxy[ri] < bbox[1] or mny[ri] > bbox[3]
+            )
+        if (not is_exterior and last_exterior_not_included) or not in_box:
+            if is_exterior:
+                last_exterior_not_included = True
+        else:
+            if is_exterior:
+                last_exterior_not_included = False
+            rings.append(OUT[out_starts[ri] : out_starts[ri] + out_len[ri]])
+            rings_exterior.append(is_exterior)
+    if not rings:
+        return ("empty", None)
+    reverse_rings = ((scale_x * scale_y) < 0) != first_ring_is_clockwise
+    polys: list[list[np.ndarray]] = []
+    for ring, is_ext in zip(rings, rings_exterior):
+        r = ring[::-1].copy() if reverse_rings else ring
+        if is_ext:
+            polys.append([r])
+        elif polys:
+            polys[-1].append(r)
+    if len(polys) == 1:
+        return ("polygon", polys[0])
+    return ("multipolygon", polys)
+
+
+def _round_half_away(v: np.ndarray) -> np.ndarray:
+    """Vector twin of _scale_pt_int's std::round (half away from zero)."""
+    return np.floor(np.abs(v) + 0.5) * np.where(v >= 0, 1.0, -1.0)
+
+
 def _bbox_pt(bbox, x, y):
     return bbox is None or (bbox[0] <= x <= bbox[2] and bbox[1] <= y <= bbox[3])
 

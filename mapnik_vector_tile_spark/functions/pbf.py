@@ -335,6 +335,52 @@ def decode_feature(data: bytes) -> dict:
     return out
 
 
+def decode_feature_arrays(data: bytes) -> dict:
+    """decode_feature twin that decodes a LARGE packed geometry field
+    with decode_varints_vec (one vectorized pass) instead of the
+    per-varint Python loop — the reference's decode-bench tiles carry
+    ~1.3 MB of geometry varints in a handful of features
+    (bench/readme.md), where the scalar loop alone costs seconds.
+    "geometry" is then a uint64 ndarray; small geometries keep the
+    list form (conversion overhead dominates below ~128 bytes)."""
+    pos = 0
+    out = {"id": 0, "tags": [], "type": 0, "geometry": [], "raster": None}
+    while pos < len(data):
+        t, pos = read_varint(data, pos)
+        field, wire = t >> 3, t & 0x7
+        if field == 1 and wire == WT_VARINT:
+            out["id"], pos = read_varint(data, pos)
+        elif field == 2 and wire == WT_LEN:
+            ln, pos = read_varint(data, pos)
+            end = pos + ln
+            tags = []
+            while pos < end:
+                v, pos = read_varint(data, pos)
+                tags.append(v)
+            out["tags"] = tags
+        elif field == 3 and wire == WT_VARINT:
+            out["type"], pos = read_varint(data, pos)
+        elif field == 4 and wire == WT_LEN:
+            ln, pos = read_varint(data, pos)
+            if ln >= 128:
+                out["geometry"] = decode_varints_vec(data[pos : pos + ln])
+                pos += ln
+            else:
+                end = pos + ln
+                geom = []
+                while pos < end:
+                    v, pos = read_varint(data, pos)
+                    geom.append(v)
+                out["geometry"] = geom
+        elif field == 5 and wire == WT_LEN:
+            ln, pos = read_varint(data, pos)
+            out["raster"] = data[pos : pos + ln]
+            pos += ln
+        else:
+            pos = skip_field(data, pos, wire)
+    return out
+
+
 # --- vectorized packing (hot path for point layers) ---------------------------
 
 def varint_matrix(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -641,19 +687,31 @@ def decode_varints_vec(data: bytes, return_lengths: bool = False):
     if len(buf) == 0:
         empty = np.empty(0, dtype=np.uint64)
         return (empty, np.empty(0, dtype=np.int64)) if return_lengths else empty
-    ends = (buf & 0x80) == 0
-    if not ends[-1]:
+    cont = (buf & 0x80) != 0
+    if cont[-1]:
         raise ValueError("truncated varint stream")
-    end_pos = np.flatnonzero(ends)
+    end_pos = np.flatnonzero(~cont)
     starts = np.concatenate([[0], end_pos[:-1] + 1])
     lengths = end_pos - starts + 1
-    if lengths.max() > 10:
+    max_len = int(lengths.max())
+    if max_len > 10:
         raise ValueError("varint too long")
-    vals = np.zeros(len(starts), dtype=np.uint64)
-    payload = (buf & 0x7F).astype(np.uint64)
-    for k in range(int(lengths.max())):
-        m = lengths > k
-        vals[m] |= payload[starts[m] + k] << np.uint64(7 * k)
+    # backward accumulation: after pass m, acc[i] holds the value of a
+    # varint starting at i with length <= m+1. Full-array passes replace
+    # the per-pass fancy-index gathers (2x faster on the wide tile-delta
+    # streams, which are overwhelmingly 1-2 byte varints -> one pass).
+    # Varints of <= 4 bytes fit 28 payload bits: run the lane in uint32
+    # for half the memory traffic.
+    lane = np.uint32 if max_len <= 4 else np.uint64
+    payload = (buf & 0x7F).astype(lane)
+    acc = payload
+    sh = np.empty_like(payload)
+    seven = lane(7)
+    for _ in range(max_len - 1):
+        sh[:-1] = acc[1:]
+        sh[-1] = 0
+        acc = np.where(cont, payload | (sh << seven), payload)
+    vals = acc[starts].astype(np.uint64)
     if return_lengths:
         return vals, lengths.astype(np.int64)
     return vals

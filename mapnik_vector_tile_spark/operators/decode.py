@@ -55,17 +55,15 @@ def decode_layer_rows(
     scale = extent / (float(maxx) - float(minx))
     rows = []
     for fmsg in layer["features"]:
-        feat = pbf.decode_feature(fmsg)
+        feat = pbf.decode_feature_arrays(fmsg)
         props = {}
         tags = feat["tags"]
         for i in range(0, len(tags) - 1, 2):
             k = layer["keys"][tags[i]]
             v = layer["values"][tags[i + 1]]
             props[k] = None if v is None else str(v)
-        if feat["geometry"]:
-            g = Cmd.decode_geometry(
-                feat["geometry"],
-                feat["type"],
+        if len(feat["geometry"]):
+            dec_args = dict(
                 version=layer["version"],
                 tile_x=float(minx),
                 tile_y=float(maxy),
@@ -73,6 +71,11 @@ def decode_layer_rows(
                 scale_y=-scale,  # y down in tile space
                 bbox=bbox,
             )
+            g = None
+            if len(feat["geometry"]) >= 64:  # vectorized canonical path
+                g = Cmd.decode_geometry_vec(feat["geometry"], feat["type"], **dec_args)
+            if g is None:
+                g = Cmd.decode_geometry(feat["geometry"], feat["type"], **dec_args)
             wkt = G.to_wkt(g) if g[0] != "empty" else None
         else:
             wkt = None

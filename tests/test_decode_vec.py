@@ -1,0 +1,207 @@
+"""Vectorized geometry decode: bit-exact parity with the scalar walk.
+
+decode_geometry_vec replaces the per-point cursor with one
+unzigzag+cumsum pass for canonical command streams, declining anything
+else back to decode_geometry. Parity matters feature-by-feature: kind,
+part structure, and every coordinate must be identical — including the
+v1 leniency behaviors (degenerate parts dropped, repeated MOVETO) and
+the v2 first-ring-clockwise error. The reference's own bench tiles
+(34-multipoint enf z14, 168k-segment multi_line z13 — both v1, from a
+foreign encoder) are the end-to-end fixtures."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from mapnik_vector_tile_spark import tilemath
+from mapnik_vector_tile_spark.functions import commands as Cmd
+from mapnik_vector_tile_spark.functions import compression as Z
+from mapnik_vector_tile_spark.functions import pbf
+
+BENCH = "/root/reference/bench"
+
+
+def _flat(gm):
+    k, v = gm
+    if k == "empty":
+        return []
+    if k in ("point", "multipoint", "linestring"):
+        return [np.atleast_2d(v)]
+    if k == "multilinestring":
+        return [np.asarray(p) for p in v]
+    if k == "polygon":
+        return [np.asarray(r) for r in v]
+    return [np.asarray(r) for p in v for r in p]  # multipolygon
+
+
+def _assert_same(gv, gs):
+    assert gv[0] == gs[0], (gv[0], gs[0])
+    fv, fs = _flat(gv), _flat(gs)
+    assert len(fv) == len(fs), (len(fv), len(fs))
+    for a, b in zip(fv, fs):
+        assert a.shape == b.shape and np.array_equal(a, b)
+
+
+def _both(cmds, gtype, **kw):
+    """Run vec + scalar; vec must NOT decline; outputs must match."""
+    gv = Cmd.decode_geometry_vec(cmds, gtype, **kw)
+    gs = Cmd.decode_geometry(cmds, gtype, **kw)
+    assert gv is not None
+    _assert_same(gv, gs)
+    return gv
+
+
+def test_parity_simple_shapes():
+    z = Cmd._zz32
+    # multipoint
+    _both([(3 << 3) | 1, z(5), z(5), z(-3), z(4), z(0), z(0)], 1)
+    # two-part linestring
+    _both(
+        [9, z(2), z(2), (2 << 3) | 2, z(5), z(0), z(0), z(5),
+         9, z(10), z(10), (1 << 3) | 2, z(-4), z(1)],
+        2,
+    )
+    # polygon with hole (CCW exterior in y-up terms)
+    _both(
+        [9, z(0), z(0), (3 << 3) | 2, z(10), z(0), z(0), z(10), z(-10), z(0), 15,
+         9, z(3), z(-7), (3 << 3) | 2, z(4), z(0), z(0), z(4), z(-4), z(0), 15],
+        3,
+    )
+
+
+def test_parity_zero_delta_skip():
+    z = Cmd._zz32
+    # zero LineTo deltas are skipped in both paths
+    _both([9, z(1), z(1), (3 << 3) | 2, z(0), z(0), z(5), z(5), z(0), z(0)], 2)
+
+
+def test_v1_degenerate_segment_dropped():
+    z = Cmd._zz32
+    # (MT, LT(zero)) part in v1 drops silently; next part survives
+    cmds = [9, z(1), z(1), (1 << 3) | 2, z(0), z(0),
+            9, z(4), z(4), (1 << 3) | 2, z(3), z(3)]
+    gv = _both(cmds, 2, version=1)
+    assert gv[0] == "linestring" and len(gv[1]) == 2
+    # v2: the vec path declines and the scalar raises
+    assert Cmd.decode_geometry_vec(cmds, 2, version=2) is None
+    with pytest.raises(Cmd.DecodeError):
+        Cmd.decode_geometry(cmds, 2, version=2)
+
+
+def test_v2_first_ring_clockwise_raises_in_both():
+    z = Cmd._zz32
+    cw = [9, z(0), z(0), (3 << 3) | 2, z(0), z(10), z(10), z(0), z(0), z(-10), 15]
+    with pytest.raises(Cmd.DecodeError):
+        Cmd.decode_geometry_vec(cw, 3, version=2)
+    with pytest.raises(Cmd.DecodeError):
+        Cmd.decode_geometry(cw, 3, version=2)
+    # v1 accepts it
+    _both(cw, 3, version=1)
+
+
+def test_parity_scaled_and_bbox():
+    z = Cmd._zz32
+    cmds = [(4 << 3) | 1] + [z(v) for pair in
+            [(100, 100), (2000, 2000), (-1500, 300), (50, -900)] for v in pair]
+    kw = dict(tile_x=-20037508.34, tile_y=20037508.34,
+              scale_x=0.1022, scale_y=-0.1022)
+    _both(cmds, 1, **kw)
+    bbox = (-20037508.34, 20037000.0, -20030000.0, 20037508.34)
+    _both(cmds, 1, bbox=bbox, **kw)
+
+
+coord = st.integers(min_value=-4200, max_value=4200)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.lists(st.tuples(coord, coord), min_size=2, max_size=12),
+                min_size=1, max_size=5), st.booleans())
+def test_parity_random_lines(parts, use_bbox):
+    enc = []
+    cursor = [0, 0]
+    for pts in parts:
+        gt, cmds = Cmd.encode_geometry(("linestring", np.asarray(pts, dtype=np.int64)), cursor)
+        if gt is not None:
+            enc.extend(cmds)
+    if not enc:
+        return
+    bbox = (-100.0, -100.0, 2000.0, 2000.0) if use_bbox else None
+    gv = Cmd.decode_geometry_vec(enc, 2, bbox=bbox)
+    gs = Cmd.decode_geometry(enc, 2, bbox=bbox)
+    if gv is not None:
+        _assert_same(gv, gs)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.lists(st.tuples(coord, coord), min_size=3, max_size=10),
+                min_size=1, max_size=4))
+def test_parity_random_polygons(rings):
+    enc = []
+    cursor = [0, 0]
+    arrs = []
+    for pts in rings:
+        arr = np.asarray(pts + pts[:1], dtype=np.int64)
+        arrs.append(arr)
+    gt, cmds = Cmd.encode_geometry(("polygon", arrs), cursor)
+    if gt is None:
+        return
+    for version in (1, 2):
+        try:
+            gs = Cmd.decode_geometry(cmds, 3, version=version)
+            err = None
+        except Cmd.DecodeError as e:
+            gs, err = None, e
+        if err is None:
+            gv = Cmd.decode_geometry_vec(cmds, 3, version=version)
+            if gv is not None:
+                _assert_same(gv, gs)
+        else:
+            try:
+                gv = Cmd.decode_geometry_vec(cmds, 3, version=version)
+            except Cmd.DecodeError:
+                gv = "raised"
+            assert gv in (None, "raised")
+
+
+@pytest.mark.skipif(not os.path.isdir(BENCH), reason="reference bench not mounted")
+@pytest.mark.parametrize(
+    "name,z,x,y",
+    [("enf.t5yd5cdi_14_13089_8506.vector.mvt", 14, 13089, 8506),
+     ("multi_line_13_1310_3166.vector.mvt", 13, 1310, 3166)],
+)
+def test_parity_reference_bench_tiles(name, z, x, y):
+    """Every feature of the reference's own bench tiles decodes through
+    the vectorized path (no declines) with coordinates identical to the
+    scalar walk."""
+    buf = open(f"{BENCH}/{name}", "rb").read()
+    data = Z.decompress(buf)
+    minx, _miny, maxx, maxy = tilemath.tile_mercator_bbox_np(x, y, z)
+    n_vec = 0
+    for lb in pbf.decode_tile(data):
+        lay = pbf.decode_layer(lb)
+        scale = lay["extent"] / (float(maxx) - float(minx))
+        for fm in lay["features"]:
+            f = pbf.decode_feature_arrays(fm)
+            if not len(f["geometry"]):
+                continue
+            kw = dict(version=lay["version"], tile_x=float(minx),
+                      tile_y=float(maxy), scale_x=scale, scale_y=-scale)
+            gv = Cmd.decode_geometry_vec(f["geometry"], f["type"], **kw)
+            assert gv is not None, "vec path declined a real-world feature"
+            _assert_same(gv, Cmd.decode_geometry(f["geometry"], f["type"], **kw))
+            n_vec += 1
+    assert n_vec > 0
+
+
+def test_decode_feature_arrays_matches_decode_feature():
+    z = Cmd._zz32
+    geom = [(50 << 3) | 1] + [z((i * 37) % 4096) for i in range(100)]
+    feat = pbf.encode_feature(7, [0, 1], 1, geom)
+    a = pbf.decode_feature(feat)
+    b = pbf.decode_feature_arrays(feat)
+    assert a["id"] == b["id"] and a["tags"] == b["tags"] and a["type"] == b["type"]
+    assert list(a["geometry"]) == [int(v) for v in b["geometry"]]
