@@ -348,30 +348,32 @@ def decode_real_tile_anchor() -> dict:
             continue
         buf = open(path, "rb").read()
         minx, _miny, maxx, maxy = tilemath.tile_mercator_bbox_np(x, y, z)
-        best = float("inf")
-        for _ in range(7):
-            t0 = _t.perf_counter()
-            data = Z.decompress(buf)
-            for lb in P.decode_tile(data):
-                lay = P.decode_layer(lb)
-                scale = lay["extent"] / (float(maxx) - float(minx))
-                for fm in lay["features"]:
-                    f = P.decode_feature_arrays(fm)
-                    if not len(f["geometry"]):
-                        continue
-                    g = Cmd.decode_geometry_vec(
-                        f["geometry"], f["type"], version=lay["version"],
-                        tile_x=float(minx), tile_y=float(maxy),
-                        scale_x=scale, scale_y=-scale,
-                    )
-                    if g is None:
-                        g = Cmd.decode_geometry(
+        for mode in ("", "_packed"):
+            packed = bool(mode)
+            best = float("inf")
+            for _ in range(7):
+                t0 = _t.perf_counter()
+                data = Z.decompress(buf)
+                for lb in P.decode_tile(data):
+                    lay = P.decode_layer(lb)
+                    scale = lay["extent"] / (float(maxx) - float(minx))
+                    for fm in lay["features"]:
+                        f = P.decode_feature_arrays(fm)
+                        if not len(f["geometry"]):
+                            continue
+                        g = Cmd.decode_geometry_vec(
                             f["geometry"], f["type"], version=lay["version"],
                             tile_x=float(minx), tile_y=float(maxy),
-                            scale_x=scale, scale_y=-scale,
+                            scale_x=scale, scale_y=-scale, packed=packed,
                         )
-            best = min(best, _t.perf_counter() - t0)
-        out[name] = round(best * 1e3, 1)
+                        if g is None:
+                            g = Cmd.decode_geometry(
+                                f["geometry"], f["type"], version=lay["version"],
+                                tile_x=float(minx), tile_y=float(maxy),
+                                scale_x=scale, scale_y=-scale,
+                            )
+                best = min(best, _t.perf_counter() - t0)
+            out[name + mode] = round(best * 1e3, 1)
     return out
 
 

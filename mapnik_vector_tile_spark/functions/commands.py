@@ -361,6 +361,7 @@ def decode_geometry_vec(
     scale_y: float = 1.0,
     bbox=None,
     value_type: str = "double",
+    packed: bool = False,
 ):
     """Vectorized decode for CANONICAL command streams — the shapes every
     conformant encoder emits (POINT: MoveTo blocks only; LINESTRING:
@@ -375,7 +376,13 @@ def decode_geometry_vec(
     replays through decode_geometry's exact per-point state machine, so
     the full v1/v2 error matrix and leniency behavior stay bit-identical.
     Raises the same first-ring-clockwise DecodeError as the scalar path
-    (the only error reachable from a canonical stream)."""
+    (the only error reachable from a canonical stream).
+
+    packed=True returns ("packed", {kind, xs, ys, offsets[, exterior]})
+    — flat coordinate arrays + part offsets, NO per-part Python objects.
+    This is the scale form: a feature with 168k parts (the reference's
+    multi_line bench tile) costs three arrays instead of 168k views,
+    and maps 1:1 onto Arrow list columns for the Spark decode scan."""
     g = np.asarray(commands, dtype=np.uint64)
     n = len(g)
     if n == 0 or geom_type not in (POINT, LINESTRING, POLYGON):
@@ -515,6 +522,12 @@ def decode_geometry_vec(
             X, Y = X[m], Y[m]
         if len(X) == 0:
             return ("empty", None)
+        if packed:
+            return ("packed", {
+                "kind": "multipoint",
+                "xs": X.astype(np.float64), "ys": Y.astype(np.float64),
+                "offsets": np.array([0, len(X)], dtype=np.int64),
+            })
         arr = np.column_stack([X, Y]).astype(np.float64)
         return ("point", arr[0]) if len(arr) == 1 else ("multipoint", arr)
 
@@ -551,10 +564,6 @@ def decode_geometry_vec(
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
 
     if geom_type == LINESTRING:
-        # parts are VIEWS into one (N,2) array — a 168k-segment feature
-        # (the reference's multi_line bench tile) costs one column_stack
-        # plus slice handles, not 168k small copies
-        XY = np.column_stack([X, Y])
         gi_keep = np.flatnonzero(counts >= 2)
         if bbox is not None and len(gi_keep):
             st = starts[gi_keep]
@@ -565,11 +574,30 @@ def decode_geometry_vec(
             inb = ~((mxx < bbox[0]) | (mnx > bbox[2])
                     | (mxy < bbox[1]) | (mny > bbox[3]))
             gi_keep = gi_keep[inb]
+        if len(gi_keep) == 0:
+            return ("empty", None)
+        if packed:
+            lens = counts[gi_keep]
+            if len(gi_keep) == ngroups and int(lens.sum()) == len(X):
+                xs, ys = X, Y  # nothing dropped: already contiguous
+            else:
+                base = np.repeat(starts[gi_keep], lens)
+                idx = base + (np.arange(int(lens.sum()), dtype=np.int64)
+                              - np.repeat(np.cumsum(lens) - lens, lens))
+                xs, ys = X[idx], Y[idx]
+            offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+            return ("packed", {
+                "kind": "multilinestring",
+                "xs": xs.astype(np.float64), "ys": ys.astype(np.float64),
+                "offsets": offsets,
+            })
+        # parts are VIEWS into one (N,2) array — a 168k-segment feature
+        # (the reference's multi_line bench tile) costs one column_stack
+        # plus slice handles, not 168k small copies
+        XY = np.column_stack([X, Y])
         lines = [
             XY[starts[gi] : starts[gi] + counts[gi]] for gi in gi_keep
         ]
-        if not lines:
-            return ("empty", None)
         if len(lines) == 1:
             return ("linestring", lines[0]) if len(lines[0]) > 1 else ("empty", None)
         return ("multilinestring", lines)
@@ -608,6 +636,54 @@ def decode_geometry_vec(
         mxx = np.maximum.reduceat(OUT[:, 0], out_starts)
         mny = np.minimum.reduceat(OUT[:, 1], out_starts)
         mxy = np.maximum.reduceat(OUT[:, 1], out_starts)
+
+    if packed:
+        # vectorized twin of the classification loop below
+        valid = out_len > 3
+        vi = np.flatnonzero(valid)
+        if len(vi) == 0:
+            return ("empty", None)
+        cw = areas < 0.0
+        first_cw = bool(cw[vi[0]])
+        if version != 1 and first_cw:
+            raise DecodeError("POLYGON first ring clockwise (invalid in v2)")
+        ext = (cw == first_cw) & valid
+        if bbox is not None:
+            in_box = ~((mxx < bbox[0]) | (mnx > bbox[2])
+                       | (mxy < bbox[1]) | (mny > bbox[3]))
+        else:
+            in_box = np.ones(len(gi_all), dtype=bool)
+        ext_kept = ext & in_box
+        # interior rings attach to the nearest preceding exterior; they
+        # are kept only when that exterior was kept (the scalar loop's
+        # last_exterior_not_included), and dropped with no owner at all
+        has_owner = np.cumsum(ext) > 0
+        owner = np.maximum(np.cumsum(ext) - 1, 0)
+        owner_ord = np.cumsum(ext) - 1  # ordinal among exteriors
+        ext_kept_by_ord = ext_kept[np.flatnonzero(ext)] if ext.any() else np.zeros(0, bool)
+        keep_r = valid & np.where(
+            ext, ext_kept,
+            in_box & has_owner
+            & np.where(has_owner, ext_kept_by_ord[np.maximum(owner_ord, 0)], False),
+        )
+        ri = np.flatnonzero(keep_r)
+        if len(ri) == 0:
+            return ("empty", None)
+        lens = out_len[ri]
+        tot_o = int(lens.sum())
+        reverse_rings = ((scale_x * scale_y) < 0) != first_cw
+        off_in = np.repeat(np.cumsum(lens) - lens, lens)
+        pos_in = np.arange(tot_o, dtype=np.int64) - off_in
+        if reverse_rings:
+            idx = np.repeat(out_starts[ri] + lens - 1, lens) - pos_in
+        else:
+            idx = np.repeat(out_starts[ri], lens) + pos_in
+        return ("packed", {
+            "kind": "multipolygon",
+            "xs": OUT[idx, 0], "ys": OUT[idx, 1],
+            "offsets": np.concatenate([[0], np.cumsum(lens)]).astype(np.int64),
+            "exterior": ext[ri],
+        })
 
     rings: list[np.ndarray] = []
     rings_exterior: list[bool] = []

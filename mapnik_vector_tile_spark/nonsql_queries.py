@@ -144,6 +144,72 @@ FROM loc GROUP BY 1, 2, 3
 """
 
 
+def q_packed_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 at scale form: z13 point tiles decoded through the PACKED
+    ragged scan (decode_tiles_packed — flat xs/ys + part offsets as
+    Arrow list columns, zero per-part Python objects). Per-tile exact
+    invariants: feature/vertex/offset conservation, kind totality, and
+    every decoded coordinate inside the tile's mercator bbox grown by
+    one half pixel. (Summing recovered px grid ints is NOT cross-engine
+    checkable: the fixture's dyadic lon lattice lands coordinates
+    exactly on .5-px rounding boundaries, where DuckDB-vs-numpy
+    transcendental 1-ulp differences legitimately flip std::round.)"""
+    from mapnik_vector_tile_spark.operators import assign, decode, encode
+
+    located = _located(spark, sf_dir)
+    tiles = encode.build_point_tiles(
+        assign.assign_tiles(located, 13), prop_cols=["image_id"], order_col="image_id"
+    )
+    packed = decode.decode_tiles_packed(tiles)
+    minx, miny, maxx, maxy = tilemath.tile_bbox_cols(
+        F.col("z"), F.col("x"), F.col("y")
+    )
+    hp = (maxx - minx) / F.lit(8192.0)  # half a px of slack (quantization)
+    in_box = F.aggregate(
+        F.zip_with(
+            "xs", "ys",
+            lambda vx, vy: (
+                (vx >= minx - hp) & (vx <= maxx + hp)
+                & (vy >= miny - hp) & (vy <= maxy + hp)
+            ),
+        ),
+        F.lit(True), lambda a, b: a & b,
+    )
+    per_feat = packed.select(
+        "z", "x", "y",
+        F.size("xs").alias("n_vertices"),
+        (F.size("offsets") - 1).alias("n_parts"),
+        (F.col("kind") == "multipoint").alias("kind_ok"),
+        F.element_at("offsets", -1).alias("closing_offset"),
+        in_box.alias("in_box"),
+    )
+    return per_feat.groupBy("z", "x", "y").agg(
+        F.count("*").alias("n_feats"),
+        F.sum("n_vertices").cast("long").alias("n_pts"),
+        F.sum("n_parts").cast("long").alias("n_parts"),
+        F.min("kind_ok").alias("kinds_ok"),
+        F.sum(
+            (F.col("closing_offset") == F.col("n_vertices")).cast("long")
+        ).alias("n_offsets_consistent"),
+        F.min("in_box").alias("all_in_box"),
+    )
+
+
+def o_packed_decode_roundtrip() -> str:
+    cell = tilemath.lonlat_to_tile_sql(13, "lon", "lat")
+    return f"""
+WITH loc AS ({_loc_cte()})
+SELECT 13 AS z, {cell['x']} AS x, {cell['y']} AS y,
+       count(*) AS n_feats,
+       count(*) AS n_pts,
+       count(*) AS n_parts,
+       true AS kinds_ok,
+       count(*) AS n_offsets_consistent,
+       true AS all_in_box
+FROM loc GROUP BY 1, 2, 3
+"""
+
+
 def q_composite_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 fast path: merge two layer-disjoint tile sets per (z,x,y)."""
     from mapnik_vector_tile_spark.operators import assign, composite, encode
@@ -745,6 +811,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_validity_stats": q_tile_validity,
     "tile_encode_roundtrip": q_tile_encode_roundtrip,
     "dense_tile_decode": q_dense_tile_decode,
+    "packed_decode_roundtrip": q_packed_decode_roundtrip,
     "geom_kernel_goldens": q_geom_kernel_goldens,
     "raster_invariants": q_raster_invariants,
     "composite_merge": q_composite_merge,
@@ -763,6 +830,7 @@ _ORACLE_BUILDERS: dict[str, Callable[[], str]] = {
     "tile_validity_stats": o_tile_validity,
     "tile_encode_roundtrip": o_tile_encode_roundtrip,
     "dense_tile_decode": o_dense_tile_decode,
+    "packed_decode_roundtrip": o_packed_decode_roundtrip,
     "geom_kernel_goldens": o_geom_kernel_goldens,
     "raster_invariants": o_raster_invariants,
     "composite_merge": o_composite_merge,

@@ -120,6 +120,116 @@ def decode_tiles(tiles: DataFrame) -> DataFrame:
     return tiles.select("z", "x", "y", "tile").mapInPandas(kernel, schema=DECODED_SCHEMA)
 
 
+PACKED_SCHEMA = (
+    "z int, x long, y long, layer string, feature_id long, geom_type int, "
+    "kind string, xs array<double>, ys array<double>, offsets array<long>, "
+    "exterior array<boolean>, props map<string,string>"
+)
+
+
+def decode_tiles_packed(tiles: DataFrame) -> DataFrame:
+    """Decode scan with RAGGED geometry output: flat xs/ys + part
+    offsets per feature (Arrow list columns), never a per-part Python
+    object or a WKT string. This is the scale form of S2/S3 — a feature
+    with 168k line parts (the reference's multi_line bench tile) is
+    three arrays here, and downstream Spark ops explode/aggregate the
+    list columns JVM-side. Non-canonical features fall back through the
+    scalar decoder and are re-packed from its part lists."""
+
+    def kernel(iterator):
+        for pdf in iterator:
+            out = []
+            for _, row in pdf.iterrows():
+                z, x, y = int(row["z"]), int(row["x"]), int(row["y"])
+                if not row["tile"]:
+                    continue
+                data = Z.decompress(bytes(row["tile"]))
+                bounds = tilemath.tile_mercator_bbox_np(x, y, z)
+                minx, miny, maxx, maxy = bounds
+                for layer_bytes in pbf.decode_tile(data):
+                    layer = pbf.decode_layer(bytes(layer_bytes))
+                    if layer["version"] not in (1, 2):
+                        continue
+                    if layer["version"] == 2 and not layer["has_extent"]:
+                        continue
+                    scale = layer["extent"] / (float(maxx) - float(minx))
+                    kw = dict(
+                        version=layer["version"], tile_x=float(minx),
+                        tile_y=float(maxy), scale_x=scale, scale_y=-scale,
+                    )
+                    for fmsg in layer["features"]:
+                        feat = pbf.decode_feature_arrays(fmsg)
+                        props = {}
+                        tags = feat["tags"]
+                        for i in range(0, len(tags) - 1, 2):
+                            v = layer["values"][tags[i + 1]]
+                            props[layer["keys"][tags[i]]] = (
+                                None if v is None else str(v)
+                            )
+                        if not len(feat["geometry"]):
+                            continue
+                        pk = Cmd.decode_geometry_vec(
+                            feat["geometry"], feat["type"], packed=True, **kw
+                        )
+                        if pk is None:
+                            pk = _pack_from_parts(
+                                Cmd.decode_geometry(feat["geometry"], feat["type"], **kw)
+                            )
+                        if pk[0] == "empty":
+                            continue
+                        d = pk[1]
+                        out.append(
+                            (
+                                z, x, y, layer["name"], feat["id"], feat["type"],
+                                d["kind"], d["xs"], d["ys"], d["offsets"],
+                                d.get("exterior"), props,
+                            )
+                        )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "z", "x", "y", "layer", "feature_id", "geom_type",
+                        "kind", "xs", "ys", "offsets", "exterior", "props",
+                    ],
+                )
+
+    return tiles.select("z", "x", "y", "tile").mapInPandas(kernel, schema=PACKED_SCHEMA)
+
+
+def _pack_from_parts(geom) -> tuple:
+    """Scalar-decoder output -> the packed dict form."""
+    kind, val = geom
+    if kind == "empty":
+        return ("empty", None)
+    if kind == "point":
+        parts, out_kind, ext = [np.atleast_2d(val)], "multipoint", None
+    elif kind == "multipoint":
+        parts, out_kind, ext = [np.atleast_2d(val)], "multipoint", None
+    elif kind == "linestring":
+        parts, out_kind, ext = [np.asarray(val)], "multilinestring", None
+    elif kind == "multilinestring":
+        parts, out_kind, ext = [np.asarray(p) for p in val], "multilinestring", None
+    elif kind == "polygon":
+        parts = [np.asarray(r) for r in val]
+        out_kind = "multipolygon"
+        ext = np.array([True] + [False] * (len(parts) - 1), dtype=bool)
+    else:  # multipolygon
+        parts = [np.asarray(r) for p in val for r in p]
+        out_kind = "multipolygon"
+        ext = np.concatenate(
+            [[True] + [False] * (len(p) - 1) for p in val]
+        ).astype(bool)
+    lens = np.asarray([len(p) for p in parts], dtype=np.int64)
+    flat = np.vstack(parts)
+    return ("packed", {
+        "kind": out_kind, "xs": flat[:, 0].astype(np.float64),
+        "ys": flat[:, 1].astype(np.float64),
+        "offsets": np.concatenate([[0], np.cumsum(lens)]).astype(np.int64),
+        "exterior": ext,
+    })
+
+
 def features_at_point(tiles: DataFrame, lon: float, lat: float, tol_merc: float = 0.0) -> DataFrame:
     """S4: point-lookup scan over encoded tiles — decode with a tiny bbox
     pushed *into* the decoder (the reference's filter_at_point,

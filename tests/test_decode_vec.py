@@ -205,3 +205,103 @@ def test_decode_feature_arrays_matches_decode_feature():
     b = pbf.decode_feature_arrays(feat)
     assert a["id"] == b["id"] and a["tags"] == b["tags"] and a["type"] == b["type"]
     assert list(a["geometry"]) == [int(v) for v in b["geometry"]]
+
+
+def _unpack(pk):
+    """packed dict -> list of (n,2) part arrays (+exterior flags)."""
+    d = pk[1]
+    offs = d["offsets"]
+    parts = [
+        np.column_stack([d["xs"][offs[i] : offs[i + 1]], d["ys"][offs[i] : offs[i + 1]]])
+        for i in range(len(offs) - 1)
+    ]
+    return parts, d.get("exterior")
+
+
+@pytest.mark.skipif(not os.path.isdir(BENCH), reason="reference bench not mounted")
+@pytest.mark.parametrize(
+    "name,z,x,y",
+    [("enf.t5yd5cdi_14_13089_8506.vector.mvt", 14, 13089, 8506),
+     ("multi_line_13_1310_3166.vector.mvt", 13, 1310, 3166)],
+)
+def test_packed_matches_list_api_reference_tiles(name, z, x, y):
+    buf = open(f"{BENCH}/{name}", "rb").read()
+    data = Z.decompress(buf)
+    minx, _miny, maxx, maxy = tilemath.tile_mercator_bbox_np(x, y, z)
+    for lb in pbf.decode_tile(data):
+        lay = pbf.decode_layer(lb)
+        scale = lay["extent"] / (float(maxx) - float(minx))
+        for fm in lay["features"]:
+            f = pbf.decode_feature_arrays(fm)
+            if not len(f["geometry"]):
+                continue
+            kw = dict(version=lay["version"], tile_x=float(minx),
+                      tile_y=float(maxy), scale_x=scale, scale_y=-scale)
+            pk = Cmd.decode_geometry_vec(f["geometry"], f["type"], packed=True, **kw)
+            gl = Cmd.decode_geometry_vec(f["geometry"], f["type"], **kw)
+            assert pk is not None and gl is not None
+            parts, _ = _unpack(pk)
+            flat_parts = _flat(gl)
+            assert len(parts) == len(flat_parts)
+            for a, b in zip(parts, flat_parts):
+                assert np.array_equal(a, b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(st.tuples(coord, coord), min_size=3, max_size=10),
+                min_size=1, max_size=4))
+def test_packed_matches_list_api_random_polygons(rings):
+    arrs = [np.asarray(pts + pts[:1], dtype=np.int64) for pts in rings]
+    gt, cmds = Cmd.encode_geometry(("polygon", arrs), [0, 0])
+    if gt is None:
+        return
+    try:
+        gl = Cmd.decode_geometry_vec(cmds, 3, version=2)
+    except Cmd.DecodeError:
+        with pytest.raises(Cmd.DecodeError):
+            Cmd.decode_geometry_vec(cmds, 3, version=2, packed=True)
+        return
+    pk = Cmd.decode_geometry_vec(cmds, 3, version=2, packed=True)
+    if gl is None or pk is None:
+        assert gl is None and pk is None
+        return
+    if gl[0] == "empty":
+        assert pk[0] == "empty"
+        return
+    parts, ext = _unpack(pk)
+    flat_parts = _flat(gl)
+    assert len(parts) == len(flat_parts)
+    for a, b in zip(parts, flat_parts):
+        assert np.array_equal(a, b)
+    # exterior flags regroup into the same polygon structure
+    if gl[0] == "multipolygon":
+        sizes = [len(p) for p in gl[1]]
+    else:
+        sizes = [len(gl[1])]
+    grp = np.cumsum(ext) - 1
+    got_sizes = np.bincount(grp).tolist()
+    assert got_sizes == sizes
+
+
+def test_decode_tiles_packed_spark(spark):
+    """decode_tiles_packed carries the same features as decode_tiles."""
+    from mapnik_vector_tile_spark.operators import decode as D, geom_tiles
+    from pyspark.sql import functions as F
+
+    h = tilemath.HALF_OF_EQUATOR
+    q = h / 4.0
+    rows = [
+        ("ln", f"LINESTRING(-{2.5*q} 1000,{2.5*q} 1000)"),
+        ("pg", f"POLYGON(({q*0.1} {q*0.1},{q*0.9} {q*0.1},{q*0.9} {q*0.9},{q*0.1} {q*0.9},{q*0.1} {q*0.1}))"),
+        ("pt", f"POINT({q*1.5} -{q*1.5})"),
+    ]
+    geoms = spark.createDataFrame(rows, "gid string, geom_wkt string")
+    tiles = geom_tiles.build_geom_tiles(geoms, ["gid"], z=3, id_col="gid").cache()
+    packed = D.decode_tiles_packed(tiles).toPandas()
+    listed = D.decode_tiles(tiles).toPandas()
+    assert len(packed) == len(listed)
+    got = packed.sort_values(["z", "x", "y"]).reset_index(drop=True)
+    for _, r in got.iterrows():
+        offs = np.asarray(r["offsets"])
+        assert offs[0] == 0 and (np.diff(offs) > 0).all()
+        assert len(r["xs"]) == offs[-1] == len(r["ys"])
