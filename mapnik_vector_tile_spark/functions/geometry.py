@@ -523,6 +523,7 @@ def clip_geom_inside(
     process_all_rings: bool = False,
     fill_type: str = "even_odd",
     stats: dict | None = None,
+    strictly_simple: bool = False,
 ):
     """clip_geom for geometry PROVEN inside the clip box (per-feature
     px bbox within the box): the box-clip stages become dedup/threshold
@@ -550,7 +551,7 @@ def clip_geom_inside(
         tagged = _clip_polygon_rings_inside(val, area_threshold, process_all_rings)
         if not tagged:
             return ("empty", None)
-        polys = _assemble_polygons(tagged, fill_type, stats=stats)
+        polys = _assemble_polygons(tagged, fill_type, stats=stats, strictly_simple=strictly_simple)
         if not polys:
             return ("empty", None)
         return ("polygon", polys[0]) if len(polys) == 1 else ("multipolygon", polys)
@@ -559,7 +560,7 @@ def clip_geom_inside(
         for poly in val:
             tagged = _clip_polygon_rings_inside(poly, area_threshold, process_all_rings)
             if tagged:
-                all_polys.extend(_assemble_polygons(tagged, fill_type, stats=stats))
+                all_polys.extend(_assemble_polygons(tagged, fill_type, stats=stats, strictly_simple=strictly_simple))
         if not all_polys:
             return ("empty", None)
         return (
@@ -570,6 +571,7 @@ def clip_geom_inside(
     return clip_geom(
         geom, (-(2**62), -(2**62), 2**62, 2**62), area_threshold,
         multi_polygon_union, process_all_rings, fill_type, stats=stats,
+        strictly_simple=strictly_simple,
     )
 
 
@@ -1148,13 +1150,22 @@ def _needs_fill_resolution_grid(rings: list[np.ndarray]) -> bool:
     return False
 
 
-def _assemble_polygons(tagged_rings, fill_type: str = "even_odd", stats: dict | None = None):
+def _assemble_polygons(
+    tagged_rings,
+    fill_type: str = "even_odd",
+    stats: dict | None = None,
+    strictly_simple: bool = False,
+):
     """Post-clip ring assembly. Simple inputs (the common case) use
     first-ring-is-exterior order; rings that self-intersect or cross
     each other go through the boolean fill resolver
     (functions.booleans — the Wagyu-union role, clipper.hpp:226-231)
-    when under the vertex budget."""
-    if _needs_fill_resolution(tagged_rings, stats=stats):
+    when under the vertex budget. strictly_simple routes EVERY polygon
+    through the resolver — the reference processor's default
+    (processor.hpp:61 strictly_simple_(true) hands all rings to wagyu),
+    which canonicalizes ring structure at the cost of the resolver pass."""
+    force = strictly_simple and sum(len(r) for _t, r in tagged_rings) <= RESOLVE_VERTEX_BUDGET
+    if force or _needs_fill_resolution(tagged_rings, stats=stats):
         from mapnik_vector_tile_spark.functions.booleans import resolve_fill
 
         resolved = resolve_fill([r for _t, r in tagged_rings], fill_type)
@@ -1179,6 +1190,7 @@ def clip_geom(
     process_all_rings: bool = False,
     fill_type: str = "even_odd",
     stats: dict | None = None,
+    strictly_simple: bool = False,
 ):
     """geometry_clipper dispatch (clipper.hpp:109-366).
 
@@ -1198,7 +1210,8 @@ def clip_geom(
         return _collapse_collection(
             [
                 clip_geom(g, box, area_threshold, multi_polygon_union,
-                          process_all_rings, fill_type, stats=stats)
+                          process_all_rings, fill_type, stats=stats,
+                          strictly_simple=strictly_simple)
                 for g in val
             ]
         )
@@ -1225,7 +1238,7 @@ def clip_geom(
         tagged = _clip_polygon_rings(val, box, area_threshold, process_all_rings)
         if not tagged:
             return ("empty", None)
-        polys = _assemble_polygons(tagged, fill_type, stats=stats)
+        polys = _assemble_polygons(tagged, fill_type, stats=stats, strictly_simple=strictly_simple)
         if not polys:
             return ("empty", None)
         return ("polygon", polys[0]) if len(polys) == 1 else ("multipolygon", polys)
@@ -1236,7 +1249,7 @@ def clip_geom(
             tagged = _clip_polygon_rings(poly, box, area_threshold, process_all_rings)
             if tagged:
                 all_tagged.extend(tagged)
-                all_polys.extend(_assemble_polygons(tagged, fill_type, stats=stats))
+                all_polys.extend(_assemble_polygons(tagged, fill_type, stats=stats, strictly_simple=strictly_simple))
         if multi_polygon_union and len(all_polys) > 1:
             # union across polygons feeds ONE resolver, like one wagyu
             # instance taking every ring (clipper.hpp:240-301)

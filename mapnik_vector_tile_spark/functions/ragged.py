@@ -678,7 +678,7 @@ def clip_rings_sh(pts: np.ndarray, plen: np.ndarray, box):
 
 def process_polygons(b: Batch, fkind: np.ndarray, finside: np.ndarray,
                      clip_box, area_threshold: float,
-                     stats: dict | None):
+                     stats: dict | None, force_resolve: bool = False):
     """Returns (new batch, eject_feature_rows). Ring survival mirrors
     _clip_polygon_rings[_inside] with process_all_rings=False; polygons
     whose surviving rings need the boolean fill resolver are ejected to
@@ -811,6 +811,11 @@ def process_polygons(b: Batch, fkind: np.ndarray, finside: np.ndarray,
     ejects: list[int] = []
     if len(ring_rows):
         polys, needs, over = needs_fill_resolution_batch(b1, ring_rows)
+        if force_resolve:
+            # strictly_simple: every under-budget polygon takes the
+            # resolver (the reference processor's default routes all
+            # rings through wagyu, processor.hpp:61)
+            needs = needs | ~over
         ejected_feats = np.empty(0, dtype=np.int64)
         if needs.any():
             bad_polys = polys[needs]
@@ -1004,6 +1009,7 @@ def encode_batch(
     simplify_distance: float = 0.0,
     area_threshold: float = 0.1,
     stats: dict | None = None,
+    force_resolve: bool = False,
 ):
     """Full vectorized transform->simplify->clip->encode for a feature
     batch. Returns (feat_rows, gtypes, flat_cmds, feat_cmd_lens,
@@ -1013,7 +1019,7 @@ def encode_batch(
     b, fkind, ejects = build(geoms, vt)
     return _encode_batch_core(
         b, fkind, ejects, len(geoms), clip_box, simplify_distance,
-        area_threshold, stats,
+        area_threshold, stats, force_resolve,
     )
 
 
@@ -1024,6 +1030,7 @@ def encode_batch_gpack(
     simplify_distance: float = 0.0,
     area_threshold: float = 0.1,
     stats: dict | None = None,
+    force_resolve: bool = False,
 ):
     """encode_batch over raw geometry.gpack blobs — skips the per-feature
     gunpack/tuple round-trip by parsing the packed wire format
@@ -1032,7 +1039,7 @@ def encode_batch_gpack(
     b, fkind, ejects, F = build_gpack(blobs, vt)
     return _encode_batch_core(
         b, fkind, ejects, F, clip_box, simplify_distance,
-        area_threshold, stats,
+        area_threshold, stats, force_resolve,
     )
 
 
@@ -1045,6 +1052,7 @@ def _encode_batch_core(
     simplify_distance: float,
     area_threshold: float,
     stats: dict | None,
+    force_resolve: bool = False,
 ):
     finside = feature_inside(b, n_features, clip_box)
     b = simplify(b, simplify_distance)
@@ -1060,7 +1068,8 @@ def _encode_batch_core(
     b = clip_lines(b, crossing_line, clip_box)
     # polygons
     b, fill_ejects = process_polygons(
-        b, fkind, finside, clip_box, area_threshold, stats
+        b, fkind, finside, clip_box, area_threshold, stats,
+        force_resolve=force_resolve,
     )
     ejects = sorted(set(ejects) | set(fill_ejects))
     feat_rows, gtypes, cmds, clens = emit_commands(b, fkind)

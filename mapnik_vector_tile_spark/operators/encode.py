@@ -366,7 +366,8 @@ def encode_point_layer(
 
 
 def _scalar_geom_feature(geom, vt, clip_box, simplify_distance,
-                          area_threshold, stats):
+                          area_threshold, stats,
+                          fill_type="even_odd", strictly_simple=False):
     """One feature through the scalar pipeline (the eject lane):
     transform -> simplify -> clip -> encode. Returns (gtype, cmds) or
     (None, [])."""
@@ -386,9 +387,11 @@ def _scalar_geom_feature(geom, vt, clip_box, simplify_distance,
         and tg0[0] != "geometrycollection"
     )
     if inside:
-        tg = G.clip_geom_inside(tg0, area_threshold=area_threshold, stats=stats)
+        tg = G.clip_geom_inside(tg0, area_threshold=area_threshold, stats=stats,
+                                fill_type=fill_type, strictly_simple=strictly_simple)
     else:
-        tg = G.clip_geom(tg0, clip_box, area_threshold=area_threshold, stats=stats)
+        tg = G.clip_geom(tg0, clip_box, area_threshold=area_threshold, stats=stats,
+                         fill_type=fill_type, strictly_simple=strictly_simple)
     return Cmd.encode_geometry(tg)
 
 
@@ -403,6 +406,8 @@ def _encode_geom_tiles_segmented(
     geom_col: str,
     compress_tiles: bool,
     version: int = 2,
+    fill_type: str = "even_odd",
+    strictly_simple: bool = False,
 ) -> list[tuple] | None:
     """Encode every (z,x,y) geometry group of a sorted batch through ONE
     ragged kernel invocation (functions/ragged.py) — the geometry
@@ -443,6 +448,7 @@ def _encode_geom_tiles_segmented(
     feat_rows, gtypes_v, cmds_flat, clens, ejects = RG.encode_batch_gpack(
         blobs, (minxg[gid], maxyg[gid], sxg[gid], syg[gid]), clip_box,
         simplify_distance, area_threshold, stats,
+        force_resolve=strictly_simple,
     )
     if ejects:
         s_rows: list[int] = []
@@ -458,6 +464,7 @@ def _encode_geom_tiles_segmented(
             gtype, cmds = _scalar_geom_feature(
                 G.gunpack(bytes(blobs[i])), vt_i, clip_box,
                 simplify_distance, area_threshold, st_i,
+                fill_type=fill_type, strictly_simple=strictly_simple,
             )
             ov = st_i.get("budget_exceeded", 0)
             if ov:
@@ -538,6 +545,8 @@ def encode_geom_layer(
     version: int = 2,
     geom_col: str | None = None,
     stats: dict | None = None,
+    fill_type: str = "even_odd",
+    strictly_simple: bool = False,
 ) -> tuple[bytes, int]:
     """General-geometry layer through the fused transform/simplify/clip
     kernel, then ONE ragged batch command-stream + feature framing pass
@@ -562,7 +571,8 @@ def encode_geom_layer(
     # (geometry collections, fill-resolver polygons) come back as ejects
     # and go through the scalar pipeline below
     feat_rows, gtypes_v, cmds_flat, clens, ejects = RG.encode_batch(
-        geoms, vt, clip_box, simplify_distance, area_threshold, stats
+        geoms, vt, clip_box, simplify_distance, area_threshold, stats,
+        force_resolve=strictly_simple,
     )
     if ejects:
         cx0, cy0, cx1, cy1 = clip_box
@@ -585,9 +595,13 @@ def encode_geom_layer(
                 and tg0[0] != "geometrycollection"
             )
             if inside:
-                tg = G.clip_geom_inside(tg0, area_threshold=area_threshold, stats=stats)
+                tg = G.clip_geom_inside(tg0, area_threshold=area_threshold, stats=stats,
+                                        fill_type=fill_type,
+                                        strictly_simple=strictly_simple)
             else:
-                tg = G.clip_geom(tg0, clip_box, area_threshold=area_threshold, stats=stats)
+                tg = G.clip_geom(tg0, clip_box, area_threshold=area_threshold, stats=stats,
+                                 fill_type=fill_type,
+                                 strictly_simple=strictly_simple)
             gtype, cmds = Cmd.encode_geometry(tg)
             if gtype is None:
                 continue

@@ -154,6 +154,8 @@ def build_geom_tiles(
     wkt_col: str = "geom_wkt",
     id_col: str | None = None,
     compress_tiles: bool = True,
+    fill_type: str = "even_odd",
+    strictly_simple: bool = False,
 ) -> DataFrame:
     """geoms: rows with a mercator-WKT geometry column + props.
     One tile row per painted (z,x,y)."""
@@ -180,6 +182,8 @@ def build_geom_tiles(
             area_threshold=area_threshold,
             id_col=None,
             stats=stats,
+            fill_type=fill_type,
+            strictly_simple=strictly_simple,
         )
         unresolved = int(stats.get("budget_exceeded", 0))
         if nf == 0:
@@ -213,6 +217,7 @@ def build_geom_tiles(
             rows = _encode_geom_tiles_segmented(
                 full, layer_name, prop_cols, extent, buffer_px,
                 simplify_distance, area_threshold, "_gpk", compress_tiles,
+                fill_type=fill_type, strictly_simple=strictly_simple,
             )
             if rows is not None:
                 return rows
