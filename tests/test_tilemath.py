@@ -91,3 +91,21 @@ def test_phash_location_rule(spark):
     hlon_e, hlat_e = tilemath.hotspot_lonlat_np(phashes)
     np.testing.assert_allclose(got_h["lon"], hlon_e, atol=1e-12)
     np.testing.assert_allclose(got_h["lat"], hlat_e, atol=1e-12)
+
+
+def test_projection_goldens_reference():
+    """Ports test/vector_tile_projection.cpp: tile_mercator_bbox literal
+    goldens at z0, z3 and the z32 extreme (x=2145960701)."""
+    b = tilemath.tile_mercator_bbox_np(0, 0, 0)
+    for got, exp in zip(b, (-20037508.342789, -20037508.342789,
+                            20037508.342789, 20037508.342789)):
+        assert abs(float(got) - exp) < 1e-6
+
+    b = tilemath.tile_mercator_bbox_np(3, 3, 3)
+    for got, exp in zip(b, (-5009377.085697311, 0.0, 0.0, 5009377.085697311)):
+        assert abs(float(got) - exp) < 1e-8
+
+    b = tilemath.tile_mercator_bbox_np(2145960701, 1428172928, 32)
+    for got, exp in zip(b, (-14210.1492817168364127, 6711666.7204630710184574,
+                            -14210.1399510249066225, 6711666.7297937674447894)):
+        assert abs(float(got) - exp) < 1e-7
