@@ -1164,7 +1164,13 @@ def _assemble_polygons(
     through the resolver — the reference processor's default
     (processor.hpp:61 strictly_simple_(true) hands all rings to wagyu),
     which canonicalizes ring structure at the cost of the resolver pass."""
-    force = strictly_simple and sum(len(r) for _t, r in tagged_rings) <= RESOLVE_VERTEX_BUDGET
+    # an interior-tagged ring with no preceding exterior (first ring died
+    # under process_all_rings) is still wagyu input in the reference —
+    # the fill rule decides, so it must reach the resolver here too
+    orphan_int = bool(tagged_rings) and tagged_rings[0][0] == "int"
+    force = (strictly_simple or orphan_int) and (
+        sum(len(r) for _t, r in tagged_rings) <= RESOLVE_VERTEX_BUDGET
+    )
     if force or _needs_fill_resolution(tagged_rings, stats=stats):
         from mapnik_vector_tile_spark.functions.booleans import resolve_fill
 

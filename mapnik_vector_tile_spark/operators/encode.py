@@ -547,6 +547,8 @@ def encode_geom_layer(
     stats: dict | None = None,
     fill_type: str = "even_odd",
     strictly_simple: bool = False,
+    multi_polygon_union: bool = False,
+    process_all_rings: bool = False,
 ) -> tuple[bytes, int]:
     """General-geometry layer through the fused transform/simplify/clip
     kernel, then ONE ragged batch command-stream + feature framing pass
@@ -570,10 +572,20 @@ def encode_geom_layer(
     # src/vector_tile_processor.ipp:82-174); rare complex features
     # (geometry collections, fill-resolver polygons) come back as ejects
     # and go through the scalar pipeline below
-    feat_rows, gtypes_v, cmds_flat, clens, ejects = RG.encode_batch(
-        geoms, vt, clip_box, simplify_distance, area_threshold, stats,
-        force_resolve=strictly_simple,
-    )
+    if multi_polygon_union or process_all_rings:
+        # non-default wagyu knobs (processor.set_multi_polygon_union /
+        # set_process_all_rings): the ragged lane models the default
+        # semantics, so every feature takes the scalar pipeline
+        feat_rows = np.empty(0, dtype=np.int64)
+        gtypes_v = np.empty(0, dtype=np.int64)
+        cmds_flat = np.empty(0, dtype=np.uint64)
+        clens = np.empty(0, dtype=np.int64)
+        ejects = list(range(len(geoms)))
+    else:
+        feat_rows, gtypes_v, cmds_flat, clens, ejects = RG.encode_batch(
+            geoms, vt, clip_box, simplify_distance, area_threshold, stats,
+            force_resolve=strictly_simple,
+        )
     if ejects:
         cx0, cy0, cx1, cy1 = clip_box
         s_rows: list[int] = []
@@ -597,11 +609,15 @@ def encode_geom_layer(
             if inside:
                 tg = G.clip_geom_inside(tg0, area_threshold=area_threshold, stats=stats,
                                         fill_type=fill_type,
-                                        strictly_simple=strictly_simple)
+                                        strictly_simple=strictly_simple,
+                                        multi_polygon_union=multi_polygon_union,
+                                        process_all_rings=process_all_rings)
             else:
                 tg = G.clip_geom(tg0, clip_box, area_threshold=area_threshold, stats=stats,
                                  fill_type=fill_type,
-                                 strictly_simple=strictly_simple)
+                                 strictly_simple=strictly_simple,
+                                 multi_polygon_union=multi_polygon_union,
+                                 process_all_rings=process_all_rings)
             gtype, cmds = Cmd.encode_geometry(tg)
             if gtype is None:
                 continue

@@ -156,6 +156,8 @@ def build_geom_tiles(
     compress_tiles: bool = True,
     fill_type: str = "even_odd",
     strictly_simple: bool = False,
+    multi_polygon_union: bool = False,
+    process_all_rings: bool = False,
 ) -> DataFrame:
     """geoms: rows with a mercator-WKT geometry column + props.
     One tile row per painted (z,x,y)."""
@@ -184,6 +186,8 @@ def build_geom_tiles(
             stats=stats,
             fill_type=fill_type,
             strictly_simple=strictly_simple,
+            multi_polygon_union=multi_polygon_union,
+            process_all_rings=process_all_rings,
         )
         unresolved = int(stats.get("budget_exceeded", 0))
         if nf == 0:
@@ -214,10 +218,14 @@ def build_geom_tiles(
                 _encode_geom_tiles_segmented,
             )
 
-            rows = _encode_geom_tiles_segmented(
-                full, layer_name, prop_cols, extent, buffer_px,
-                simplify_distance, area_threshold, "_gpk", compress_tiles,
-                fill_type=fill_type, strictly_simple=strictly_simple,
+            rows = (
+                None
+                if (multi_polygon_union or process_all_rings)
+                else _encode_geom_tiles_segmented(
+                    full, layer_name, prop_cols, extent, buffer_px,
+                    simplify_distance, area_threshold, "_gpk", compress_tiles,
+                    fill_type=fill_type, strictly_simple=strictly_simple,
+                )
             )
             if rows is not None:
                 return rows

@@ -117,3 +117,62 @@ def test_build_geom_tiles_strictly_simple(spark):
     assert set(ap) == set(as_)
     for k in ap:
         assert ap[k] == pytest.approx(as_[k], rel=1e-9), k
+
+
+def test_multi_polygon_union_end_to_end(spark):
+    """processor.set_multi_polygon_union: overlapping multipolygon parts
+    union into one region (area = union, not sum)."""
+    h = tilemath.HALF_OF_EQUATOR
+    q = h / 4.0
+    s = q * 0.4
+    x0, y0 = q * 0.1, q * 0.1
+    # two squares overlapping by half
+    a = f"(({x0} {y0},{x0+s} {y0},{x0+s} {y0+s},{x0} {y0+s},{x0} {y0}))"
+    b = f"(({x0+s/2} {y0},{x0+s*1.5} {y0},{x0+s*1.5} {y0+s},{x0+s/2} {y0+s},{x0+s/2} {y0}))"
+    geoms = spark.createDataFrame(
+        [("mp", f"MULTIPOLYGON({a},{b})")], "gid string, geom_wkt string"
+    )
+
+    def decoded_area(tiles):
+        pdf = decode.decode_tiles(tiles.where(F.col("painted"))).toPandas()
+        tot = 0.0
+        for _, r in pdf.iterrows():
+            kind, val = G.from_wkt(r["geom_wkt"])
+            rings = val if kind == "polygon" else [x for p in val for x in p]
+            # exterior + holes carry opposite signs; sum signed areas
+            tot += sum(_area([np.asarray(x)]) for x in rings)
+        return abs(tot)
+
+    # positive fill, like the reference's union defaults (even_odd would
+    # XOR the overlap away — fill-rule semantics, pinned separately)
+    plain = geom_tiles.build_geom_tiles(
+        geoms, ["gid"], z=3, id_col="gid", fill_type="positive"
+    )
+    mpu = geom_tiles.build_geom_tiles(
+        geoms, ["gid"], z=3, id_col="gid", fill_type="positive",
+        multi_polygon_union=True,
+    )
+    a_plain, a_mpu = decoded_area(plain), decoded_area(mpu)
+    # px-space areas: quantization jitter stays well under 1%
+    assert a_plain == pytest.approx(2 * s * s, rel=0.01)      # overlap double-counted
+    assert a_mpu == pytest.approx(1.5 * s * s, rel=0.01)      # true union
+
+
+def test_process_all_rings_end_to_end(spark):
+    """processor.set_process_all_rings: a degenerate FIRST ring normally
+    kills the polygon; with the flag, later rings are still processed."""
+    h = tilemath.HALF_OF_EQUATOR
+    q = h / 4.0
+    s = q * 0.4
+    x0, y0 = q * 0.1, q * 0.1
+    degen = f"({x0} {y0},{x0} {y0},{x0} {y0})"              # 3 identical pts
+    valid = f"({x0} {y0},{x0+s} {y0},{x0+s} {y0+s},{x0} {y0+s},{x0} {y0})"
+    geoms = spark.createDataFrame(
+        [("pg", f"POLYGON({degen},{valid})")], "gid string, geom_wkt string"
+    )
+    plain = geom_tiles.build_geom_tiles(geoms, ["gid"], z=3, id_col="gid")
+    par = geom_tiles.build_geom_tiles(
+        geoms, ["gid"], z=3, id_col="gid", process_all_rings=True
+    )
+    assert plain.where(F.col("painted")).count() == 0
+    assert par.where(F.col("painted")).count() >= 1
