@@ -495,6 +495,36 @@ FROM (VALUES
 """
 
 
+def q_geom_tiles_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geom_tiles_roundtrip under the reference processor's DEFAULT
+    options (strictly_simple=True, positive fill — processor.hpp:57-61):
+    every polygon takes the boolean fill resolver. Simple inputs must
+    produce IDENTICAL per-tile feature counts to the fast path, so the
+    oracle is the same literal golden."""
+    from mapnik_vector_tile_spark.operators import decode, geom_tiles
+
+    h = tilemath.HALF_OF_EQUATOR
+    q = h / 4.0
+    rows = [
+        ("line_eq", f"LINESTRING(-{2.5 * q} 1000,{2.5 * q} 1000)"),
+        ("poly_one", f"POLYGON(({q * 0.1} {q * 0.1},{q * 0.9} {q * 0.1},"
+                     f"{q * 0.9} {q * 0.9},{q * 0.1} {q * 0.9},{q * 0.1} {q * 0.1}))"),
+        ("pt", f"POINT({q * 1.5} -{q * 1.5})"),
+        ("zig", "LINESTRING(" + ",".join(
+            f"{q * 0.1 + i * q * 0.05} {1000 + (i % 2)}" for i in range(10)) + ")"),
+    ]
+    geoms = spark.createDataFrame(rows, "gid string, geom_wkt string")
+    tiles = geom_tiles.build_geom_tiles(
+        geoms, ["gid"], z=3, simplify_distance=50.0, id_col="gid",
+        strictly_simple=True, fill_type="positive",
+    )
+    return (
+        decode.decode_tiles(tiles)
+        .groupBy("z", "x", "y", "geom_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # documents / embeddings operators (full SQL twins over the driver views)
 # ---------------------------------------------------------------------------
@@ -808,6 +838,7 @@ cand AS (
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geom_tiles_roundtrip": q_geom_tiles,
+    "geom_tiles_strict": q_geom_tiles_strict,
     "tile_validity_stats": q_tile_validity,
     "tile_encode_roundtrip": q_tile_encode_roundtrip,
     "dense_tile_decode": q_dense_tile_decode,
@@ -827,6 +858,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _ORACLE_BUILDERS: dict[str, Callable[[], str]] = {
     "geom_tiles_roundtrip": o_geom_tiles,
+    "geom_tiles_strict": o_geom_tiles,  # identical golden by design
     "tile_validity_stats": o_tile_validity,
     "tile_encode_roundtrip": o_tile_encode_roundtrip,
     "dense_tile_decode": o_dense_tile_decode,

@@ -250,3 +250,19 @@ def test_lat_invalid_polygon_guarded(spark):
         spark.createDataFrame(pdf[pdf["painted"]])
     )
     assert findings.count() == 0
+
+
+def test_visual_corpus_strictly_simple(spark, corpus):
+    """clip_geometry()'s strictly_simple axis over real-world shapes:
+    the reference's default routes every polygon through the union
+    engine; painted cells, per-gid coverage, and validity findings must
+    match the fast path."""
+    sample = [r for r in corpus if r[0].startswith(("sgp", "reef"))][:40]
+    t_plain, d_plain = _build_and_decode(spark, sample)
+    t_strict, d_strict = _build_and_decode(
+        spark, sample, strictly_simple=True, fill_type="positive"
+    )
+    cells = lambda t: {(r["z"], r["x"], r["y"]) for _, r in t.iterrows() if r["painted"]}  # noqa: E731
+    assert cells(t_strict) == cells(t_plain)
+    gids = lambda d: {r["props"]["gid"] for _, r in d.iterrows()}  # noqa: E731
+    assert gids(d_strict) == gids(d_plain)
