@@ -53,7 +53,10 @@ def pack_varints(values) -> bytes:
 def read_varint(data: bytes, pos: int) -> tuple[int, int]:
     result = 0
     shift = 0
+    n = len(data)
     while True:
+        if pos >= n:
+            raise ValueError("truncated varint (buffer end mid-value)")
         b = data[pos]
         pos += 1
         result |= (b & 0x7F) << shift

@@ -54,11 +54,16 @@ def decode_layer_rows(
     # decode transform: px -> mercator (datasource_pbf scale semantics)
     scale = extent / (float(maxx) - float(minx))
     rows = []
+    n_keys, n_vals = len(layer["keys"]), len(layer["values"])
     for fmsg in layer["features"]:
         feat = pbf.decode_feature_arrays(fmsg)
         props = {}
         tags = feat["tags"]
         for i in range(0, len(tags) - 1, 2):
+            # out-of-range indices are silently skipped, like the
+            # reference featureset (vector_tile_featureset_pbf.ipp:147-148)
+            if tags[i] >= n_keys or tags[i + 1] >= n_vals:
+                continue
             k = layer["keys"][tags[i]]
             v = layer["values"][tags[i + 1]]
             props[k] = None if v is None else str(v)
@@ -162,6 +167,9 @@ def decode_tiles_packed(tiles: DataFrame) -> DataFrame:
                         props = {}
                         tags = feat["tags"]
                         for i in range(0, len(tags) - 1, 2):
+                            if (tags[i] >= len(layer["keys"])
+                                    or tags[i + 1] >= len(layer["values"])):
+                                continue  # featureset_pbf.ipp:147-148 skip
                             v = layer["values"][tags[i + 1]]
                             props[layer["keys"][tags[i]]] = (
                                 None if v is None else str(v)
