@@ -245,6 +245,44 @@ GROUP BY event_type, extract(hour FROM ts)
 """
 
 
+def q_events_sessions(dialect: str) -> str:
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum — the SQL twin of the streaming applyInPandasWithState
+    sessionizer (streaming/incremental.py). Epoch seconds are truncated
+    identically on both engines (Spark unix_timestamp truncates; DuckDB
+    epoch() keeps the fraction, hence the floor)."""
+    epoch = (
+        "unix_timestamp(ts)" if dialect == "spark"
+        else "cast(floor(epoch(ts)) AS bigint)"
+    )
+    return f"""
+WITH marked AS (
+  SELECT user_id, event_id, {epoch} AS es,
+         CASE WHEN {epoch} - lag({epoch}) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+              ) > 1800
+              OR lag({epoch}) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+              ) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, es,
+         cast(sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY es, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS bigint) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       max(es) - min(es) AS duration_s
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # T R A I N I N G - D A T A   P I P E L I N E   (dedup / text / similarity)
 # ---------------------------------------------------------------------------
@@ -458,6 +496,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "topk_per_group": q_topk_per_group,
     "merge_layers_union": q_merge_layers_union,
     "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
     "dedup_exact": q_dedup_exact,
     "text_quality": q_text_quality,
     "lang_profile": q_lang_profile,
