@@ -51,6 +51,40 @@ def stream_tile_counts(
     )
 
 
+def stream_decode_features(
+    spark: SparkSession,
+    tiles_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    prop_keys: list[str],
+):
+    """Streaming DECODE scan: a stream of encoded tile rows (e.g. a
+    tile build landing in object storage) is decoded to feature rows by
+    the same columnar kernel the batch scan uses — mapInPandas is
+    stateless, so the scan rides Structured Streaming unchanged and
+    each input file is decoded exactly once across resumable
+    availableNow runs (appended as parquet)."""
+    from mapnik_vector_tile_spark.operators import decode as D
+
+    stream = (
+        spark.readStream.schema(
+            "z int, x long, y long, tile binary, n_features long, "
+            "n_layers int, painted boolean"
+        )
+        .option("maxFilesPerTrigger", 8)
+        .parquet(tiles_dir)
+    )
+    decoded = D.decode_tiles_columnar(stream.where(F.col("painted")), prop_keys)
+    return (
+        decoded.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_windowed_event_counts(
     spark: SparkSession,
     input_dir: str,

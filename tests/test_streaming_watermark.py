@@ -82,3 +82,44 @@ def test_sessionize_events_stateful(spark, tmp_path):
     assert by_type["a"]["session_end"].minute == 1
     assert by_type["b"]["n"] == 1 and abs(by_type["b"]["total"] - 5.0) < 1e-9
     assert "c" not in by_type  # its session is still open
+
+
+def test_stream_decode_features(spark, images_small, tmp_path):
+    """Streaming decode scan: encoded tiles landing as parquet decode to
+    feature rows exactly once across resumable availableNow runs."""
+    from mapnik_vector_tile_spark.operators import assign, decode, encode
+    from mapnik_vector_tile_spark.sources import images as IMG
+
+    tiles_dir = str(tmp_path / "tiles")
+    out_dir = str(tmp_path / "decoded")
+    chk = str(tmp_path / "chk")
+
+    located = IMG.with_location(images_small.limit(400)).cache()
+    tiles = encode.build_point_tiles(
+        assign.assign_tiles(located, 3), ["image_id", "fmt"], order_col="image_id"
+    )
+    tiles.coalesce(1).write.mode("append").parquet(tiles_dir)
+
+    q = S.stream_decode_features(spark, tiles_dir, out_dir, chk, ["image_id", "fmt"])
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 400
+    batch = decode.decode_tiles_columnar(tiles, ["image_id", "fmt"])
+    assert got.select("image_id").distinct().count() == batch.select("image_id").distinct().count() == 400
+
+    # run 2 with NO new input: nothing re-decoded (exactly-once resume)
+    q2 = S.stream_decode_features(spark, tiles_dir, out_dir, chk, ["image_id", "fmt"])
+    q2.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == 400
+
+    # run 3: a second batch of tiles lands; only the delta decodes
+    more = encode.build_point_tiles(
+        assign.assign_tiles(
+            IMG.with_location(images_small.limit(500).subtract(images_small.limit(400))), 3
+        ),
+        ["image_id", "fmt"], order_col="image_id",
+    )
+    more.coalesce(1).write.mode("append").parquet(tiles_dir)
+    q3 = S.stream_decode_features(spark, tiles_dir, out_dir, chk, ["image_id", "fmt"])
+    q3.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == 500
