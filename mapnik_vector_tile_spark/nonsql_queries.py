@@ -210,6 +210,35 @@ FROM loc GROUP BY 1, 2, 3
 """
 
 
+def q_retile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pyramid re-tiling (overzoom split): z2 tiles re-tiled to z4 via
+    decode scan -> cell shuffle -> encode, then decoded again.
+    Conservation oracle: every fixture row survives BOTH hops exactly
+    once with its id intact (coordinates carry z2 quantization, so cell
+    membership at z4 is not oracle-replayable — see
+    packed_decode_roundtrip's px-lattice note — but identity
+    conservation is exact)."""
+    from mapnik_vector_tile_spark.operators import assign, composite, decode, encode
+
+    located = _located(spark, sf_dir)
+    z2 = encode.build_point_tiles(
+        assign.assign_tiles(located, 2), prop_cols=["image_id"], order_col="image_id"
+    )
+    z4 = composite.retile_point_tiles(z2, 4, ["image_id"])
+    dec = decode.decode_tiles_columnar(z4, ["image_id"])
+    return dec.groupBy("image_id").agg(
+        F.count("*").alias("n_occurrences"),
+        F.min("z").alias("z_out"),
+    )
+
+
+def o_retile_pyramid() -> str:
+    return f"""
+WITH loc AS ({_loc_cte()})
+SELECT image_id, 1 AS n_occurrences, 4 AS z_out FROM loc
+"""
+
+
 def q_composite_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 fast path: merge two layer-disjoint tile sets per (z,x,y)."""
     from mapnik_vector_tile_spark.operators import assign, composite, encode
@@ -846,6 +875,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geom_kernel_goldens": q_geom_kernel_goldens,
     "raster_invariants": q_raster_invariants,
     "composite_merge": q_composite_merge,
+    "retile_pyramid": q_retile_pyramid,
     "knn_ring_expansion": q_knn_ring_expansion,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
@@ -866,6 +896,7 @@ _ORACLE_BUILDERS: dict[str, Callable[[], str]] = {
     "geom_kernel_goldens": o_geom_kernel_goldens,
     "raster_invariants": o_raster_invariants,
     "composite_merge": o_composite_merge,
+    "retile_pyramid": o_retile_pyramid,
     "knn_ring_expansion": o_knn_ring_expansion,
     "ann_lsh_topk": o_ann_lsh,
     "ann_ivf_topk": o_ann_ivf,

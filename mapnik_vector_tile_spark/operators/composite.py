@@ -82,6 +82,39 @@ def _px_geom(cmds: list[int], gtype: int):
     return None
 
 
+def retile_point_tiles(
+    tiles: DataFrame,
+    to_z: int,
+    prop_keys: list[str],
+    layer_name: str = "layer",
+) -> DataFrame:
+    """Pyramid re-tiling: decode point tiles built at any zoom and
+    rebuild them at ``to_z`` — overzoom split (to_z > from) or merge
+    (to_z < from). This is the tile_datasource_pbf-feeding-processor
+    composition (test/raster_tile.cpp:246-266 overzooms a z0 tile to
+    z2 the same way), expressed as decode scan -> one cell shuffle ->
+    encode; coordinates carry the source zoom's quantization, exactly
+    like re-tiling from encoded tiles does in the reference."""
+    import math
+
+    from mapnik_vector_tile_spark import tilemath
+    from mapnik_vector_tile_spark.operators import decode as D
+    from mapnik_vector_tile_spark.operators.assign import assign_tiles
+    from mapnik_vector_tile_spark.operators.encode import build_point_tiles
+
+    dec = D.decode_tiles_columnar(tiles, prop_keys)
+    r = float(tilemath.EARTH_RADIUS)
+    lon = F.degrees(F.col("mx") / F.lit(r))
+    lat = F.degrees(
+        F.lit(2.0) * F.atan(F.exp(F.col("my") / F.lit(r))) - F.lit(math.pi / 2.0)
+    )
+    pts = dec.select(*prop_keys, lon.alias("lon"), lat.alias("lat"))
+    return build_point_tiles(
+        assign_tiles(pts, to_z), prop_keys,
+        layer_name=layer_name, order_col=prop_keys[0],
+    )
+
+
 def upgrade_layer_v1_to_v2(layer_bytes: bytes) -> bytes:
     """v1 layer -> v2 (merge_from_buffer's upgrade leg,
     src/vector_tile_load_tile.hpp:93-137): geometry command streams

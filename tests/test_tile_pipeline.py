@@ -320,3 +320,43 @@ def test_composite_reencode_upgrades_v1_to_v2(spark):
     assert meta["keys"] == ["caption"] and meta["values"] == ["cap-1"]
     decoded = decode.decode_tile_rows(3, 1, 3, row["tile"])
     assert len(decoded) == 1 and decoded[0][7]["caption"] == "cap-1"
+
+
+def test_retile_point_tiles_pyramid(spark, images_small):
+    """Pyramid re-tiling: z3 tiles re-tiled to z5 conserve every feature
+    exactly once, and points land in the SAME z5 cell as direct
+    assignment whenever they sit clear of cell boundaries (re-tiled
+    coordinates carry z3 quantization: half a z3 px in mercator)."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark import tilemath
+    from mapnik_vector_tile_spark.operators import assign, composite, decode, encode
+    from mapnik_vector_tile_spark.sources import images as IMG
+
+    located = IMG.with_location(images_small.limit(500)).cache()
+    z3 = encode.build_point_tiles(
+        assign.assign_tiles(located, 3), ["image_id"], order_col="image_id"
+    )
+    z5 = composite.retile_point_tiles(z3, 5, ["image_id"])
+    dec = decode.decode_tiles_columnar(z5, ["image_id"]).toPandas()
+    assert len(dec) == 500
+    assert dec["image_id"].nunique() == 500
+    assert (dec["z"] == 5).all()
+
+    # direct z5 assignment for comparison
+    direct = assign.assign_tiles(located, 5).select("image_id", "x", "y").toPandas()
+    merged = dec.merge(direct, on="image_id", suffixes=("_re", "_direct"))
+    # boundary-safe subset: mercator distance to the nearest z5 cell edge
+    # must exceed the z3 quantization step
+    ts5 = tilemath.EARTH_CIRCUMFERENCE / 2**5
+    q3 = (tilemath.EARTH_CIRCUMFERENCE / 2**3) / 4096.0
+    h = tilemath.HALF_OF_EQUATOR
+    fx = ((merged["mx"].to_numpy() + h) / ts5) % 1.0
+    fy = ((h - merged["my"].to_numpy()) / ts5) % 1.0
+    margin = q3 / ts5 * 2.0
+    safe = (
+        (fx > margin) & (fx < 1 - margin) & (fy > margin) & (fy < 1 - margin)
+    )
+    assert safe.sum() > 300  # the fixture is not boundary-degenerate
+    same = (merged["x_re"] == merged["x_direct"]) & (merged["y_re"] == merged["y_direct"])
+    assert same[safe].all()
