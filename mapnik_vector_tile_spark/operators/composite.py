@@ -115,6 +115,32 @@ def retile_point_tiles(
     )
 
 
+def retile_geom_tiles(
+    tiles: DataFrame,
+    to_z: int,
+    prop_cols: list[str],
+    layer_name: str = "layer",
+    **build_kwargs,
+) -> DataFrame:
+    """General-geometry pyramid re-tiling: decode line/polygon tiles to
+    mercator WKT and rebuild at ``to_z`` (the overzoom path re-clips
+    each piece into the child tiles, like the reference's
+    tile_datasource -> processor overzoom). Pieces stay clipped at the
+    source zoom's boundaries — identical to what re-tiling encoded
+    tiles yields in the reference."""
+    from mapnik_vector_tile_spark.operators import decode as D
+    from mapnik_vector_tile_spark.operators import geom_tiles as GT
+
+    dec = D.decode_tiles(tiles).where(F.col("geom_wkt").isNotNull())
+    rows = dec.select(
+        *[F.col("props").getItem(c).alias(c) for c in prop_cols], "geom_wkt"
+    )
+    return GT.build_geom_tiles(
+        rows, prop_cols, z=to_z, layer_name=layer_name,
+        id_col=prop_cols[0] if prop_cols else None, **build_kwargs,
+    )
+
+
 def upgrade_layer_v1_to_v2(layer_bytes: bytes) -> bytes:
     """v1 layer -> v2 (merge_from_buffer's upgrade leg,
     src/vector_tile_load_tile.hpp:93-137): geometry command streams

@@ -360,3 +360,29 @@ def test_retile_point_tiles_pyramid(spark, images_small):
     assert safe.sum() > 300  # the fixture is not boundary-degenerate
     same = (merged["x_re"] == merged["x_direct"]) & (merged["y_re"] == merged["y_direct"])
     assert same[safe].all()
+
+
+def test_retile_geom_tiles_overzoom(spark):
+    """General-geometry overzoom: z3 line/polygon tiles re-tiled to z5
+    keep every geometry covered, clipped into the child cells, with
+    validity findings empty."""
+    from mapnik_vector_tile_spark import tilemath
+    from mapnik_vector_tile_spark.operators import composite, decode, geom_tiles, validity
+    from pyspark.sql import functions as F
+
+    h = tilemath.HALF_OF_EQUATOR
+    q = h / 4.0
+    rows = [
+        ("ln", f"LINESTRING(-{2.5*q} 1000,{2.5*q} 1000)"),
+        ("pg", f"POLYGON(({q*0.1} {q*0.1},{q*0.9} {q*0.1},{q*0.9} {q*0.9},{q*0.1} {q*0.9},{q*0.1} {q*0.1}))"),
+    ]
+    geoms = spark.createDataFrame(rows, "gid string, geom_wkt string")
+    z3 = geom_tiles.build_geom_tiles(geoms, ["gid"], z=3, id_col="gid")
+    z5 = composite.retile_geom_tiles(z3, 5, ["gid"])
+    t5 = z5.where(F.col("painted")).cache()
+    assert t5.count() > z3.where(F.col("painted")).count()  # overzoom splits
+    dec = decode.decode_tiles(t5).toPandas()
+    assert {r["props"]["gid"] for _, r in dec.iterrows()} == {"ln", "pg"}
+    assert (dec["z"] == 5).all()
+    findings, _ = validity.validate_tiles(t5)
+    assert findings.count() == 0
