@@ -241,9 +241,24 @@ def _pack_from_parts(geom) -> tuple:
 def features_at_point(tiles: DataFrame, lon: float, lat: float, tol_merc: float = 0.0) -> DataFrame:
     """S4: point-lookup scan over encoded tiles — decode with a tiny bbox
     pushed *into* the decoder (the reference's filter_at_point,
-    src/vector_tile_datasource_pbf.ipp:196-216)."""
+    src/vector_tile_datasource_pbf.ipp:196-216).
+
+    Cell pruning happens BEFORE any decode: only tiles whose mercator
+    bbox (grown by the tolerance) contains the query point survive the
+    Column filter, so a z-keyed/partitioned tile store prunes to O(1)
+    tiles per zoom instead of scanning the world."""
+    from pyspark.sql import functions as F
+
     mx, my = tilemath.mercator_np(lon, lat)
     bbox = (float(mx) - tol_merc, float(my) - tol_merc, float(mx) + tol_merc, float(my) + tol_merc)
+
+    minx, miny, maxx, maxy = tilemath.tile_bbox_cols(
+        F.col("z"), F.col("x"), F.col("y")
+    )
+    tiles = tiles.where(
+        (F.lit(bbox[2]) >= minx) & (F.lit(bbox[0]) < maxx)
+        & (F.lit(bbox[3]) >= miny) & (F.lit(bbox[1]) < maxy)
+    )
 
     def kernel(iterator):
         for pdf in iterator:
