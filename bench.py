@@ -377,6 +377,43 @@ def decode_real_tile_anchor() -> dict:
     return out
 
 
+def decode_buildings_anchor(n_feats: int = 6800) -> float:
+    """Dense SMALL-polygon tile (the z14 buildings shape real basemaps
+    have): n_feats four-vertex tagged polygons in one tile, decoded
+    through decode_tile_rows (batch feature parse + batch ragged
+    geometry decode + WKT). Returns feats/s single-core."""
+    import time as _t
+    import zlib as _z
+
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import commands as Cmd
+    from mapnik_vector_tile_spark.functions import pbf as P
+    from mapnik_vector_tile_spark.operators import decode as D
+
+    rng = np.random.default_rng(3)
+    feats = []
+    cursor = [0, 0]
+    for i in range(n_feats):
+        x0, y0 = rng.integers(0, 4000, size=2)
+        s = int(rng.integers(5, 40))
+        ring = np.array(
+            [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]],
+            dtype=np.int64,
+        )
+        gt, cmds = Cmd.encode_geometry(("polygon", [ring]), cursor)
+        feats.append(P.encode_feature(i, [0, i % 7], gt, cmds))
+    vals = [P.encode_value(f"v{j}") for j in range(7)]
+    tile = _z.compress(P.encode_tile([P.encode_layer("buildings", feats, ["kind"], vals)]))
+    best = float("inf")
+    for _ in range(5):
+        t0 = _t.perf_counter()
+        rows = D.decode_tile_rows(14, 5000, 6000, tile)
+        best = min(best, _t.perf_counter() - t0)
+    assert len(rows) == n_feats
+    return n_feats / best
+
+
 def _calibration_work(n):
     s = 0
     for i in range(n):
@@ -501,6 +538,7 @@ def main() -> None:
     # anchors first, before any Spark session competes for the host
     decode_anchor = round(decode_kernel_anchor(), 1)
     decode_dense = round(decode_kernel_anchor_dense(), 1)
+    decode_buildings = round(decode_buildings_anchor(), 1)
     real_tiles = decode_real_tile_anchor()
     res = one_run(cpus, sf_dir)
     out = {
@@ -513,6 +551,7 @@ def main() -> None:
         "rows_per_sec": round(res["throughput_rows_per_sec"], 1),
         "decode_kernel_feats_per_sec_core": decode_anchor,
         "decode_dense_feats_per_sec_core": decode_dense,
+        "decode_buildings_feats_per_sec_core": decode_buildings,
         **{f"decode_real_{k}_ms": v for k, v in real_tiles.items()},
     }
     print(json.dumps(out))

@@ -49,7 +49,10 @@ def _fmt_pt(pt) -> str:
 
 
 def _fmt_seq(arr) -> str:
-    return ",".join(_fmt_pt(p) for p in np.asarray(arr, dtype=np.float64))
+    # one flat pass over Python floats (tolist) — the layered
+    # _fmt/_fmt_pt generators dominated dense-tile WKT output
+    a = np.asarray(arr, dtype=np.float64)
+    return ",".join(f"{x:.10g} {y:.10g}" for x, y in a.tolist())
 
 
 def to_wkt(geom) -> str:

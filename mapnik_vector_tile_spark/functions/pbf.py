@@ -384,6 +384,127 @@ def decode_feature_arrays(data: bytes) -> dict:
     return out
 
 
+def decode_features_batch(feature_msgs: list[bytes]):
+    """Batch feature-message parse: the field walk of EVERY feature of a
+    layer runs as a masked vectorized cursor (a feature has <=6 frames,
+    so the walk is ~6 read_varints_at steps however many features there
+    are), and all geometry/tags payloads decode through ONE
+    decode_varints_vec pass each. The per-feature Python message walk
+    (decode_feature_arrays) costs more than the actual geometry decode
+    on dense small-feature tiles — this removes it.
+
+    Returns a list of decode_feature_arrays-shaped dicts, or None when
+    any feature's wire shape defeats the lockstep walk (repeated
+    fields, unknown tags, >12 frames) — the caller then parses each
+    feature individually."""
+    n = len(feature_msgs)
+    if n == 0:
+        return []
+    lens = np.fromiter((len(m) for m in feature_msgs), dtype=np.int64, count=n)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    buf = np.frombuffer(b"".join(feature_msgs), dtype=np.uint8)
+
+    ids = np.zeros(n, dtype=np.int64)
+    types = np.zeros(n, dtype=np.int64)
+    geom_s = np.full(n, -1, dtype=np.int64)
+    geom_l = np.zeros(n, dtype=np.int64)
+    tags_s = np.full(n, -1, dtype=np.int64)
+    tags_l = np.zeros(n, dtype=np.int64)
+    rast_s = np.full(n, -1, dtype=np.int64)
+    rast_l = np.zeros(n, dtype=np.int64)
+
+    pos = starts.copy()
+    active = np.arange(n)
+    for _step in range(12):
+        if len(active) == 0:
+            break
+        p = pos[active]
+        tags_v, tl = read_varints_at(buf, p)
+        if (tl == 0).any():
+            return None
+        field = (tags_v >> np.uint64(3)).astype(np.int64)
+        wire = (tags_v & np.uint64(7)).astype(np.int64)
+        vv, vl = read_varints_at(buf, p + tl)
+        if (vl == 0).any():
+            return None
+        is_var = wire == WT_VARINT
+        is_len = wire == WT_LEN
+        if (~is_var & ~is_len).any():
+            return None
+        payload_s = p + tl + vl
+        nxt = np.where(is_len, payload_s + vv.astype(np.int64), p + tl + vl)
+        if (nxt > ends[active]).any():
+            return None
+        f1 = is_var & (field == 1)
+        f3 = is_var & (field == 3)
+        f2 = is_len & (field == 2)
+        f4 = is_len & (field == 4)
+        f5 = is_len & (field == 5)
+        known = f1 | f3 | f2 | f4 | f5
+        if not known.all():
+            return None
+        # repeated fields defeat the lockstep walk -> decline
+        if (f2 & (tags_s[active] >= 0)).any() or (f4 & (geom_s[active] >= 0)).any():
+            return None
+        ids[active[f1]] = vv[f1].astype(np.int64)
+        types[active[f3]] = vv[f3].astype(np.int64)
+        tags_s[active[f2]] = payload_s[f2]
+        tags_l[active[f2]] = vv[f2].astype(np.int64)
+        geom_s[active[f4]] = payload_s[f4]
+        geom_l[active[f4]] = vv[f4].astype(np.int64)
+        rast_s[active[f5]] = payload_s[f5]
+        rast_l[active[f5]] = vv[f5].astype(np.int64)
+        pos[active] = nxt
+        active = active[nxt < ends[active]]
+    if len(active):
+        return None  # >12 frames: decline
+
+    def _ragged_varints(s_arr, l_arr):
+        """regions -> (global uint64 values, per-feature value counts)."""
+        have = s_arr >= 0
+        lens_r = np.where(have, l_arr, 0)
+        tot = int(lens_r.sum())
+        if tot == 0:
+            return np.empty(0, dtype=np.uint64), np.zeros(n, dtype=np.int64)
+        gbase = np.repeat(np.where(have, s_arr, 0), lens_r)
+        goffs = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(lens_r) - lens_r, lens_r
+        )
+        gathered = buf[gbase + goffs]
+        vals = decode_varints_vec(gathered)
+        # values per region = count of varint-terminator bytes in it
+        is_end = (gathered & 0x80) == 0
+        region_ends = np.cumsum(lens_r)
+        counts = np.empty(n, dtype=np.int64)
+        cum = np.concatenate([[0], np.cumsum(is_end)])
+        counts = cum[region_ends] - cum[region_ends - lens_r]
+        return vals, counts
+
+    try:
+        geom_vals, geom_counts = _ragged_varints(geom_s, geom_l)
+        tag_vals, tag_counts = _ragged_varints(tags_s, tags_l)
+    except ValueError:
+        return None  # truncated/overlong varints in some payload
+    geom_off = np.concatenate([[0], np.cumsum(geom_counts)])
+    tag_off = np.concatenate([[0], np.cumsum(tag_counts)])
+
+    out = []
+    tag_list = tag_vals.astype(np.int64)
+    for i in range(n):
+        out.append({
+            "id": int(ids[i]),
+            "tags": tag_list[tag_off[i] : tag_off[i + 1]].tolist(),
+            "type": int(types[i]),
+            "geometry": geom_vals[geom_off[i] : geom_off[i + 1]],
+            "raster": (
+                buf[rast_s[i] : rast_s[i] + rast_l[i]].tobytes()
+                if rast_s[i] >= 0 else None
+            ),
+        })
+    return out
+
+
 # --- vectorized packing (hot path for point layers) ---------------------------
 
 def varint_matrix(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

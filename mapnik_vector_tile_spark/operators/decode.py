@@ -53,10 +53,28 @@ def decode_layer_rows(
     extent = layer["extent"]
     # decode transform: px -> mercator (datasource_pbf scale semantics)
     scale = extent / (float(maxx) - float(minx))
-    rows = []
     n_keys, n_vals = len(layer["keys"]), len(layer["values"])
-    for fmsg in layer["features"]:
-        feat = pbf.decode_feature_arrays(fmsg)
+    feats = pbf.decode_features_batch(layer["features"])
+    if feats is None:  # exotic wire shapes: parse each feature alone
+        feats = [pbf.decode_feature_arrays(fmsg) for fmsg in layer["features"]]
+    dec_args = dict(
+        version=layer["version"],
+        tile_x=float(minx),
+        tile_y=float(maxy),
+        scale_x=scale,
+        scale_y=-scale,  # y down in tile space
+        bbox=bbox,
+    )
+    # batch-decode every feature's geometry in one ragged pass (the
+    # dominant real-world tile shape is thousands of SMALL features —
+    # per-feature numpy setup would cost more than the decode); the
+    # batch declines per feature, falling back to the per-feature
+    # vectorized/scalar paths that own the exact v1/v2 error matrix
+    geoms_in = [f["geometry"] for f in feats]
+    gtypes = [f["type"] for f in feats]
+    batched = Cmd.decode_geometry_vec_batch(geoms_in, gtypes, **dec_args)
+    rows = []
+    for fi, feat in enumerate(feats):
         props = {}
         tags = feat["tags"]
         for i in range(0, len(tags) - 1, 2):
@@ -68,16 +86,8 @@ def decode_layer_rows(
             v = layer["values"][tags[i + 1]]
             props[k] = None if v is None else str(v)
         if len(feat["geometry"]):
-            dec_args = dict(
-                version=layer["version"],
-                tile_x=float(minx),
-                tile_y=float(maxy),
-                scale_x=scale,
-                scale_y=-scale,  # y down in tile space
-                bbox=bbox,
-            )
-            g = None
-            if len(feat["geometry"]) >= 64:  # vectorized canonical path
+            g = batched[fi]
+            if g is None and len(feat["geometry"]) >= 64:
                 g = Cmd.decode_geometry_vec(feat["geometry"], feat["type"], **dec_args)
             if g is None:
                 g = Cmd.decode_geometry(feat["geometry"], feat["type"], **dec_args)

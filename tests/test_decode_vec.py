@@ -305,3 +305,83 @@ def test_decode_tiles_packed_spark(spark):
         offs = np.asarray(r["offsets"])
         assert offs[0] == 0 and (np.diff(offs) > 0).all()
         assert len(r["xs"]) == offs[-1] == len(r["ys"])
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.sampled_from([1, 2, 3]),
+        st.lists(st.lists(st.tuples(coord, coord), min_size=3, max_size=8),
+                 min_size=1, max_size=3),
+    ),
+    min_size=1, max_size=12,
+), st.sampled_from([1, 2]))
+def test_batch_decode_matches_per_feature(specs, version):
+    """decode_geometry_vec_batch vs per-feature decode on a mixed batch
+    of random small features: a batch entry is either None (feature
+    falls back) or identical to the per-feature result."""
+    geoms, gtypes = [], []
+    cursor = [0, 0]
+    for gt_kind, rings in specs:
+        if gt_kind == 1:
+            pts = np.asarray(rings[0], dtype=np.int64)
+            g = ("multipoint", pts)
+        elif gt_kind == 2:
+            g = ("linestring", np.asarray(rings[0], dtype=np.int64))
+        else:
+            g = ("polygon", [np.asarray(r + r[:1], dtype=np.int64) for r in rings])
+        gt, cmds = Cmd.encode_geometry(g, cursor)
+        cursor = [0, 0]  # per-feature cursor reset, like real layers
+        if gt is None:
+            continue
+        geoms.append(cmds)
+        gtypes.append(gt)
+    if not geoms:
+        return
+    kw = dict(version=version, tile_x=-100.0, tile_y=100.0,
+              scale_x=0.25, scale_y=-0.25)
+    batched = Cmd.decode_geometry_vec_batch(geoms, gtypes, **kw)
+    for fi, b in enumerate(batched):
+        try:
+            ref = Cmd.decode_geometry(geoms[fi], gtypes[fi], **kw)
+            err = False
+        except Cmd.DecodeError:
+            ref, err = None, True
+        if b is None:
+            continue  # fallback owns the comparison (incl. errors)
+        assert not err, "batch produced output where scalar raises"
+        _assert_same(b, ref)
+
+
+def test_batch_decode_buildings_tile():
+    """6,800 small tagged polygons decode batch == per-feature."""
+    rng = np.random.default_rng(3)
+    geoms, gtypes = [], []
+    cursor = [0, 0]
+    for i in range(2000):
+        x0, y0 = rng.integers(0, 4000, size=2)
+        s = int(rng.integers(5, 40))
+        ring = np.array([[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]],
+                        dtype=np.int64)
+        gt, cmds = Cmd.encode_geometry(("polygon", [ring]), cursor)
+        geoms.append(np.asarray(cmds, dtype=np.uint64))
+        gtypes.append(gt)
+    kw = dict(version=2, tile_x=0.0, tile_y=4096.0, scale_x=1.0, scale_y=-1.0)
+    batched = Cmd.decode_geometry_vec_batch(geoms, gtypes, **kw)
+    assert all(b is not None for b in batched)
+    for fi, b in enumerate(batched):
+        _assert_same(b, Cmd.decode_geometry(geoms[fi], gtypes[fi], **kw))
+
+
+def test_batch_decode_v1_degenerates_and_v2_fallback():
+    z = Cmd._zz32
+    degen = [9, z(1), z(1), (1 << 3) | 2, z(0), z(0)]   # MT + zero LT
+    good = [9, z(4), z(4), (1 << 3) | 2, z(3), z(3)]
+    # v1: degenerate feature decodes empty, good feature decodes
+    b1 = Cmd.decode_geometry_vec_batch([degen, good], [2, 2], version=1)
+    assert b1[0] == ("empty", None)
+    _assert_same(b1[1], Cmd.decode_geometry(good, 2, version=1))
+    # v2: degenerate feature falls back (None) so scalar can raise
+    b2 = Cmd.decode_geometry_vec_batch([degen, good], [2, 2], version=2)
+    assert b2[0] is None
+    assert b2[1] is not None
