@@ -172,8 +172,16 @@ def decode_tiles_packed(tiles: DataFrame) -> DataFrame:
                         version=layer["version"], tile_x=float(minx),
                         tile_y=float(maxy), scale_x=scale, scale_y=-scale,
                     )
-                    for fmsg in layer["features"]:
-                        feat = pbf.decode_feature_arrays(fmsg)
+                    feats = pbf.decode_features_batch(layer["features"])
+                    if feats is None:
+                        feats = [
+                            pbf.decode_feature_arrays(m) for m in layer["features"]
+                        ]
+                    batched = Cmd.decode_geometry_vec_batch(
+                        [f["geometry"] for f in feats],
+                        [f["type"] for f in feats], **kw,
+                    )
+                    for fi, feat in enumerate(feats):
                         props = {}
                         tags = feat["tags"]
                         for i in range(0, len(tags) - 1, 2):
@@ -186,13 +194,19 @@ def decode_tiles_packed(tiles: DataFrame) -> DataFrame:
                             )
                         if not len(feat["geometry"]):
                             continue
-                        pk = Cmd.decode_geometry_vec(
-                            feat["geometry"], feat["type"], packed=True, **kw
-                        )
-                        if pk is None:
-                            pk = _pack_from_parts(
-                                Cmd.decode_geometry(feat["geometry"], feat["type"], **kw)
+                        g = batched[fi]
+                        if g is not None:
+                            pk = _pack_from_parts(g)
+                        else:
+                            pk = Cmd.decode_geometry_vec(
+                                feat["geometry"], feat["type"], packed=True, **kw
                             )
+                            if pk is None:
+                                pk = _pack_from_parts(
+                                    Cmd.decode_geometry(
+                                        feat["geometry"], feat["type"], **kw
+                                    )
+                                )
                         if pk[0] == "empty":
                             continue
                         d = pk[1]
