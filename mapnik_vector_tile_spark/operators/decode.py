@@ -253,7 +253,7 @@ def _pack_from_parts(geom) -> tuple:
             [[True] + [False] * (len(p) - 1) for p in val]
         ).astype(bool)
     lens = np.asarray([len(p) for p in parts], dtype=np.int64)
-    flat = np.vstack(parts)
+    flat = parts[0] if len(parts) == 1 else np.vstack(parts)
     return ("packed", {
         "kind": out_kind, "xs": flat[:, 0].astype(np.float64),
         "ys": flat[:, 1].astype(np.float64),
