@@ -374,6 +374,26 @@ def decode_real_tile_anchor() -> dict:
                             )
                 best = min(best, _t.perf_counter() - t0)
             out[name + mode] = round(best * 1e3, 1)
+        # composite-slow-path / pyramid-retile decode leg: the EXACT
+        # stages decode_tiles_gpack distributes (packed layer decode ->
+        # gpack + envelope), single-core per tile
+        from mapnik_vector_tile_spark.functions import geometry as G
+        from mapnik_vector_tile_spark.operators import decode as D
+
+        bounds = tilemath.tile_mercator_bbox_np(x, y, z)
+        best = float("inf")
+        for _ in range(7):
+            t0 = _t.perf_counter()
+            data = Z.decompress(buf)
+            for lb in P.decode_tile(data):
+                for _nm, _fid, _gt, pk, _props, _ras in D.iter_layer_packed(lb, bounds):
+                    if pk is not None:
+                        G.gpack_from_packed(
+                            pk["kind"], pk["xs"], pk["ys"], pk["offsets"],
+                            pk.get("exterior"),
+                        )
+            best = min(best, _t.perf_counter() - t0)
+        out[name + "_gpack"] = round(best * 1e3, 1)
     return out
 
 

@@ -745,6 +745,7 @@ def decode_geometry_vec_batch(
     scale_x: float = 1.0,
     scale_y: float = 1.0,
     bbox=None,
+    segmented: bool = False,
 ):
     """Batch twin of decode_geometry_vec for MANY (typically small)
     features: the per-point work — unzigzag, cursor cumsum, scaling,
@@ -758,11 +759,20 @@ def decode_geometry_vec_batch(
     meaning "decode this feature through decode_geometry_vec /
     decode_geometry individually" (non-canonical structure, v2
     degeneracy, overflow — the per-feature paths own the exact error
-    matrix). Raises nothing itself."""
+    matrix). Raises nothing itself.
+
+    segmented=True returns (out, seg) and LINESTRING/POLYGON features
+    stay in FLAT arrays instead of per-feature tuples: out[fi] is the
+    marker string "seg" and seg[gtype] holds
+    {coords (n,2) float64 (winding reversal already applied),
+     ring_len, ring_feat[, exterior]} with rings feature-major in
+    decode order. This skips ALL per-feature list/ndarray assembly —
+    the WKT writer and the packed scan consume the arrays directly."""
     n_feats = len(geoms)
     out: list = [None] * n_feats
+    seg: dict | None = {} if segmented else None
     if n_feats == 0:
-        return out
+        return (out, seg) if segmented else out
     gtypes = np.asarray(gtypes, dtype=np.int64)
 
     # --- global header walk (Python over HEADERS only; values are
@@ -814,7 +824,7 @@ def decode_geometry_vec_batch(
         val_parts.append(np.asarray(g, dtype=np.uint64))
         base += m
     if not b_cmd:
-        return out
+        return (out, seg) if segmented else out
     # features that failed the walk contributed no values: b_vst already
     # indexes the compacted value stream
     G_all = np.concatenate(val_parts).astype(np.uint32)
@@ -822,6 +832,110 @@ def decode_geometry_vec_batch(
     cnts = np.asarray(b_cnt, dtype=np.int64)
     vstarts = np.asarray(b_vst, dtype=np.int64)
     bfeat = np.asarray(b_feat, dtype=np.int64)
+    return _batch_decode_core(
+        out, seg, segmented, G_all, cmds, cnts, vstarts, bfeat, feat_ok,
+        gtypes, version, tile_x, tile_y, scale_x, scale_y, bbox,
+    )
+
+
+def decode_geometry_vec_batch_global(
+    geom_vals,
+    geom_off,
+    gtypes,
+    version: int = 2,
+    tile_x: float = 0.0,
+    tile_y: float = 0.0,
+    scale_x: float = 1.0,
+    scale_y: float = 1.0,
+    bbox=None,
+    segmented: bool = False,
+):
+    """decode_geometry_vec_batch over a layer's GLOBAL geometry varint
+    array (pbf.decode_features_batch return_global form): feature fi's
+    command stream is geom_vals[geom_off[fi]:geom_off[fi+1]]. The
+    command-header walk itself is vectorized as a FRONTIER: one
+    read-classify-advance numpy step per block DEPTH (a 6,800-feature
+    buildings tile has depth 3 — MoveTo/LineTo/Close — so the whole
+    walk is ~9 array ops), instead of a Python loop per feature. Output
+    contract is identical to decode_geometry_vec_batch(segmented=...).
+    """
+    geom_off = np.asarray(geom_off, dtype=np.int64)
+    n_feats = len(geom_off) - 1
+    out: list = [None] * n_feats
+    seg: dict | None = {} if segmented else None
+    if n_feats == 0 or len(geom_vals) == 0:
+        return (out, seg) if segmented else out
+    gtypes = np.asarray(gtypes, dtype=np.int64)
+    G_all = np.asarray(geom_vals, dtype=np.uint64).astype(np.uint32)
+    mlen = np.diff(geom_off)
+    feat_ok = np.zeros(n_feats, dtype=bool)
+
+    # frontier walk (features with huge streams decline to the
+    # per-feature periodic-run walker, same 512 cutoff as the list path)
+    attempt = (
+        (mlen > 0) & (mlen < 512)
+        & ((gtypes == POINT) | (gtypes == LINESTRING) | (gtypes == POLYGON))
+    )
+    walk_ok = attempt.copy()
+    p = geom_off[:-1].copy()
+    ends = geom_off[1:]
+    active = np.flatnonzero(attempt)
+    cmd_parts: list[np.ndarray] = []
+    cnt_parts: list[np.ndarray] = []
+    vst_parts: list[np.ndarray] = []
+    feat_parts: list[np.ndarray] = []
+    while len(active):
+        h = G_all[p[active]].astype(np.int64)
+        c = h & 7
+        k = h >> 3
+        is_mtlt = (c == MOVE_TO) | (c == LINE_TO)
+        is_cl = c == CLOSE
+        nxt = p[active] + np.where(is_mtlt, 1 + 2 * k, 1)
+        bad = ~(is_mtlt | is_cl) | (is_mtlt & (k == 0)) | (nxt > ends[active])
+        if bad.any():
+            walk_ok[active[bad]] = False
+            goodm = ~bad
+            active = active[goodm]
+            if not len(active):
+                break
+            c, k, nxt, is_cl = c[goodm], k[goodm], nxt[goodm], is_cl[goodm]
+        cmd_parts.append(c)
+        cnt_parts.append(np.where(is_cl, 0, k))
+        vst_parts.append(p[active] + 1)
+        feat_parts.append(active)
+        p[active] = nxt
+        active = active[nxt < ends[active]]
+    if not cmd_parts:
+        return (out, seg) if segmented else out
+    cmds = np.concatenate(cmd_parts)
+    cnts = np.concatenate(cnt_parts)
+    vstarts = np.concatenate(vst_parts)
+    bfeat = np.concatenate(feat_parts)
+    # drop blocks of features that went bad after contributing blocks,
+    # then restore feature-major block order (stable sort keeps the
+    # frontier's per-feature iteration order)
+    keep = walk_ok[bfeat]
+    if not keep.all():
+        cmds, cnts, vstarts, bfeat = cmds[keep], cnts[keep], vstarts[keep], bfeat[keep]
+    if len(cmds) == 0:
+        return (out, seg) if segmented else out
+    order = np.argsort(bfeat, kind="stable")
+    cmds, cnts, vstarts, bfeat = cmds[order], cnts[order], vstarts[order], bfeat[order]
+    feat_ok[:] = walk_ok
+    return _batch_decode_core(
+        out, seg, segmented, G_all, cmds, cnts, vstarts, bfeat, feat_ok,
+        gtypes, version, tile_x, tile_y, scale_x, scale_y, bbox,
+    )
+
+
+def _batch_decode_core(out, seg, segmented, G_all, cmds, cnts, vstarts, bfeat,
+                       feat_ok, gtypes, version, tile_x, tile_y, scale_x,
+                       scale_y, bbox):
+    """Shared back half of the batch decoders: canonical structure
+    checks, global delta decode + per-feature segmented cumsum, and
+    per-type assembly — identical whether the block table came from the
+    per-feature header walk (decode_geometry_vec_batch) or the
+    vectorized frontier walk (decode_geometry_vec_batch_global)."""
 
     is_mt = cmds == MOVE_TO
     is_lt = cmds == LINE_TO
@@ -874,7 +988,7 @@ def decode_geometry_vec_batch(
         )
         is_mt, is_cl = is_mt[keep_blk], is_cl[keep_blk]
         if len(cmds) == 0:
-            return out
+            return (out, seg) if segmented else out
 
     # --- global delta decode + per-feature segmented cumsum ---
     mtlt = ~is_cl
@@ -885,7 +999,7 @@ def decode_geometry_vec_batch(
     nvals = sp_npts * 2
     tot = int(nvals.sum())
     if tot == 0:
-        return out
+        return (out, seg) if segmented else out
     gbase = np.repeat(sp_start, nvals)
     goffs = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(nvals) - nvals, nvals)
     v64 = G_all[gbase + goffs].astype(np.int64)
@@ -910,7 +1024,7 @@ def decode_geometry_vec_batch(
         pts, deltas, per_pt_feat = pts[keep_p], deltas[keep_p], per_pt_feat[keep_p]
         sp_cmd, sp_npts, sp_feat = sp_cmd[keep_b], sp_npts[keep_b], sp_feat[keep_b]
         if len(pts) == 0:
-            return out
+            return (out, seg) if segmented else out
     per_pt_cmd = np.repeat(sp_cmd, sp_npts)
 
     # --- per-type assembly ---
@@ -922,9 +1036,9 @@ def decode_geometry_vec_batch(
         _assemble_batch_paths(
             out, feat_ok, gtypes, gt, version, pts, deltas, per_pt_feat,
             per_pt_cmd, sp_cmd, sp_npts, sp_feat,
-            tile_x, tile_y, scale_x, scale_y, bbox,
+            tile_x, tile_y, scale_x, scale_y, bbox, seg,
         )
-    return out
+    return (out, seg) if segmented else out
 
 
 def _assemble_batch_points(out, feat_ok, gtypes, pts, per_pt_feat,
@@ -954,13 +1068,38 @@ def _assemble_batch_points(out, feat_ok, gtypes, pts, per_pt_feat,
             out[int(fi)] = ("empty", None)  # all points bbox-filtered
 
 
+def _seg_gather(coords_x, coords_y, starts, lens, rev=None):
+    """Gather kept rings into one contiguous (n,2) float64 array,
+    optionally reversing flagged rings — all array ops, no per-ring
+    slicing."""
+    total = int(lens.sum())
+    base = np.repeat(starts, lens)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    if rev is not None and rev.any():
+        rev_pt = np.repeat(rev, lens)
+        src = np.where(rev_pt, base + np.repeat(lens, lens) - 1 - pos, base + pos)
+    else:
+        src = base + pos
+    cc = np.empty((total, 2), dtype=np.float64)
+    cc[:, 0] = coords_x[src]
+    cc[:, 1] = coords_y[src]
+    return cc
+
+
 def _assemble_batch_paths(out, feat_ok, gtypes, gt, version, pts, deltas,
                           per_pt_feat, per_pt_cmd, sp_cmd, sp_npts, sp_feat,
-                          tile_x, tile_y, scale_x, scale_y, bbox):
+                          tile_x, tile_y, scale_x, scale_y, bbox, seg=None):
     """LINESTRING / POLYGON assembly over the batch: group bookkeeping
     and areas global, per-part structure via one pass of light Python.
     Features whose parts degenerate under v2 fall back (out[fi]=None
-    stays) so the scalar path raises the exact error."""
+    stays) so the scalar path raises the exact error.
+
+    seg (a dict) switches on SEGMENTED output: kept rings stay in flat
+    arrays under seg[gt] and covered features get out[fi]="seg" — no
+    per-feature ndarray or tuple is ever built (see
+    decode_geometry_vec_batch's docstring for the layout)."""
     psel = feat_ok[per_pt_feat] & (gtypes[per_pt_feat] == gt)
     bsel = feat_ok[sp_feat] & (gtypes[sp_feat] == gt)
     if not psel.any():
@@ -1011,7 +1150,6 @@ def _assemble_batch_paths(out, feat_ok, gtypes, gt, version, pts, deltas,
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
 
     if gt == LINESTRING:
-        XY = np.column_stack([X, Y])
         gi_keep = np.flatnonzero(counts >= 2)
         if bbox is not None and len(gi_keep):
             st = starts[gi_keep]
@@ -1022,6 +1160,21 @@ def _assemble_batch_paths(out, feat_ok, gtypes, gt, version, pts, deltas,
             inb = ~((mxx < bbox[0]) | (mnx > bbox[2])
                     | (mxy < bbox[1]) | (mny > bbox[3]))
             gi_keep = gi_keep[inb]
+        if seg is not None:
+            ln = counts[gi_keep]
+            rf = gfeat[gi_keep]
+            seg[gt] = {
+                "coords": _seg_gather(X, Y, starts[gi_keep], ln),
+                "ring_len": ln,
+                "ring_feat": rf,
+            }
+            has = np.zeros(len(out), dtype=bool)
+            has[rf] = True
+            for fi in np.flatnonzero(feat_ok & (gtypes == gt)):
+                fi = int(fi)
+                out[fi] = "seg" if has[fi] else ("empty", None)
+            return
+        XY = np.column_stack([X, Y])
         per_feat_lines: dict[int, list] = {}
         for gi in gi_keep:
             fi = int(gfeat[gi])
@@ -1072,6 +1225,79 @@ def _assemble_batch_paths(out, feat_ok, gtypes, gt, version, pts, deltas,
 
     ring_feat = gfeat[gi_all]
     reverse_sign = (scale_x * scale_y) < 0
+
+    if seg is not None:
+        # segmented polygon assembly: one light-Python pass over RING
+        # headers (keep / exterior / reverse decisions — the stateful
+        # winding + hole-after-dropped-exterior rules of the scalar
+        # decoder, decoder.ipp:656-788), then ONE vectorized gather
+        nr = len(gi_all)
+        keepf = np.zeros(nr, dtype=bool)
+        extf = np.zeros(nr, dtype=bool)
+        revf = np.zeros(nr, dtype=bool)
+        area_cw_arr = (areas < 0.0).tolist()
+        olen = out_len.tolist()
+        rfeat = ring_feat.tolist()
+        v2s = version != 1
+        cur_fi = -1
+        first = True
+        first_cw = False
+        last_ext_excl = False
+        rev = False
+        for ri in range(nr):
+            fi = rfeat[ri]
+            if fi != cur_fi:
+                cur_fi = fi
+                first = True
+                last_ext_excl = False
+            if not feat_ok[fi] or olen[ri] <= 3:
+                continue
+            area_cw = area_cw_arr[ri]
+            if first:
+                first_cw = area_cw
+                if v2s and first_cw:
+                    feat_ok[fi] = False  # scalar replays the CW error
+                    continue
+                first = False
+                rev = reverse_sign != first_cw
+            is_ext = first_cw == area_cw
+            in_box = True
+            if bbox is not None:
+                in_box = not (
+                    mxx[ri] < bbox[0] or mnx[ri] > bbox[2]
+                    or mxy[ri] < bbox[1] or mny[ri] > bbox[3]
+                )
+            if (not is_ext and last_ext_excl) or not in_box:
+                if is_ext:
+                    last_ext_excl = True
+                continue
+            if is_ext:
+                last_ext_excl = False
+            keepf[ri] = True
+            extf[ri] = is_ext
+            revf[ri] = rev
+        kidx = np.flatnonzero(keepf)
+        # feat_ok may have flipped inside the loop (v2 CW first ring):
+        # drop any ring kept before its feature was invalidated
+        if len(kidx):
+            kidx = kidx[feat_ok[ring_feat[kidx]]]
+        ln = out_len[kidx]
+        rf = ring_feat[kidx]
+        seg[gt] = {
+            "coords": _seg_gather(
+                OUT[:, 0], OUT[:, 1], out_starts[kidx], ln, revf[kidx]
+            ),
+            "ring_len": ln,
+            "ring_feat": rf,
+            "exterior": extf[kidx],
+        }
+        has = np.zeros(len(out), dtype=bool)
+        has[rf] = True
+        for fi in np.flatnonzero(feat_ok & (gtypes == gt)):
+            fi = int(fi)
+            out[fi] = "seg" if has[fi] else ("empty", None)
+        return
+
     cur_fi = -1
     state = None  # (first_ring, first_cw, last_ext_excl, rings, exts)
     results: dict[int, tuple] = {}

@@ -80,6 +80,172 @@ def to_wkt(geom) -> str:
     raise ValueError(kind)
 
 
+def _flat_rings(kind, val):
+    """(kind, val) -> (list of (n,2) ring arrays, structure key).
+    The structure key identifies the WKT skeleton (type + per-ring
+    vertex counts) so to_wkt_batch can cache one %-template per shape."""
+    if kind == "point":
+        return [np.asarray(val, dtype=np.float64).reshape(1, 2)], ("P",)
+    if kind == "multipoint":
+        a = np.asarray(val, dtype=np.float64).reshape(-1, 2)
+        return [a], ("MP", len(a))
+    if kind == "linestring":
+        a = np.asarray(val, dtype=np.float64).reshape(-1, 2)
+        return [a], ("L", len(a))
+    if kind == "multilinestring":
+        rings = [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in val]
+        return rings, ("ML", tuple(len(r) for r in rings))
+    if kind == "polygon":
+        rings = [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in val]
+        return rings, ("PG", tuple(len(r) for r in rings))
+    # multipolygon
+    rings = [np.asarray(r, dtype=np.float64).reshape(-1, 2)
+             for poly in val for r in poly]
+    return rings, ("MPG", tuple(tuple(len(r) for r in poly) for poly in val))
+
+
+def _wkt_template(key) -> str:
+    """Structure key -> %-format WKT skeleton (same .10g rendering as
+    to_wkt; the '%' runs ONCE over a whole batch's coordinates)."""
+    tag = key[0]
+    seq = lambda n: ",".join(["%.10g %.10g"] * n)  # noqa: E731
+    if tag == "P":
+        return "POINT(%.10g %.10g)"
+    if tag == "MP":
+        return f"MULTIPOINT({seq(key[1])})"
+    if tag == "L":
+        return f"LINESTRING({seq(key[1])})"
+    if tag == "ML":
+        return "MULTILINESTRING(" + ",".join(f"({seq(n)})" for n in key[1]) + ")"
+    if tag == "PG":
+        return "POLYGON(" + ",".join(f"({seq(n)})" for n in key[1]) + ")"
+    return (
+        "MULTIPOLYGON("
+        + ",".join(
+            "(" + ",".join(f"({seq(n)})" for n in poly) + ")" for poly in key[1]
+        )
+        + ")"
+    )
+
+
+def to_wkt_batch(geoms: list) -> list:
+    """Batch to_wkt: identical strings, one C-level %-format pass over
+    ALL coordinates instead of a per-point f-string (the dense
+    small-polygon tile spent ~half its decode wall in float formatting).
+    Templates are cached per structure, so a tile of uniform features
+    costs one template build total."""
+    out: list = [None] * len(geoms)
+    tcache: dict = {}
+    templates: list[str] = []
+    coord_parts: list[np.ndarray] = []
+    idxs: list[int] = []
+    for i, geom in enumerate(geoms):
+        kind, val = geom
+        if kind == "empty" or val is None:
+            out[i] = "GEOMETRYCOLLECTION EMPTY"
+            continue
+        if kind == "geometrycollection":
+            out[i] = to_wkt(geom)  # rare; recursive scalar path
+            continue
+        rings, key = _flat_rings(kind, val)
+        tpl = tcache.get(key)
+        if tpl is None:
+            tpl = tcache[key] = _wkt_template(key)
+        templates.append(tpl)
+        coord_parts.append(rings[0] if len(rings) == 1 else np.vstack(rings))
+        idxs.append(i)
+    if not idxs:
+        return out
+    flat = (
+        coord_parts[0]
+        if len(coord_parts) == 1
+        else np.vstack(coord_parts)
+    ).astype(np.float64, copy=False)
+    rendered = ("\x00".join(templates)) % tuple(flat.ravel().tolist())
+    for i, s in zip(idxs, rendered.split("\x00")):
+        out[i] = s
+    return out
+
+
+def wkt_from_segmented(entry: dict, is_polygon: bool):
+    """Segmented batch-decode output (commands.decode_geometry_vec_batch
+    segmented=True) -> (feature ids, WKT strings). Ring structure is
+    read off plain int lists (no per-feature ndarray is ever built) and
+    every coordinate renders in ONE C-level %-format pass — the WKT
+    boundary costs O(points), not O(features) Python."""
+    rl = entry["ring_len"].tolist()
+    rf = entry["ring_feat"].tolist()
+    ex = entry["exterior"].tolist() if is_polygon else None
+    ids: list[int] = []
+    templates: list[str] = []
+    tcache: dict = {}
+    i, n = 0, len(rl)
+    while i < n:
+        fi = rf[i]
+        j = i
+        if is_polygon:
+            polys: list[list[int]] = []
+            cur: list[int] | None = None
+            while j < n and rf[j] == fi:
+                if ex[j] or cur is None:  # first kept ring is exterior
+                    cur = [rl[j]]
+                    polys.append(cur)
+                else:
+                    cur.append(rl[j])
+                j += 1
+            key = (
+                ("PG", tuple(polys[0]))
+                if len(polys) == 1
+                else ("MPG", tuple(tuple(p) for p in polys))
+            )
+        else:
+            rings: list[int] = []
+            while j < n and rf[j] == fi:
+                rings.append(rl[j])
+                j += 1
+            key = ("L", rings[0]) if len(rings) == 1 else ("ML", tuple(rings))
+        i = j
+        ids.append(fi)
+        tpl = tcache.get(key)
+        if tpl is None:
+            tpl = tcache[key] = _wkt_template(key)
+        templates.append(tpl)
+    if not ids:
+        return ids, []
+    rendered = ("\x00".join(templates)) % tuple(
+        np.asarray(entry["coords"], dtype=np.float64).ravel().tolist()
+    )
+    return ids, rendered.split("\x00")
+
+
+def gpack_from_packed(kind: str, xs, ys, offsets, exterior=None):
+    """Packed ragged decode form (flat xs/ys + part offsets [+ exterior
+    flags]) -> (gpack bytes, mercator envelope), with NO per-part Python
+    objects: the decode->re-encode path (composite slow path / pyramid
+    re-tiling) hands geometry between stages as two array copies."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    nr = len(offsets) - 1
+    counts = np.diff(offsets)
+    if kind == "multipolygon":
+        ext = np.asarray(exterior, dtype=bool)
+        parts = np.maximum(np.cumsum(ext) - 1, 0)
+    elif kind == "multilinestring":
+        parts = np.arange(nr, dtype=np.int64)
+    else:  # multipoint (single part)
+        parts = np.zeros(nr, dtype=np.int64)
+    head = np.empty(1 + 2 * nr, dtype=np.uint32)
+    head[0] = nr
+    head[1 : 1 + nr] = counts
+    head[1 + nr :] = parts
+    coords = np.empty((len(xs), 2), dtype=np.float64)
+    coords[:, 0] = xs
+    coords[:, 1] = ys
+    env = (float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max()))
+    return bytes([_GP_CODE[kind]]) + head.tobytes() + coords.tobytes(), env
+
+
 def _parse_seq(s: str) -> np.ndarray:
     pts = []
     for tok in s.split(","):

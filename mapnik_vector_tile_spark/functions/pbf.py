@@ -268,11 +268,30 @@ def decode_layer(data: bytes) -> dict:
     src/vector_tile_datasource_pbf.ipp:35-170): name, version, extent,
     keys, values, raw feature messages."""
     pos = 0
+    n_data = len(data)
     out = {
         "name": None, "version": 1, "extent": 4096, "keys": [], "values": [],
         "features": [], "has_extent": False,
     }
-    while pos < len(data):
+    features = out["features"]
+    while pos < n_data:
+        # inline fast path for Feature frames (tag 0x12, 1-2 byte
+        # length) — a dense layer is thousands of these and the generic
+        # read_varint call per frame costs more than the slicing
+        if data[pos] == 0x12:
+            b0 = data[pos + 1] if pos + 1 < n_data else 0x80
+            if b0 < 0x80:
+                ln, p2 = b0, pos + 2
+            else:
+                b1 = data[pos + 2] if pos + 2 < n_data else 0x80
+                if b1 < 0x80:
+                    ln, p2 = (b0 & 0x7F) | (b1 << 7), pos + 3
+                else:
+                    ln, p2 = -1, pos
+            if ln >= 0:
+                features.append(data[p2 : p2 + ln])
+                pos = p2 + ln
+                continue
         t, pos = read_varint(data, pos)
         field, wire = t >> 3, t & 0x7
         if field == 1 and wire == WT_LEN:
@@ -384,7 +403,7 @@ def decode_feature_arrays(data: bytes) -> dict:
     return out
 
 
-def decode_features_batch(feature_msgs: list[bytes]):
+def decode_features_batch(feature_msgs: list[bytes], return_global: bool = False):
     """Batch feature-message parse: the field walk of EVERY feature of a
     layer runs as a masked vectorized cursor (a feature has <=6 frames,
     so the walk is ~6 read_varints_at steps however many features there
@@ -399,6 +418,16 @@ def decode_features_batch(feature_msgs: list[bytes]):
     feature individually."""
     n = len(feature_msgs)
     if n == 0:
+        if return_global:
+            z = np.zeros(0, dtype=np.int64)
+            return {
+                "n": 0, "ids": z, "types": z,
+                "geom_vals": np.zeros(0, dtype=np.uint64),
+                "geom_off": np.zeros(1, dtype=np.int64),
+                "tag_vals": z, "tag_off": np.zeros(1, dtype=np.int64),
+                "rast_s": z, "rast_l": z,
+                "buf": np.zeros(0, dtype=np.uint8),
+            }
         return []
     lens = np.fromiter((len(m) for m in feature_msgs), dtype=np.int64, count=n)
     ends = np.cumsum(lens)
@@ -488,6 +517,23 @@ def decode_features_batch(feature_msgs: list[bytes]):
         return None  # truncated/overlong varints in some payload
     geom_off = np.concatenate([[0], np.cumsum(geom_counts)])
     tag_off = np.concatenate([[0], np.cumsum(tag_counts)])
+
+    if return_global:
+        # zero per-feature objects: callers pair this with
+        # commands.decode_geometry_vec_batch_global, which walks the
+        # global geometry array directly via geom_off
+        return {
+            "n": n,
+            "ids": ids,
+            "types": types,
+            "geom_vals": geom_vals,
+            "geom_off": geom_off,
+            "tag_vals": tag_vals.astype(np.int64),
+            "tag_off": tag_off,
+            "rast_s": rast_s,
+            "rast_l": rast_l,
+            "buf": buf,
+        }
 
     out = []
     tag_list = tag_vals.astype(np.int64)

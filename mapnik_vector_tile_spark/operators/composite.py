@@ -123,17 +123,18 @@ def retile_geom_tiles(
     **build_kwargs,
 ) -> DataFrame:
     """General-geometry pyramid re-tiling: decode line/polygon tiles to
-    mercator WKT and rebuild at ``to_z`` (the overzoom path re-clips
-    each piece into the child tiles, like the reference's
-    tile_datasource -> processor overzoom). Pieces stay clipped at the
-    source zoom's boundaries — identical to what re-tiling encoded
-    tiles yields in the reference."""
+    packed mercator geometry (gpack + envelope, never WKT) and rebuild
+    at ``to_z`` (the overzoom path re-clips each piece into the child
+    tiles, like the reference's tile_datasource -> processor overzoom).
+    Pieces stay clipped at the source zoom's boundaries — identical to
+    what re-tiling encoded tiles yields in the reference."""
     from mapnik_vector_tile_spark.operators import decode as D
     from mapnik_vector_tile_spark.operators import geom_tiles as GT
 
-    dec = D.decode_tiles(tiles).where(F.col("geom_wkt").isNotNull())
+    dec = D.decode_tiles_gpack(tiles)
     rows = dec.select(
-        *[F.col("props").getItem(c).alias(c) for c in prop_cols], "geom_wkt"
+        *[F.col("props").getItem(c).alias(c) for c in prop_cols],
+        "_gpk", "env_minx", "env_miny", "env_maxx", "env_maxy",
     )
     return GT.build_geom_tiles(
         rows, prop_cols, z=to_z, layer_name=layer_name,
@@ -247,41 +248,32 @@ def merge_tiles_reencode(
 ) -> DataFrame:
     """Slow-path merge: decode all sources, re-encode one layer per tile
     (the v1->v2 upgrade path of load_tile.hpp:53-137). Points only for
-    now — decoded rows re-enter build_point_tiles."""
+    now — decoded rows re-enter build_point_tiles.
+
+    Rides the packed ragged scan: coordinates come back as Arrow list
+    columns and the mercator->lon/lat inverse is pure Column math
+    (JVM-side), so no WKT string is ever formatted or parsed."""
+    import math
+
+    from mapnik_vector_tile_spark import tilemath
     from mapnik_vector_tile_spark.operators import decode as D
     from mapnik_vector_tile_spark.operators.encode import build_point_tiles
-    from mapnik_vector_tile_spark.functions import geometry as G
 
-    decoded = D.decode_tiles(tiles)
-
-    def to_lonlat(iterator):
-        import numpy as np
-        from mapnik_vector_tile_spark import tilemath
-
-        for pdf in iterator:
-            if len(pdf) == 0:
-                continue
-            lons, lats = [], []
-            for wkt in pdf["geom_wkt"]:
-                kind, val = G.from_wkt(wkt)
-                mx, my = float(val[0]), float(val[1])
-                lon = np.degrees(mx / tilemath.EARTH_RADIUS)
-                lat = np.degrees(
-                    2.0 * np.arctan(np.exp(my / tilemath.EARTH_RADIUS)) - np.pi / 2.0
-                )
-                lons.append(lon)
-                lats.append(lat)
-            out = pdf[["z", "x", "y", "feature_id"]].copy()
-            out["lon"] = lons
-            out["lat"] = lats
-            for c in prop_cols:
-                out[c] = [m.get(c) for m in pdf["props"]]
-            yield out
-
-    schema = "z int, x long, y long, feature_id long, lon double, lat double, " + ", ".join(
-        f"{c} string" for c in prop_cols
+    decoded = D.decode_tiles_packed(tiles).where(F.col("geom_type") == 1)
+    r = float(tilemath.EARTH_RADIUS)
+    pt = F.explode(F.arrays_zip(F.col("xs").alias("mx"), F.col("ys").alias("my")))
+    rows = (
+        decoded.select("z", "x", "y", "feature_id", "props", pt.alias("pt"))
+        .select(
+            "z", "x", "y", "feature_id",
+            F.degrees(F.col("pt.mx") / F.lit(r)).alias("lon"),
+            F.degrees(
+                F.lit(2.0) * F.atan(F.exp(F.col("pt.my") / F.lit(r)))
+                - F.lit(math.pi / 2.0)
+            ).alias("lat"),
+            *[F.col("props").getItem(c).alias(c) for c in prop_cols],
+        )
     )
-    rows = decoded.where(F.col("geom_type") == 1).mapInPandas(to_lonlat, schema=schema)
     return build_point_tiles(
         rows, prop_cols, layer_name=layer_name, extent=extent, buffer_px=buffer_px,
         order_col="feature_id",

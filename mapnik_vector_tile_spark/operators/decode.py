@@ -30,6 +30,116 @@ DECODED_SCHEMA = (
 )
 
 
+class _LayerBatch:
+    """Uniform per-layer decode state shared by the WKT and packed
+    scans: feature fields as GLOBAL flat arrays when the lockstep wire
+    walk holds (pbf.decode_features_batch return_global) with the
+    geometry batch-decoded straight off the global varint array
+    (commands.decode_geometry_vec_batch_global — vectorized frontier
+    header walk), falling back to per-feature parsing on exotic wire
+    shapes. Either way the exposed surface is identical."""
+
+    __slots__ = ("n", "ids", "types", "tags", "tag_off", "glen",
+                 "batched", "seg", "_feats", "_fb", "dec_args")
+
+    def __init__(self, layer: dict, dec_args: dict):
+        self.dec_args = dec_args
+        fb = pbf.decode_features_batch(layer["features"], return_global=True)
+        self._fb = fb
+        if fb is not None:
+            self._feats = None
+            self.n = fb["n"]
+            self.ids = fb["ids"].tolist()
+            self.types = fb["types"].tolist()
+            self.tags = fb["tag_vals"].tolist()
+            self.tag_off = fb["tag_off"].tolist()
+            self.glen = np.diff(fb["geom_off"]).tolist()
+            self.batched, self.seg = Cmd.decode_geometry_vec_batch_global(
+                fb["geom_vals"], fb["geom_off"], fb["types"],
+                segmented=True, **dec_args,
+            )
+        else:  # exotic wire shapes: parse each feature alone
+            feats = [pbf.decode_feature_arrays(m) for m in layer["features"]]
+            self._feats = feats
+            self.n = len(feats)
+            self.ids = [f["id"] for f in feats]
+            self.types = [f["type"] for f in feats]
+            tags: list[int] = []
+            tag_off = [0]
+            for f in feats:
+                tags.extend(f["tags"])
+                tag_off.append(len(tags))
+            self.tags, self.tag_off = tags, tag_off
+            self.glen = [len(f["geometry"]) for f in feats]
+            self.batched, self.seg = Cmd.decode_geometry_vec_batch(
+                [f["geometry"] for f in feats], self.types,
+                segmented=True, **dec_args,
+            )
+
+    def geom(self, fi: int):
+        if self._feats is not None:
+            return self._feats[fi]["geometry"]
+        fb = self._fb
+        return fb["geom_vals"][fb["geom_off"][fi] : fb["geom_off"][fi + 1]]
+
+    def raster(self, fi: int):
+        if self._feats is not None:
+            return self._feats[fi]["raster"]
+        fb = self._fb
+        s = fb["rast_s"][fi]
+        return fb["buf"][s : s + fb["rast_l"][fi]].tobytes() if s >= 0 else None
+
+    def fallback_geom(self, fi: int):
+        """Per-feature re-decode for features the batch declined —
+        the vectorized/scalar paths own the exact v1/v2 error matrix."""
+        g = None
+        if self.glen[fi] >= 64:
+            g = Cmd.decode_geometry_vec(self.geom(fi), self.types[fi], **self.dec_args)
+        if g is None:
+            g = Cmd.decode_geometry(self.geom(fi), self.types[fi], **self.dec_args)
+        return g
+
+    def props_of(self, fi: int, keys: list, vals_str: list) -> dict:
+        # out-of-range indices are silently skipped, like the reference
+        # featureset (vector_tile_featureset_pbf.ipp:147-148)
+        props = {}
+        tags, n_keys, n_vals = self.tags, len(keys), len(vals_str)
+        for i in range(self.tag_off[fi], self.tag_off[fi + 1] - 1, 2):
+            ki, vi = tags[i], tags[i + 1]
+            if ki >= n_keys or vi >= n_vals:
+                continue
+            props[keys[ki]] = vals_str[vi]
+        return props
+
+
+def _layer_ok(layer: dict) -> bool:
+    """datasource_pbf construction semantics (test/unit/datasource-pbf/
+    from_layer.cpp): an unknown layer version yields no features but
+    processing continues with subsequent layers; a v2 layer without a
+    declared extent is rejected (the reference throws — the scan skips
+    it so one hostile layer cannot fail a distributed decode; the
+    validity checker carries the LAYER_HAS_NO_EXTENT finding)."""
+    if layer["version"] not in (1, 2):
+        return False
+    if layer["version"] == 2 and not layer["has_extent"]:
+        return False
+    return True
+
+
+def _layer_dec_args(layer: dict, bounds, bbox) -> dict:
+    minx, miny, maxx, maxy = bounds
+    # decode transform: px -> mercator (datasource_pbf scale semantics)
+    scale = layer["extent"] / (float(maxx) - float(minx))
+    return dict(
+        version=layer["version"],
+        tile_x=float(minx),
+        tile_y=float(maxy),
+        scale_x=scale,
+        scale_y=-scale,  # y down in tile space
+        bbox=bbox,
+    )
+
+
 def decode_layer_rows(
     z: int, x: int, y: int, layer_bytes: bytes, bbox=None, bounds=None
 ) -> list[tuple]:
@@ -38,69 +148,44 @@ def decode_layer_rows(
     passing it lets callers amortize it across a tile's layers."""
     if bounds is None:
         bounds = tilemath.tile_mercator_bbox_np(x, y, z)
-    minx, miny, maxx, maxy = bounds
     layer = pbf.decode_layer(bytes(layer_bytes))
-    # datasource_pbf construction semantics (test/unit/datasource-pbf/
-    # from_layer.cpp): an unknown layer version yields no features but
-    # processing continues with subsequent layers; a v2 layer without a
-    # declared extent is rejected (the reference throws — the scan skips
-    # it so one hostile layer cannot fail a distributed decode; the
-    # validity checker carries the LAYER_HAS_NO_EXTENT finding).
-    if layer["version"] not in (1, 2):
+    if not _layer_ok(layer):
         return []
-    if layer["version"] == 2 and not layer["has_extent"]:
-        return []
-    extent = layer["extent"]
-    # decode transform: px -> mercator (datasource_pbf scale semantics)
-    scale = extent / (float(maxx) - float(minx))
-    n_keys, n_vals = len(layer["keys"]), len(layer["values"])
-    feats = pbf.decode_features_batch(layer["features"])
-    if feats is None:  # exotic wire shapes: parse each feature alone
-        feats = [pbf.decode_feature_arrays(fmsg) for fmsg in layer["features"]]
-    dec_args = dict(
-        version=layer["version"],
-        tile_x=float(minx),
-        tile_y=float(maxy),
-        scale_x=scale,
-        scale_y=-scale,  # y down in tile space
-        bbox=bbox,
-    )
-    # batch-decode every feature's geometry in one ragged pass (the
-    # dominant real-world tile shape is thousands of SMALL features —
-    # per-feature numpy setup would cost more than the decode); the
-    # batch declines per feature, falling back to the per-feature
-    # vectorized/scalar paths that own the exact v1/v2 error matrix
-    geoms_in = [f["geometry"] for f in feats]
-    gtypes = [f["type"] for f in feats]
-    batched = Cmd.decode_geometry_vec_batch(geoms_in, gtypes, **dec_args)
-    rows = []
-    for fi, feat in enumerate(feats):
-        props = {}
-        tags = feat["tags"]
-        for i in range(0, len(tags) - 1, 2):
-            # out-of-range indices are silently skipped, like the
-            # reference featureset (vector_tile_featureset_pbf.ipp:147-148)
-            if tags[i] >= n_keys or tags[i + 1] >= n_vals:
-                continue
-            k = layer["keys"][tags[i]]
-            v = layer["values"][tags[i + 1]]
-            props[k] = None if v is None else str(v)
-        if len(feat["geometry"]):
-            g = batched[fi]
-            if g is None and len(feat["geometry"]) >= 64:
-                g = Cmd.decode_geometry_vec(feat["geometry"], feat["type"], **dec_args)
-            if g is None:
-                g = Cmd.decode_geometry(feat["geometry"], feat["type"], **dec_args)
-            wkt = G.to_wkt(g) if g[0] != "empty" else None
+    dec_args = _layer_dec_args(layer, bounds, bbox)
+    lb = _LayerBatch(layer, dec_args)
+    # features the batch kept segmented render straight from the flat
+    # ring arrays; everything else goes through the tuple writer
+    seg_wkt: dict[int, str] = {}
+    for gt, entry in (lb.seg or {}).items():
+        ids, wkts = G.wkt_from_segmented(entry, is_polygon=(gt == Cmd.POLYGON))
+        seg_wkt.update(zip(ids, wkts))
+    wkt_out: list = [None] * lb.n
+    fallback: list = []  # (feature index, geom tuple) — one batch WKT pass
+    for fi in range(lb.n):
+        if not lb.glen[fi]:
+            continue
+        g = lb.batched[fi]
+        if g == "seg":
+            wkt_out[fi] = seg_wkt.get(fi)
         else:
-            wkt = None
-        rows.append(
-            (
-                z, x, y, layer["name"], feat["id"], feat["type"],
-                wkt, props, feat["raster"],
-            )
+            if g is None:
+                g = lb.fallback_geom(fi)
+            if g[0] != "empty":
+                fallback.append((fi, g))
+    if fallback:
+        for (fi, _), s in zip(fallback, G.to_wkt_batch([g for _, g in fallback])):
+            wkt_out[fi] = s
+    keys = layer["keys"]
+    # stringify the value dictionary ONCE (tags reference it repeatedly)
+    vals_str = [None if v is None else str(v) for v in layer["values"]]
+    name = layer["name"]
+    return [
+        (
+            z, x, y, name, lb.ids[fi], lb.types[fi],
+            wkt_out[fi], lb.props_of(fi, keys, vals_str), lb.raster(fi),
         )
-    return rows
+        for fi in range(lb.n)
+    ]
 
 
 def decode_tile_rows(z: int, x: int, y: int, tile: bytes, bbox=None) -> list[tuple]:
@@ -138,18 +223,65 @@ def decode_tiles(tiles: DataFrame) -> DataFrame:
 PACKED_SCHEMA = (
     "z int, x long, y long, layer string, feature_id long, geom_type int, "
     "kind string, xs array<double>, ys array<double>, offsets array<long>, "
-    "exterior array<boolean>, props map<string,string>"
+    "exterior array<boolean>, props map<string,string>, raster binary"
 )
 
 
-def decode_tiles_packed(tiles: DataFrame) -> DataFrame:
+def iter_layer_packed(layer_bytes: bytes, bounds, bbox=None) -> list[tuple]:
+    """One layer message -> (name, feature_id, geom_type, pk_dict, props,
+    raster) tuples, where pk_dict is the packed ragged geometry
+    {kind, xs, ys, offsets[, exterior]} or None (raster-only feature).
+    Shared decode core of every packed consumer (packed scan, gpack
+    scan, packed point lookup); empty/bbox-filtered geometry features
+    without raster are dropped, like the reference featureset's
+    next() skip (src/vector_tile_featureset_pbf.ipp:113-180)."""
+    layer = pbf.decode_layer(bytes(layer_bytes))
+    if not _layer_ok(layer):
+        return []
+    kw = _layer_dec_args(layer, bounds, bbox)
+    lb = _LayerBatch(layer, kw)
+    seg_pk = _packed_from_seg(lb.seg)
+    keys = layer["keys"]
+    vals_str = [None if v is None else str(v) for v in layer["values"]]
+    name = layer["name"]
+    out = []
+    for fi in range(lb.n):
+        pk = None
+        if lb.glen[fi]:
+            g = lb.batched[fi]
+            if g == "seg":
+                pk = ("packed", seg_pk[fi])
+            elif g is not None:
+                pk = _pack_from_parts(g)
+            else:
+                pk = Cmd.decode_geometry_vec(
+                    lb.geom(fi), lb.types[fi], packed=True, **kw
+                )
+                if pk is None:
+                    pk = _pack_from_parts(Cmd.decode_geometry(lb.geom(fi), lb.types[fi], **kw))
+            if pk[0] == "empty":
+                pk = None
+            else:
+                pk = pk[1]
+        raster = lb.raster(fi)
+        if pk is None and raster is None:
+            continue
+        out.append(
+            (name, lb.ids[fi], lb.types[fi], pk, lb.props_of(fi, keys, vals_str), raster)
+        )
+    return out
+
+
+def decode_tiles_packed(tiles: DataFrame, bbox=None) -> DataFrame:
     """Decode scan with RAGGED geometry output: flat xs/ys + part
     offsets per feature (Arrow list columns), never a per-part Python
     object or a WKT string. This is the scale form of S2/S3 — a feature
     with 168k line parts (the reference's multi_line bench tile) is
     three arrays here, and downstream Spark ops explode/aggregate the
     list columns JVM-side. Non-canonical features fall back through the
-    scalar decoder and are re-packed from its part lists."""
+    scalar decoder and are re-packed from its part lists. `bbox` pushes
+    a mercator query box INTO the geometry decoder (the reference's
+    filter_at_point/bbox query, src/vector_tile_datasource_pbf.ipp:196-216)."""
 
     def kernel(iterator):
         for pdf in iterator:
@@ -160,73 +292,118 @@ def decode_tiles_packed(tiles: DataFrame) -> DataFrame:
                     continue
                 data = Z.decompress(bytes(row["tile"]))
                 bounds = tilemath.tile_mercator_bbox_np(x, y, z)
-                minx, miny, maxx, maxy = bounds
                 for layer_bytes in pbf.decode_tile(data):
-                    layer = pbf.decode_layer(bytes(layer_bytes))
-                    if layer["version"] not in (1, 2):
-                        continue
-                    if layer["version"] == 2 and not layer["has_extent"]:
-                        continue
-                    scale = layer["extent"] / (float(maxx) - float(minx))
-                    kw = dict(
-                        version=layer["version"], tile_x=float(minx),
-                        tile_y=float(maxy), scale_x=scale, scale_y=-scale,
-                    )
-                    feats = pbf.decode_features_batch(layer["features"])
-                    if feats is None:
-                        feats = [
-                            pbf.decode_feature_arrays(m) for m in layer["features"]
-                        ]
-                    batched = Cmd.decode_geometry_vec_batch(
-                        [f["geometry"] for f in feats],
-                        [f["type"] for f in feats], **kw,
-                    )
-                    for fi, feat in enumerate(feats):
-                        props = {}
-                        tags = feat["tags"]
-                        for i in range(0, len(tags) - 1, 2):
-                            if (tags[i] >= len(layer["keys"])
-                                    or tags[i + 1] >= len(layer["values"])):
-                                continue  # featureset_pbf.ipp:147-148 skip
-                            v = layer["values"][tags[i + 1]]
-                            props[layer["keys"][tags[i]]] = (
-                                None if v is None else str(v)
+                    for name, fid, gt, pk, props, raster in iter_layer_packed(
+                        layer_bytes, bounds, bbox=bbox
+                    ):
+                        if pk is None:
+                            out.append(
+                                (z, x, y, name, fid, gt, None, None, None,
+                                 None, None, props, raster)
                             )
-                        if not len(feat["geometry"]):
-                            continue
-                        g = batched[fi]
-                        if g is not None:
-                            pk = _pack_from_parts(g)
                         else:
-                            pk = Cmd.decode_geometry_vec(
-                                feat["geometry"], feat["type"], packed=True, **kw
+                            out.append(
+                                (z, x, y, name, fid, gt, pk["kind"], pk["xs"],
+                                 pk["ys"], pk["offsets"], pk.get("exterior"),
+                                 props, raster)
                             )
-                            if pk is None:
-                                pk = _pack_from_parts(
-                                    Cmd.decode_geometry(
-                                        feat["geometry"], feat["type"], **kw
-                                    )
-                                )
-                        if pk[0] == "empty":
-                            continue
-                        d = pk[1]
-                        out.append(
-                            (
-                                z, x, y, layer["name"], feat["id"], feat["type"],
-                                d["kind"], d["xs"], d["ys"], d["offsets"],
-                                d.get("exterior"), props,
-                            )
-                        )
             if out:
                 yield pd.DataFrame(
                     out,
                     columns=[
                         "z", "x", "y", "layer", "feature_id", "geom_type",
                         "kind", "xs", "ys", "offsets", "exterior", "props",
+                        "raster",
                     ],
                 )
 
     return tiles.select("z", "x", "y", "tile").mapInPandas(kernel, schema=PACKED_SCHEMA)
+
+
+GPACK_SCHEMA = (
+    "z int, x long, y long, layer string, feature_id long, geom_type int, "
+    "_gpk binary, env_minx double, env_miny double, env_maxx double, "
+    "env_maxy double, props map<string,string>"
+)
+
+
+def decode_tiles_gpack(tiles: DataFrame, bbox=None) -> DataFrame:
+    """Decode scan emitting the compact gpack geometry + its mercator
+    envelope — the exact input shape build_geom_tiles' encode stages
+    read. The decode->re-encode pipelines (pyramid re-tiling, composite
+    slow path) ride this: geometry crosses the boundary as one binary
+    column, no WKT text and no per-part Python objects, and the
+    envelope stage of the encoder is already paid here."""
+
+    def kernel(iterator):
+        for pdf in iterator:
+            out = []
+            for _, row in pdf.iterrows():
+                z, x, y = int(row["z"]), int(row["x"]), int(row["y"])
+                if not row["tile"]:
+                    continue
+                data = Z.decompress(bytes(row["tile"]))
+                bounds = tilemath.tile_mercator_bbox_np(x, y, z)
+                for layer_bytes in pbf.decode_tile(data):
+                    for name, fid, gt, pk, props, _raster in iter_layer_packed(
+                        layer_bytes, bounds, bbox=bbox
+                    ):
+                        if pk is None:
+                            continue  # raster-only: no geometry to re-tile
+                        gpk, env = G.gpack_from_packed(
+                            pk["kind"], pk["xs"], pk["ys"], pk["offsets"],
+                            pk.get("exterior"),
+                        )
+                        out.append(
+                            (z, x, y, name, fid, gt, gpk,
+                             env[0], env[1], env[2], env[3], props)
+                        )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "z", "x", "y", "layer", "feature_id", "geom_type",
+                        "_gpk", "env_minx", "env_miny", "env_maxx", "env_maxy",
+                        "props",
+                    ],
+                )
+
+    return tiles.select("z", "x", "y", "tile").mapInPandas(kernel, schema=GPACK_SCHEMA)
+
+
+def _packed_from_seg(seg) -> dict:
+    """Segmented batch-decode arrays -> {feature id: packed dict}. Per
+    feature this is three array VIEWS into the flat batch output plus an
+    offsets subtraction — no vstack, no per-part objects."""
+    out: dict[int, dict] = {}
+    if not seg:
+        return out
+    kind_of = {Cmd.LINESTRING: "multilinestring", Cmd.POLYGON: "multipolygon"}
+    for gt, entry in seg.items():
+        rl = entry["ring_len"]
+        if len(rl) == 0:
+            continue
+        rf = entry["ring_feat"]
+        coords = entry["coords"]
+        ex = entry.get("exterior")
+        roff = np.concatenate([[0], np.cumsum(rl)]).astype(np.int64)
+        fb = np.flatnonzero(np.concatenate([[True], rf[1:] != rf[:-1]]))
+        fe = np.concatenate([fb[1:], [len(rl)]])
+        kind = kind_of[gt]
+        xs_all = np.ascontiguousarray(coords[:, 0])
+        ys_all = np.ascontiguousarray(coords[:, 1])
+        for a, b in zip(fb.tolist(), fe.tolist()):
+            s, e = roff[a], roff[b]
+            d = {
+                "kind": kind,
+                "xs": xs_all[s:e],
+                "ys": ys_all[s:e],
+                "offsets": roff[a : b + 1] - s,
+            }
+            if ex is not None:
+                d["exterior"] = ex[a:b]
+            out[int(rf[a])] = d
+    return out
 
 
 def _pack_from_parts(geom) -> tuple:
@@ -262,7 +439,10 @@ def _pack_from_parts(geom) -> tuple:
     })
 
 
-def features_at_point(tiles: DataFrame, lon: float, lat: float, tol_merc: float = 0.0) -> DataFrame:
+def features_at_point(
+    tiles: DataFrame, lon: float, lat: float, tol_merc: float = 0.0,
+    packed: bool = False,
+) -> DataFrame:
     """S4: point-lookup scan over encoded tiles — decode with a tiny bbox
     pushed *into* the decoder (the reference's filter_at_point,
     src/vector_tile_datasource_pbf.ipp:196-216).
@@ -270,7 +450,9 @@ def features_at_point(tiles: DataFrame, lon: float, lat: float, tol_merc: float 
     Cell pruning happens BEFORE any decode: only tiles whose mercator
     bbox (grown by the tolerance) contains the query point survive the
     Column filter, so a z-keyed/partitioned tile store prunes to O(1)
-    tiles per zoom instead of scanning the world."""
+    tiles per zoom instead of scanning the world. `packed=True` returns
+    the ragged array form (PACKED_SCHEMA) instead of WKT rows — the
+    scale path when hits feed further relational stages."""
     from pyspark.sql import functions as F
 
     mx, my = tilemath.mercator_np(lon, lat)
@@ -283,6 +465,8 @@ def features_at_point(tiles: DataFrame, lon: float, lat: float, tol_merc: float 
         (F.lit(bbox[2]) >= minx) & (F.lit(bbox[0]) < maxx)
         & (F.lit(bbox[3]) >= miny) & (F.lit(bbox[1]) < maxy)
     )
+    if packed:
+        return decode_tiles_packed(tiles, bbox=bbox)
 
     def kernel(iterator):
         for pdf in iterator:

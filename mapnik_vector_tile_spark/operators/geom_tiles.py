@@ -160,10 +160,19 @@ def build_geom_tiles(
     process_all_rings: bool = False,
 ) -> DataFrame:
     """geoms: rows with a mercator-WKT geometry column + props.
-    One tile row per painted (z,x,y)."""
+    One tile row per painted (z,x,y).
+
+    Rows that already carry the packed geometry (_gpk) AND its envelope
+    (env_minx..env_maxy) — e.g. the decode_tiles_gpack scan or a
+    gpack-emitting reprojection — skip the WKT parse stage entirely:
+    the text boundary is paid at most once per pipeline."""
     from mapnik_vector_tile_spark.operators.encode import encode_geom_layer
 
-    enveloped = with_envelope(geoms, wkt_col)
+    have = set(geoms.columns)
+    if {"_gpk", "env_minx", "env_miny", "env_maxx", "env_maxy"} <= have:
+        enveloped = geoms
+    else:
+        enveloped = with_envelope(geoms, wkt_col)
     assigned = assign_tiles_by_envelope(enveloped, z, buffer_px=buffer_px, extent=extent)
     slim_cols = ["z", "x", "y", "_gpk", *prop_cols]
     if id_col:

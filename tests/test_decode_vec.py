@@ -385,3 +385,169 @@ def test_batch_decode_v1_degenerates_and_v2_fallback():
     b2 = Cmd.decode_geometry_vec_batch([degen, good], [2, 2], version=2)
     assert b2[0] is None
     assert b2[1] is not None
+
+
+# ---------------------------------------------------------------------------
+# global-array batch walk + segmented output (round 4)
+# ---------------------------------------------------------------------------
+
+def _random_feature_corpus(rng, n=400):
+    """Mixed small features (points/lines/polygons incl. holes), plus a
+    few malformed streams the walks must decline identically."""
+    geoms, gtypes = [], []
+    for i in range(n):
+        kind = i % 4
+        if kind == 0:
+            pts = rng.integers(0, 4096, size=(int(rng.integers(1, 5)), 2))
+            g = ("multipoint", pts.astype(np.int64))
+        elif kind == 1:
+            pts = rng.integers(0, 4096, size=(int(rng.integers(2, 8)), 2))
+            g = ("linestring", pts.astype(np.int64))
+        elif kind == 2:
+            x0, y0 = rng.integers(0, 4000, size=2)
+            s = int(rng.integers(5, 40))
+            ring = np.array(
+                [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]],
+                dtype=np.int64,
+            )
+            hole = np.array(
+                [[x0 + 2, y0 + 2], [x0 + 2, y0 + 4], [x0 + 4, y0 + 4]],
+                dtype=np.int64,
+            )
+            g = ("polygon", [ring] if i % 8 else [ring, hole])
+        else:
+            x0, y0 = rng.integers(0, 4000, size=2)
+            g = ("multilinestring", [
+                np.array([[x0, y0], [x0 + 3, y0 + 3]], dtype=np.int64),
+                np.array([[x0 + 9, y0], [x0 + 9, y0 + 7]], dtype=np.int64),
+            ])
+        gt, cmds = Cmd.encode_geometry(g, [0, 0])
+        if gt is None:
+            continue
+        geoms.append(np.asarray(cmds, dtype=np.uint64))
+        gtypes.append(gt)
+    # malformed: bad command id, zero-count MoveTo, truncated stream
+    z = Cmd._zz32
+    for bad in ([(1 << 3) | 5, z(1), z(1)], [(0 << 3) | 1], [9, z(1)]):
+        geoms.append(np.asarray(bad, dtype=np.uint64))
+        gtypes.append(2)
+    return geoms, gtypes
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_batch_global_matches_list_batch(version):
+    """decode_geometry_vec_batch_global (vectorized frontier header
+    walk over the layer's global varint array) must agree entry-by-entry
+    with the per-feature-walk batch — same declines, same geometry."""
+    rng = np.random.default_rng(11)
+    geoms, gtypes = _random_feature_corpus(rng)
+    kw = dict(version=version, tile_x=-5.0, tile_y=5.0, scale_x=0.5, scale_y=-0.5)
+    a = Cmd.decode_geometry_vec_batch(geoms, gtypes, **kw)
+    gvals = np.concatenate(geoms)
+    goff = np.concatenate([[0], np.cumsum([len(g) for g in geoms])])
+    b = Cmd.decode_geometry_vec_batch_global(gvals, goff, gtypes, **kw)
+    assert len(a) == len(b)
+    for ga, gb in zip(a, b):
+        if ga is None or gb is None:
+            assert ga is None and gb is None
+            continue
+        _assert_same(ga, gb)
+
+
+@pytest.mark.parametrize("version", [1, 2])
+@pytest.mark.parametrize("use_bbox", [False, True])
+def test_segmented_matches_tuple_assembly(version, use_bbox):
+    """segmented=True must describe exactly the geometry the tuple
+    assembly builds: WKT written from the flat ring arrays equals
+    to_wkt of the tuple, and the packed dict equals _pack_from_parts."""
+    from mapnik_vector_tile_spark.functions import geometry as G
+    from mapnik_vector_tile_spark.operators.decode import (
+        _pack_from_parts, _packed_from_seg,
+    )
+
+    rng = np.random.default_rng(7)
+    geoms, gtypes = _random_feature_corpus(rng)
+    kw = dict(version=version, tile_x=0.0, tile_y=4096.0, scale_x=1.0, scale_y=-1.0)
+    if use_bbox:
+        kw["bbox"] = (500.0, 500.0, 3000.0, 3000.0)
+    tuples = Cmd.decode_geometry_vec_batch(geoms, gtypes, **kw)
+    marked, seg = Cmd.decode_geometry_vec_batch(geoms, gtypes, segmented=True, **kw)
+    seg_wkt = {}
+    for gt, entry in seg.items():
+        ids, wkts = G.wkt_from_segmented(entry, is_polygon=(gt == Cmd.POLYGON))
+        seg_wkt.update(zip(ids, wkts))
+    seg_pk = _packed_from_seg(seg)
+    n_seg = 0
+    for fi, (t, m) in enumerate(zip(tuples, marked)):
+        if m != "seg":
+            continue  # POINT features / declines keep the tuple path
+        n_seg += 1
+        assert t is not None and t[0] != "empty"
+        assert seg_wkt[fi] == G.to_wkt(t)
+        want = _pack_from_parts(t)[1]
+        got = seg_pk[fi]
+        assert got["kind"] == want["kind"]
+        assert np.array_equal(got["xs"], want["xs"])
+        assert np.array_equal(got["ys"], want["ys"])
+        assert np.array_equal(got["offsets"], want["offsets"])
+        if want.get("exterior") is not None:
+            assert np.array_equal(got["exterior"], want["exterior"])
+    assert n_seg > 100  # the corpus is mostly canonical lines/polygons
+    # features segmented in one mode must be segmented/empty-consistent
+    for t, m in zip(tuples, marked):
+        if m is None:
+            assert t is None
+        elif m == ("empty", None):
+            assert t == ("empty", None)
+
+
+def test_to_wkt_batch_matches_scalar():
+    from mapnik_vector_tile_spark.functions import geometry as G
+
+    rng = np.random.default_rng(3)
+    geoms = [
+        ("empty", None),
+        ("point", np.array([1.5, -2.25])),
+        ("multipoint", rng.uniform(-1e7, 1e7, size=(4, 2))),
+        ("linestring", rng.uniform(-1e7, 1e7, size=(5, 2))),
+        ("multilinestring", [rng.uniform(-10, 10, size=(3, 2)) for _ in range(2)]),
+        ("polygon", [rng.uniform(-10, 10, size=(4, 2))]),
+        ("multipolygon", [[rng.uniform(-10, 10, size=(4, 2))] for _ in range(2)]),
+    ]
+    assert G.to_wkt_batch(geoms) == [G.to_wkt(g) for g in geoms]
+
+
+def test_gpack_from_packed_roundtrip():
+    """gpack bytes built straight from the packed arrays must gunpack to
+    the same rings/part structure the tuple form carries."""
+    from mapnik_vector_tile_spark.functions import geometry as G
+    from mapnik_vector_tile_spark.operators.decode import _pack_from_parts
+
+    rng = np.random.default_rng(5)
+    cases = [
+        ("multipoint", rng.uniform(-100, 100, size=(3, 2))),
+        ("multilinestring", [rng.uniform(-100, 100, size=(4, 2)) for _ in range(3)]),
+        ("multipolygon", [
+            [rng.uniform(-100, 100, size=(5, 2)), rng.uniform(-1, 1, size=(4, 2))],
+            [rng.uniform(-100, 100, size=(4, 2))],
+        ]),
+    ]
+    for kind, val in cases:
+        pk = _pack_from_parts((kind, val))[1]
+        gpk, env = G.gpack_from_packed(
+            pk["kind"], pk["xs"], pk["ys"], pk["offsets"], pk.get("exterior")
+        )
+        k2, v2 = G.gunpack(gpk)
+        assert k2 == kind
+        flat = np.concatenate([
+            np.atleast_2d(r) for r in (
+                [v2] if kind == "multipoint"
+                else v2 if kind == "multilinestring"
+                else [r for poly in v2 for r in poly]
+            )
+        ])
+        assert np.allclose(flat[:, 0], pk["xs"]) and np.allclose(flat[:, 1], pk["ys"])
+        assert env == (
+            float(pk["xs"].min()), float(pk["ys"].min()),
+            float(pk["xs"].max()), float(pk["ys"].max()),
+        )
