@@ -434,6 +434,46 @@ def decode_buildings_anchor(n_feats: int = 6800) -> float:
     return n_feats / best
 
 
+def reproject_anchor(n_rows: int = 50000) -> float:
+    """Single-core reprojection throughput (rows/s): UTM -> web
+    mercator over mixed 3-5 vertex lines/polygons through the EXACT
+    kernel reproject_geoms distributes (parse once -> one batched proj
+    call -> gpack+envelope out, no WKT on the output side)."""
+    import time as _t
+
+    import numpy as np
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.functions import proj as PJ
+    from mapnik_vector_tile_spark.operators.geom_tiles import reproject_kernel
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(n_rows):
+        x0 = 400000.0 + float(rng.uniform(0, 3e5))
+        y0 = 4000000.0 + float(rng.uniform(0, 5e5))
+        s = float(rng.uniform(50, 2000))
+        if i % 2:
+            w = f"LINESTRING({x0} {y0},{x0 + s} {y0 + s},{x0 + 2 * s} {y0})"
+        else:
+            w = (f"POLYGON(({x0} {y0},{x0 + s} {y0},{x0 + s} {y0 + s},"
+                 f"{x0} {y0 + s},{x0} {y0}))")
+        rows.append((f"g{i:07d}", w))
+    pdf = pd.DataFrame(rows, columns=["gid", "geom_wkt"])
+    kern = reproject_kernel(
+        PJ.parse_proj4("+proj=utm +zone=10"),
+        PJ.parse_proj4("+init=epsg:3857"),
+        "geom_wkt", "gpack",
+    )
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        got = sum(len(f) for f in kern(iter([pdf])))
+        best = min(best, _t.perf_counter() - t0)
+    assert got == n_rows
+    return n_rows / best
+
+
 def _calibration_work(n):
     s = 0
     for i in range(n):
@@ -559,6 +599,7 @@ def main() -> None:
     decode_anchor = round(decode_kernel_anchor(), 1)
     decode_dense = round(decode_kernel_anchor_dense(), 1)
     decode_buildings = round(decode_buildings_anchor(), 1)
+    reproject_rows = round(reproject_anchor(), 1)
     real_tiles = decode_real_tile_anchor()
     res = one_run(cpus, sf_dir)
     out = {
@@ -572,6 +613,7 @@ def main() -> None:
         "decode_kernel_feats_per_sec_core": decode_anchor,
         "decode_dense_feats_per_sec_core": decode_dense,
         "decode_buildings_feats_per_sec_core": decode_buildings,
+        "reproject_rows_per_sec_core": reproject_rows,
         **{f"decode_real_{k}_ms": v for k, v in real_tiles.items()},
     }
     print(json.dumps(out))

@@ -34,21 +34,46 @@ def reproject_geoms(
     src_srs: str,
     dst_srs: str = "+init=epsg:3857",
     wkt_col: str = "geom_wkt",
+    emit: str = "wkt",
 ) -> DataFrame:
-    """P3: arbitrary-SRS reprojection of a WKT geometry column (the
+    """P3: arbitrary-SRS reprojection of a geometry column (the
     reference's vector_tile_strategy_proj, strategy.hpp:69-104) —
-    supported CRSs per functions.proj (longlat/merc/3395/utm/tmerc).
-    Vectorized per geometry: every ring transforms as one array."""
+    supported CRSs per functions.proj. The geometry parses ONCE (WKT or
+    an existing _gpk column) and every coordinate of an Arrow batch goes
+    through proj in a single vectorized call.
+
+    emit="gpack" (the pipeline form) outputs `_gpk` + envelope columns
+    that build_geom_tiles consumes directly — reproject -> tile never
+    formats or re-parses WKT. emit="wkt" keeps the text column for
+    interop."""
     from mapnik_vector_tile_spark.functions import proj as PJ
 
     src = PJ.parse_proj4(src_srs)
     dst = PJ.parse_proj4(dst_srs)
+    kernel = reproject_kernel(src, dst, wkt_col, emit)
+    if emit == "gpack":
+        keep = [f for f in df.schema if f.name not in (wkt_col, "_gpk")]
+        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keep)
+        schema += (", _gpk binary, env_minx double, env_miny double, "
+                   "env_maxx double, env_maxy double")
+    else:
+        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def reproject_kernel(src, dst, wkt_col: str, emit: str):
+    """The mapInPandas kernel of reproject_geoms, exposed for the bench
+    anchor. Parses each geometry ONCE into the gpack layout, transforms
+    EVERY coordinate of the batch in a single proj call, and patches the
+    transformed coords back behind the header bytes — no per-ring
+    Python and (in gpack mode) no WKT text at all."""
+    from mapnik_vector_tile_spark.functions import proj as PJ
 
     def tx(coords: np.ndarray) -> np.ndarray:
         x, y = PJ.transform(src, dst, coords[..., 0], coords[..., 1])
         return np.stack([x, y], axis=-1)
 
-    def map_geom(geom):
+    def map_geom(geom):  # geometrycollection fallback (not packable)
         kind, val = geom
         if kind == "empty":
             return geom
@@ -60,19 +85,74 @@ def reproject_geoms(
             return (kind, [tx(np.asarray(r, dtype=np.float64)) for r in val])
         if kind == "multipolygon":
             return (kind, [[tx(np.asarray(r, dtype=np.float64)) for r in poly] for poly in val])
-        if kind == "geometrycollection":
-            return (kind, [map_geom(g) for g in val])
-        raise ValueError(kind)
+        return (kind, [map_geom(g) for g in val])
 
     def kernel(iterator):
         for pdf in iterator:
             if len(pdf) == 0:
                 continue
-            out = [G.to_wkt(map_geom(G.from_wkt(w))) for w in pdf[wkt_col]]
-            yield pdf.assign(**{wkt_col: out})
+            has_gpk = "_gpk" in pdf.columns
+            coll: dict[int, str] = {}  # row -> reprojected collection WKT
+            packs: list[bytes] = []
+            if has_gpk:
+                packs = [bytes(p) for p in pdf["_gpk"]]
+            else:
+                for i, w in enumerate(pdf[wkt_col]):
+                    g = G.from_wkt(w)
+                    if g[0] == "geometrycollection":
+                        if emit == "gpack":
+                            raise ValueError(
+                                "geometry collections are not packable — "
+                                "use emit='wkt'"
+                            )
+                        coll[i] = G.to_wkt(map_geom(g))
+                        packs.append(bytes([0]))
+                    else:
+                        packs.append(G.gpack(g))
+            metas: list[tuple] = []
+            coord_parts: list[np.ndarray] = []
+            for pk in packs:
+                if pk[0] == 0:
+                    metas.append((pk, 1, 0))
+                    continue
+                nr = int.from_bytes(pk[1:5], "little")
+                hlen = 5 + 8 * nr
+                c = np.frombuffer(pk, dtype=np.float64, offset=hlen).reshape(-1, 2)
+                metas.append((pk, hlen, len(c)))
+                coord_parts.append(c)
+            if coord_parts:
+                flat = (
+                    coord_parts[0] if len(coord_parts) == 1 else np.vstack(coord_parts)
+                )
+                new = tx(flat)
+            pos = 0
+            out_packs: list[bytes] = []
+            envs = np.full((len(packs), 4), np.nan)
+            for i, (pk, hlen, npts) in enumerate(metas):
+                if npts == 0:
+                    out_packs.append(pk)
+                    continue
+                seg = new[pos : pos + npts]
+                pos += npts
+                out_packs.append(pk[:hlen] + seg.tobytes())
+                envs[i] = (
+                    seg[:, 0].min(), seg[:, 1].min(), seg[:, 0].max(), seg[:, 1].max()
+                )
+            if emit == "gpack":
+                yield pdf.drop(
+                    columns=[c for c in (wkt_col, "_gpk") if c in pdf.columns]
+                ).assign(
+                    _gpk=out_packs,
+                    env_minx=envs[:, 0], env_miny=envs[:, 1],
+                    env_maxx=envs[:, 2], env_maxy=envs[:, 3],
+                )
+            else:
+                wkts = G.to_wkt_batch([G.gunpack(p) for p in out_packs])
+                for i, w in coll.items():
+                    wkts[i] = w
+                yield pdf.assign(**{wkt_col: wkts})
 
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
-    return df.mapInPandas(kernel, schema=schema)
+    return kernel
 
 
 def with_envelope(df: DataFrame, wkt_col: str = "geom_wkt") -> DataFrame:

@@ -114,3 +114,60 @@ def test_bare_merc_defaults_ellipsoidal():
     _, ys = P._merc_fwd(np.array([0.0]), np.array([45.0]), spherical=True)
     _, ye = P._merc_fwd(np.array([0.0]), np.array([45.0]), spherical=False)
     assert abs(ys[0] - ye[0]) > 15000
+
+
+def test_reproject_gpack_mode_matches_wkt_mode(spark):
+    """emit='gpack' (pipeline form — no WKT ever formatted) must build
+    byte-identical tiles to the emit='wkt' path."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.operators import geom_tiles as GT
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(60):
+        # UTM zone 10 coords around the reference point
+        x0 = 540000.0 + float(rng.uniform(-5e4, 5e4))
+        y0 = 4180000.0 + float(rng.uniform(-5e4, 5e4))
+        s = float(rng.uniform(100, 5000))
+        if i % 2:
+            w = f"LINESTRING({x0} {y0},{x0 + s} {y0 + s},{x0 + 2 * s} {y0})"
+        else:
+            w = (f"POLYGON(({x0} {y0},{x0 + s} {y0},{x0 + s} {y0 + s},"
+                 f"{x0} {y0 + s},{x0} {y0}))")
+        rows.append((f"g{i:03d}", w))
+    df = spark.createDataFrame(rows, "gid string, geom_wkt string")
+    via_wkt = GT.build_geom_tiles(
+        GT.reproject_geoms(df, "+proj=utm +zone=10", emit="wkt"),
+        ["gid"], z=8, id_col="gid",
+    ).toPandas().sort_values(["x", "y"]).reset_index(drop=True)
+    via_gpk = GT.build_geom_tiles(
+        GT.reproject_geoms(df, "+proj=utm +zone=10", emit="gpack"),
+        ["gid"], z=8, id_col="gid",
+    ).toPandas().sort_values(["x", "y"]).reset_index(drop=True)
+    assert len(via_wkt) == len(via_gpk) > 0
+    for a, b in zip(via_wkt.itertuples(), via_gpk.itertuples()):
+        assert (a.z, a.x, a.y) == (b.z, b.x, b.y)
+        assert a.n_features == b.n_features
+        assert bytes(a.tile) == bytes(b.tile)
+
+
+def test_reproject_accepts_gpack_input(spark):
+    """A _gpk-bearing DataFrame reprojects without any WKT column."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import geometry as G
+    from mapnik_vector_tile_spark.operators import geom_tiles as GT
+
+    pts = [("a", -122.4194, 37.7749), ("b", -121.0, 38.0)]
+    rows = [(g, bytearray(G.gpack(("point", np.array([x, y]))))) for g, x, y in pts]
+    df = spark.createDataFrame(rows, "gid string, _gpk binary")
+    out = GT.reproject_geoms(
+        df, "+init=epsg:4326", emit="gpack"
+    ).toPandas().sort_values("gid")
+    for (gid, lon, lat), (_, r) in zip(pts, out.iterrows()):
+        mx, my = tilemath.mercator_np(lon, lat)
+        k, v = G.gunpack(bytes(r["_gpk"]))
+        assert k == "point"
+        assert abs(v[0] - float(mx)) < 1e-6 and abs(v[1] - float(my)) < 1e-6
+        assert abs(r["env_minx"] - float(mx)) < 1e-6
