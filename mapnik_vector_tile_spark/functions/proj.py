@@ -29,6 +29,50 @@ WGS84_A = 6378137.0
 WGS84_F = 1.0 / 298.257223563
 WGS84_E2 = WGS84_F * (2.0 - WGS84_F)
 
+# (a, rf) per proj4 +ellps tag — the grids lcc/stere national CRSs use
+_ELLPS = {
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+    "intl": (6378388.0, 297.0),
+    "clrk66": (6378206.4, 294.9786982138982),
+    "bessel": (6377397.155, 299.1528128),
+    "krass": (6378245.0, 298.3),
+    "airy": (6377563.396, 299.3249646),
+}
+
+
+def _ellipsoid(params: dict) -> tuple[float, float]:
+    """proj4 ellipsoid params -> (a, e2). Defaults to WGS84."""
+    if "a" in params:
+        a = float(str(params["a"]))
+        if "b" in params:
+            b = float(str(params["b"]))
+            f = (a - b) / a
+        elif "rf" in params:
+            f = 1.0 / float(str(params["rf"]))
+        elif "f" in params:
+            f = float(str(params["f"]))
+        else:
+            f = 0.0  # sphere
+        return a, f * (2.0 - f)
+    tag = str(params.get("ellps", params.get("datum", "WGS84")))
+    if tag in _ELLPS:
+        a, rf = _ELLPS[tag]
+        f = 1.0 / rf
+        return a, f * (2.0 - f)
+    return WGS84_A, WGS84_E2
+
+
+def _towgs84(params: dict):
+    if "towgs84" not in params:
+        return None
+    vals = tuple(float(v) for v in str(params["towgs84"]).split(","))
+    if len(vals) == 3:
+        vals = vals + (0.0, 0.0, 0.0, 0.0)
+    if len(vals) != 7:
+        raise ValueError(f"+towgs84 needs 3 or 7 values, got {len(vals)}")
+    return vals
+
 
 def parse_proj4(s: str) -> dict:
     s = s.strip()
@@ -54,7 +98,8 @@ def parse_proj4(s: str) -> dict:
         raise NotImplementedError(f"unsupported +init {epsg}")
     proj = str(params.get("proj", "longlat"))
     if proj in ("longlat", "latlong", "lonlat"):
-        return {"proj": "longlat"}
+        a, e2 = _ellipsoid(params)
+        return {"proj": "longlat", "a": a, "e2": e2, "towgs84": _towgs84(params)}
     if proj == "merc":
         # web mercator is declared spherical via +R, +a==+b, or +nadgrids
         spherical = (
@@ -85,6 +130,42 @@ def parse_proj4(s: str) -> dict:
             "k": float(str(params.get("k", params.get("k_0", 1.0)))),
             "x_0": float(str(params.get("x_0", 0.0))),
             "y_0": float(str(params.get("y_0", 0.0))),
+        }
+    if proj == "lcc":
+        a, e2 = _ellipsoid(params)
+        lat_1 = float(str(params.get("lat_1", 0.0)))
+        return {
+            "proj": "lcc",
+            "lat_1": lat_1,
+            "lat_2": float(str(params.get("lat_2", lat_1))),
+            "lat_0": float(str(params.get("lat_0", 0.0))),
+            "lon_0": float(str(params.get("lon_0", 0.0))),
+            "k": float(str(params.get("k", params.get("k_0", 1.0)))),
+            "x_0": float(str(params.get("x_0", 0.0))),
+            "y_0": float(str(params.get("y_0", 0.0))),
+            "a": a, "e2": e2,
+            "towgs84": _towgs84(params),
+        }
+    if proj == "stere":
+        a, e2 = _ellipsoid(params)
+        lat_0 = float(str(params.get("lat_0", 90.0)))
+        if abs(lat_0) != 90.0:
+            raise NotImplementedError(
+                "+proj=stere: only the polar aspects (lat_0=+/-90) are "
+                "implemented (the national polar grids); oblique stere is not"
+            )
+        return {
+            "proj": "stere",
+            "south": lat_0 < 0,
+            "lat_ts": (
+                float(str(params["lat_ts"])) if "lat_ts" in params else None
+            ),
+            "lon_0": float(str(params.get("lon_0", 0.0))),
+            "k": float(str(params.get("k", params.get("k_0", 1.0)))),
+            "x_0": float(str(params.get("x_0", 0.0))),
+            "y_0": float(str(params.get("y_0", 0.0))),
+            "a": a, "e2": e2,
+            "towgs84": _towgs84(params),
         }
     raise NotImplementedError(f"unsupported +proj {proj}")
 
@@ -181,6 +262,167 @@ def _tmerc_inv(x, y, lon0: float, k0: float, x0: float, y0: float):
     return np.degrees(lam) + lon0, np.degrees(phi)
 
 
+# --- lcc (Lambert Conformal Conic, ellipsoidal 2SP/1SP — Snyder
+# eq. 15-1..15-11; the most common national-grid family after UTM) -------------
+
+def _lcc_consts(crs: dict):
+    a, e2 = crs["a"], crs["e2"]
+    e = math.sqrt(e2)
+
+    def m(phi):
+        return math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) ** 2)
+
+    def t_of(phi):
+        esin = e * math.sin(phi)
+        return math.tan(math.pi / 4.0 - phi / 2.0) / (
+            (1.0 - esin) / (1.0 + esin)
+        ) ** (e / 2.0)
+
+    p1 = math.radians(crs["lat_1"])
+    p2 = math.radians(crs["lat_2"])
+    p0 = math.radians(crs["lat_0"])
+    if abs(p1 - p2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        n = (math.log(m(p1)) - math.log(m(p2))) / (
+            math.log(t_of(p1)) - math.log(t_of(p2))
+        )
+    F = m(p1) / (n * t_of(p1) ** n)
+    rho0 = a * crs["k"] * F * t_of(p0) ** n
+    return a, e, n, F, rho0
+
+
+def _t_arr(phi: np.ndarray, e: float) -> np.ndarray:
+    esin = e * np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / np.power(
+        (1.0 - esin) / (1.0 + esin), e / 2.0
+    )
+
+
+def _phi_from_t(t: np.ndarray, e: float) -> np.ndarray:
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        esin = e * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * np.power((1.0 - esin) / (1.0 + esin), e / 2.0)
+        )
+    return phi
+
+
+def _lcc_fwd(crs: dict, lon, lat):
+    a, e, n, F, rho0 = _lcc_consts(crs)
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - crs["lon_0"])
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    rho = a * crs["k"] * F * np.power(_t_arr(phi, e), n)
+    theta = n * lam
+    return (
+        crs["x_0"] + rho * np.sin(theta),
+        crs["y_0"] + rho0 - rho * np.cos(theta),
+    )
+
+
+def _lcc_inv(crs: dict, x, y):
+    a, e, n, F, rho0 = _lcc_consts(crs)
+    dx = np.asarray(x, dtype=np.float64) - crs["x_0"]
+    dy = rho0 - (np.asarray(y, dtype=np.float64) - crs["y_0"])
+    rho = np.sign(n) * np.hypot(dx, dy)
+    theta = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+    t = np.power(rho / (a * crs["k"] * F), 1.0 / n)
+    phi = _phi_from_t(t, e)
+    return np.degrees(theta / n) + crs["lon_0"], np.degrees(phi)
+
+
+# --- stere (polar stereographic, ellipsoidal — Snyder eq. 21-33..21-41,
+# the NSIDC/Antarctic grid family) ---------------------------------------------
+
+def _stere_rho(crs: dict, t: np.ndarray) -> np.ndarray:
+    a, e2 = crs["a"], crs["e2"]
+    e = math.sqrt(e2)
+    if crs["lat_ts"] is not None:
+        pc = math.radians(abs(crs["lat_ts"]))
+        m_c = math.cos(pc) / math.sqrt(1.0 - e2 * math.sin(pc) ** 2)
+        t_c = float(_t_arr(np.asarray([pc]), e)[0])
+        return a * m_c * t / t_c
+    return (
+        2.0 * a * crs["k"] * t
+        / math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+    )
+
+
+def _stere_fwd(crs: dict, lon, lat):
+    e = math.sqrt(crs["e2"])
+    sgn = -1.0 if crs["south"] else 1.0
+    lam = sgn * np.radians(np.asarray(lon, dtype=np.float64) - crs["lon_0"])
+    phi = sgn * np.radians(np.asarray(lat, dtype=np.float64))
+    rho = _stere_rho(crs, _t_arr(phi, e))
+    return (
+        crs["x_0"] + sgn * rho * np.sin(lam),
+        crs["y_0"] - sgn * rho * np.cos(lam),
+    )
+
+
+def _stere_inv(crs: dict, x, y):
+    e = math.sqrt(crs["e2"])
+    sgn = -1.0 if crs["south"] else 1.0
+    dx = sgn * (np.asarray(x, dtype=np.float64) - crs["x_0"])
+    dy = sgn * (np.asarray(y, dtype=np.float64) - crs["y_0"])
+    rho = np.hypot(dx, dy)
+    one = np.ones(1, dtype=np.float64)
+    unit = float(_stere_rho(crs, one)[0])  # rho is linear in t
+    t = rho / unit
+    phi = _phi_from_t(t, e)
+    lam = np.arctan2(dx, -dy)
+    lon = crs["lon_0"] + sgn * np.degrees(lam)
+    return (lon + 180.0) % 360.0 - 180.0, sgn * np.degrees(phi)
+
+
+# --- datum shift (+towgs84: 3/7-parameter Helmert via geocentric XYZ,
+# position-vector convention — what proj4/mapnik apply between datums) ---------
+
+def _geodetic_to_geocentric(lon, lat, a: float, e2: float):
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    N = a / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+    X = N * np.cos(phi) * np.cos(lam)
+    Y = N * np.cos(phi) * np.sin(lam)
+    Z = N * (1.0 - e2) * np.sin(phi)
+    return X, Y, Z
+
+
+def _geocentric_to_geodetic(X, Y, Z, a: float, e2: float):
+    lam = np.arctan2(Y, X)
+    p = np.hypot(X, Y)
+    phi = np.arctan2(Z, p * (1.0 - e2))
+    for _ in range(6):
+        N = a / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+        phi = np.arctan2(Z + e2 * N * np.sin(phi), p)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def _helmert(X, Y, Z, p: tuple, inverse: bool = False):
+    dx, dy, dz, rx, ry, rz, s = p
+    rx, ry, rz = (v * math.pi / 648000.0 for v in (rx, ry, rz))  # arcsec -> rad
+    m = 1.0 + s * 1e-6
+    if not inverse:
+        return (
+            dx + m * (X - rz * Y + ry * Z),
+            dy + m * (rz * X + Y - rx * Z),
+            dz + m * (-ry * X + rx * Y + Z),
+        )
+    Xs, Ys, Zs = (X - dx) / m, (Y - dy) / m, (Z - dz) / m
+    return (
+        Xs + rz * Ys - ry * Zs,
+        -rz * Xs + Ys + rx * Zs,
+        ry * Xs - rx * Ys + Zs,
+    )
+
+
+def _datum_of(crs: dict):
+    """(a, e2, towgs84) — projections without explicit ellipsoid params
+    computed on WGS84 (merc/tmerc/utm here) report WGS84."""
+    return crs.get("a", WGS84_A), crs.get("e2", WGS84_E2), crs.get("towgs84")
+
+
 def forward(crs: dict, lon, lat):
     """geographic degrees -> projected (same-CRS passthrough for longlat)."""
     p = crs["proj"]
@@ -195,6 +437,10 @@ def forward(crs: dict, lon, lat):
     if p == "tmerc":
         return _tmerc_fwd(lon, lat, crs["lon_0"], crs["k"], crs["x_0"],
                           crs["y_0"] - _tmerc_lat0_northing(crs))
+    if p == "lcc":
+        return _lcc_fwd(crs, lon, lat)
+    if p == "stere":
+        return _stere_fwd(crs, lon, lat)
     raise NotImplementedError(p)
 
 
@@ -226,14 +472,30 @@ def inverse(crs: dict, x, y):
     if p == "tmerc":
         return _tmerc_inv(x, y, crs["lon_0"], crs["k"], crs["x_0"],
                           crs["y_0"] - _tmerc_lat0_northing(crs))
+    if p == "lcc":
+        return _lcc_inv(crs, x, y)
+    if p == "stere":
+        return _stere_inv(crs, x, y)
     raise NotImplementedError(p)
 
 
 def transform(src: dict | str, dst: dict | str, x, y):
-    """proj_transform.forward: src coords -> dst coords via geographic."""
+    """proj_transform.forward: src coords -> dst coords via geographic,
+    applying +towgs84 Helmert datum shifts through geocentric XYZ when
+    either side declares them (proj4-classic semantics: no +towgs84 on
+    either side means no datum shift, coordinates reinterpreted)."""
     if isinstance(src, str):
         src = parse_proj4(src)
     if isinstance(dst, str):
         dst = parse_proj4(dst)
     lon, lat = inverse(src, x, y)
+    sa, se2, stw = _datum_of(src)
+    da, de2, dtw = _datum_of(dst)
+    if stw is not None or dtw is not None:
+        X, Y, Z = _geodetic_to_geocentric(lon, lat, sa, se2)
+        if stw is not None:
+            X, Y, Z = _helmert(X, Y, Z, stw)
+        if dtw is not None:
+            X, Y, Z = _helmert(X, Y, Z, dtw, inverse=True)
+        lon, lat = _geocentric_to_geodetic(X, Y, Z, da, de2)
     return forward(dst, lon, lat)

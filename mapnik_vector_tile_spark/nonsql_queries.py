@@ -327,10 +327,12 @@ FROM ranked WHERE rank <= 5
 
 
 def q_raster_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster patch association: decode -> (passthrough | bilinear) ->
-    re-encode per image; invariant booleans + deterministic geometry of
-    the op (sizes, overzoom crop window) so DuckDB can recompute every
-    column except the pixel math itself (pinned by PSNR pytest)."""
+    """Raster patch association: decode -> (passthrough | bilinear |
+    near | bicubic, idx % 4 — the reference's scaling_method_e surface)
+    -> re-encode per image; invariant booleans + deterministic geometry
+    of the op (sizes, overzoom crop window) so DuckDB can recompute
+    every column except the pixel math itself (pinned by per-method
+    PSNR/golden pytest)."""
     from mapnik_vector_tile_spark.operators import raster_assoc
 
     located = _located(spark, sf_dir)
@@ -339,7 +341,8 @@ def q_raster_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv = raster_assoc.raster_patch_invariants(sliced)
     return inv.select(
         "image_id", "fmt", "w", "h", "psnr_ok", "caption_ok", "op",
-        "out_w", "out_h", "crop_x0", "crop_y0", "crop_x1", "crop_y1",
+        "scaling_method", "out_w", "out_h",
+        "crop_x0", "crop_y0", "crop_x1", "crop_y1",
     )
 
 
@@ -367,9 +370,12 @@ boxes AS (
 )
 SELECT image_id, fmt, w, h,
        true AS psnr_ok, true AS caption_ok,
-       CASE WHEN idx % 2 = 0 THEN 'passthrough' ELSE 'scale_bilinear' END AS op,
-       CASE WHEN idx % 2 = 0 THEN w ELSE cast(floor(w / 2.0) AS int) END AS out_w,
-       CASE WHEN idx % 2 = 0 THEN h ELSE cast(floor(h / 2.0) AS int) END AS out_h,
+       CASE idx % 4 WHEN 0 THEN 'passthrough' WHEN 1 THEN 'scale_bilinear'
+            WHEN 2 THEN 'scale_near' ELSE 'scale_bicubic' END AS op,
+       CASE idx % 4 WHEN 0 THEN 'none' WHEN 1 THEN 'bilinear'
+            WHEN 2 THEN 'near' ELSE 'bicubic' END AS scaling_method,
+       CASE WHEN idx % 4 = 0 THEN w ELSE cast(floor(w / 2.0) AS int) END AS out_w,
+       CASE WHEN idx % 4 = 0 THEN h ELSE cast(floor(h / 2.0) AS int) END AS out_h,
        cast(greatest(0.0, floor((qminx - sminx) * (w / (smaxx - sminx)) + 1e-9)) AS int) AS crop_x0,
        cast(greatest(0.0, floor((smaxy - qmaxy) * (h / (smaxy - sminy)) + 1e-9)) AS int) AS crop_y0,
        cast(least(cast(w AS double), ceil((qmaxx - sminx) * (w / (smaxx - sminx)) - 1e-9)) AS int) AS crop_x1,

@@ -157,27 +157,36 @@ def _one_shot_probe(
         .select("query_id", "zq", "neighbor_id", "rank", dist_name)
         .localCheckpoint(eager=True)
     )
-    stats = topk_all.groupBy("query_id", "zq").agg(
-        F.max(dist_name).alias("_kth"), F.count("*").alias("_found")
-    )
+    # resolution + finest-level selection as WINDOW functions over the
+    # (query_id, zq) partitioning the rank window already established —
+    # no per-level groupBy, no join-back, no extra shuffle of the
+    # candidate stream (r3 verdict: fold the stats pass)
     ring_case = F.lit(rings[-1])
     for lv, r in zip(ladder[:-1], rings[:-1]):
         ring_case = F.when(F.col("zq") == lv, F.lit(r)).otherwise(ring_case)
-    guarded = (
-        stats.join(F.broadcast(pend0), "query_id")
+    w2 = Window.partitionBy("query_id", "zq")
+    enriched = (
+        topk_all.join(F.broadcast(pend0), "query_id")
         .withColumn("ring", ring_case)
         .withColumn("cx", F.expr(f"shiftright(fx, {zf} - zq)"))
         .withColumn("cy", F.expr(f"shiftright(fy, {zf} - zq)"))
+        .withColumn(
+            "_ok",
+            (F.count("*").over(w2) >= k)
+            & (F.max(dist_name).over(w2) <= _guard_col(metric)),
+        )
+        .withColumn(
+            "_best_zq",
+            F.max(F.when(F.col("_ok"), F.col("zq"))).over(
+                Window.partitionBy("query_id")
+            ),
+        )
     )
-    ok = guarded.where(
-        (F.col("_found") >= k) & (F.col("_kth") <= _guard_col(metric))
-    )
-    sel = ok.groupBy("query_id").agg(F.max("zq").alias("zq"))
-    resolved = topk_all.join(F.broadcast(sel), ["query_id", "zq"]).select(
+    resolved = enriched.where(F.col("zq") == F.col("_best_zq")).select(
         "query_id", "neighbor_id", "rank", dist_name
     )
     stragglers = pend0.join(
-        F.broadcast(sel.select("query_id")), "query_id", "left_anti"
+        enriched.where(F.col("_ok")).select("query_id"), "query_id", "left_anti"
     ).select("query_id", "lon", "lat")
     brute_fn = brute_force_knn if metric == "euclid" else brute_force_knn_haversine
     brute = brute_fn(
@@ -241,11 +250,15 @@ def _ring_expansion(
         dist = _haversine(F.col("lat"), F.col("lon"), F.col("n_lat"), F.col("n_lon"))
 
     qfx, qfy = tilemath.lonlat_to_tile_cols(F.col("lon"), F.col("lat"), zf)
+    # persist + count = ONE materializing job for both the cache and the
+    # strategy-choice cardinality (an eager localCheckpoint followed by
+    # count() was two); pend0's lineage is one narrow projection, so
+    # truncation buys nothing here
     pend0 = (
         queries.select(F.col(query_id).alias("query_id"), "lon", "lat")
         .withColumn("fx", qfx)
         .withColumn("fy", qfy)
-        .localCheckpoint(eager=True)
+        .persist()
     )
     qn = pend0.count()
 

@@ -24,8 +24,18 @@ from mapnik_vector_tile_spark.functions import raster as R
 
 INVARIANT_SCHEMA = (
     "image_id string, fmt string, w int, h int, psnr_db double, psnr_ok boolean, "
-    "caption_ok boolean, op string, out_w int, out_h int, "
+    "caption_ok boolean, op string, scaling_method string, out_w int, out_h int, "
     "crop_x0 int, crop_y0 int, crop_x1 int, crop_y1 int"
+)
+
+# idx % 4 rotation — the reference's scaling_method_e surface
+# (vector_tile_processor.hpp:45,168-175): passthrough = the same-size
+# fast path (raster_clipper.ipp:37-41), then one op per AGG method
+_OPS = (
+    ("passthrough", "none"),
+    ("scale_bilinear", "bilinear"),
+    ("scale_near", "near"),
+    ("scale_bicubic", "bicubic"),
 )
 
 
@@ -33,9 +43,11 @@ def raster_patch_invariants(located: DataFrame) -> DataFrame:
     """Per image: decode -> op -> re-encode -> decode; report PSNR vs the
     op's exact expectation + caption equality + overzoom crop window.
 
-    op rotation (deterministic by row index parity of image_id):
+    op rotation (deterministic by image_id row index, idx % 4):
       passthrough      — re-encode at same size (raster_clipper fast path)
-      scale_bilinear   — half-size bilinear (AGG bilinear analogue)
+      scale_bilinear   — half-size bilinear (AGG image_scaling_bilinear)
+      scale_near       — half-size nearest-neighbour (SCALING_NEAR)
+      scale_bicubic    — half-size cubic B-spline (AGG image_filter_bicubic)
     crop window computed for the image's z14 tile vs its z13 parent
     (the overzoom read case).
     """
@@ -49,11 +61,13 @@ def raster_patch_invariants(located: DataFrame) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 img = R.decode_image(bytes(r.bytes))
                 idx = int(r.image_id[3:])
-                op = "passthrough" if idx % 2 == 0 else "scale_bilinear"
+                op, method = _OPS[idx % 4]
                 if op == "passthrough":
                     out = img
                 else:
-                    out = R.bilinear_resize(img, img.shape[0] // 2, img.shape[1] // 2)
+                    out = R.resize_any(
+                        img, img.shape[0] // 2, img.shape[1] // 2, method=method
+                    )
                 reenc = R.encode_image(out, r.fmt)
                 back = R.decode_image(reenc)
                 psnr = R.psnr(out, back)
@@ -77,7 +91,7 @@ def raster_patch_invariants(located: DataFrame) -> DataFrame:
                     (
                         r.image_id, r.fmt, int(r.w), int(r.h),
                         round(psnr_val, 3), bool(psnr_ok), bool(caption_ok), op,
-                        out.shape[1], out.shape[0], cx0, cy0, cx1, cy1,
+                        method, out.shape[1], out.shape[0], cx0, cy0, cx1, cy1,
                     )
                 )
             if rows:
@@ -85,7 +99,7 @@ def raster_patch_invariants(located: DataFrame) -> DataFrame:
                     rows,
                     columns=[
                         "image_id", "fmt", "w", "h", "psnr_db", "psnr_ok",
-                        "caption_ok", "op", "out_w", "out_h",
+                        "caption_ok", "op", "scaling_method", "out_w", "out_h",
                         "crop_x0", "crop_y0", "crop_x1", "crop_y1",
                     ],
                 )

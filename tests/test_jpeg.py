@@ -131,3 +131,88 @@ def test_legacy_stub_payloads_still_decode():
     stub = R.jpeg_stub_encode(img)
     back = R.decode_image(stub)
     assert R.psnr(img, back) >= 40.0
+
+
+# ---------------------------------------------------------------------------
+# scaling-method matrix (round 4): near / bicubic per mapnik's
+# scaling_method_e dispatch (vector_tile_processor.hpp:45,168-175)
+# ---------------------------------------------------------------------------
+
+def _ramp_image(h=32, w=48):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    img[..., 0] = (x * 255 / (w - 1)).astype(np.uint8)
+    img[..., 1] = (y * 255 / (h - 1)).astype(np.uint8)
+    img[..., 2] = 128
+    return img
+
+
+def test_near_is_exact_subsampling():
+    import numpy as np
+
+    img = _ramp_image()
+    out = R.resize_any(img, 16, 24, method="near")
+    ys = np.floor((np.arange(16) + 0.5) * 2).astype(int)
+    xs = np.floor((np.arange(24) + 0.5) * 2).astype(int)
+    assert np.array_equal(out, img[ys][:, xs])
+    # same-size near is the identity
+    assert np.array_equal(R.resize_any(img, 32, 48, method="near"), img)
+
+
+def test_bicubic_weight_matches_agg_formula():
+    import numpy as np
+
+    # agg image_filter_bicubic: w(0)=2/3, w(±1)=1/6, w(±2)=0
+    assert abs(R._w_bicubic(np.array([0.0]))[0] - 2.0 / 3.0) < 1e-12
+    assert abs(R._w_bicubic(np.array([1.0]))[0] - 1.0 / 6.0) < 1e-12
+    assert abs(R._w_bicubic(np.array([-1.0]))[0] - 1.0 / 6.0) < 1e-12
+    assert R._w_bicubic(np.array([2.0]))[0] == 0.0
+    # partition of unity on a unit-spaced tap grid
+    for frac in (0.0, 0.25, 0.5, 0.9):
+        taps = frac - np.arange(-1, 3)
+        assert abs(R._w_bicubic(taps).sum() - 1.0) < 1e-12
+
+
+def test_bicubic_preserves_constant_and_linear():
+    import numpy as np
+
+    const = np.full((20, 20), 77.0)
+    out = R._resample_f64(const, 9, 13, "bicubic")
+    assert np.allclose(out, 77.0)
+    # cubic B-spline has linear precision: an interior ramp stays a ramp
+    ramp = np.tile(np.arange(40, dtype=np.float64), (8, 1))
+    out = R._resample_f64(ramp, 8, 20, "bicubic")
+    expect = (np.arange(20) + 0.5) * 2.0 - 0.5
+    assert np.allclose(out[:, 2:-2], np.tile(expect, (8, 1))[:, 2:-2], atol=1e-9)
+
+
+def test_scaling_methods_quality_and_goldens():
+    import hashlib
+
+    import numpy as np
+
+    img = _ramp_image()
+    analytic_half = np.clip(np.rint(
+        (img.astype(np.float64)[0::2, 0::2] + img[1::2, 0::2] +
+         img[0::2, 1::2] + img[1::2, 1::2]) / 4.0
+    ), 0, 255)
+    digests = {}
+    for method in ("near", "bilinear", "bicubic", "lanczos"):
+        out = R.resize_any(img, 16, 24, method=method)
+        assert out.shape == (16, 24, 3) and out.dtype == np.uint8
+        assert R.psnr(out, analytic_half) >= 30.0  # all methods track a smooth ramp
+        digests[method] = hashlib.md5(out.tobytes()).hexdigest()[:8]
+    # distinct methods must actually produce distinct pixels
+    assert len(set(digests.values())) == 4, digests
+    # RGBA rides premultiply -> method -> demultiply
+    rgba = np.dstack([img, np.full((32, 48), 200, dtype=np.uint8)])
+    out = R.resize_any(rgba, 16, 24, method="bicubic")
+    assert out.shape == (16, 24, 4)
+    assert abs(float(out[..., 3].mean()) - 200.0) < 1.0
+    # unknown method raises
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        R.resize_any(img, 8, 8, method="spline999")

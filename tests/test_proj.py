@@ -171,3 +171,123 @@ def test_reproject_accepts_gpack_input(spark):
         assert k == "point"
         assert abs(v[0] - float(mx)) < 1e-6 and abs(v[1] - float(my)) < 1e-6
         assert abs(r["env_minx"] - float(mx)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# lcc + polar stereographic + datum shifts (round 4 — strategy.hpp:69-104
+# accepts any proj4 CRS; these are the national-grid families after UTM)
+# ---------------------------------------------------------------------------
+
+def test_lcc_snyder_worked_example():
+    """Snyder (USGS PP 1395) p.296: Clarke 1866, lat_1=33 lat_2=45
+    lat_0=23 lon_0=-96, point (35N, 75W) -> x=1894410.9 y=1564649.5."""
+    lcc = P.parse_proj4("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96 +ellps=clrk66")
+    x, y = P.forward(lcc, -75.0, 35.0)
+    assert abs(float(x) - 1894410.9) < 0.5
+    assert abs(float(y) - 1564649.5) < 0.5
+    lon, lat = P.inverse(lcc, x, y)
+    assert abs(float(lon) + 75.0) < 1e-9 and abs(float(lat) - 35.0) < 1e-9
+
+
+def test_lcc_scale_unity_at_standard_parallels():
+    import numpy as np
+
+    lcc = P.parse_proj4(
+        "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 "
+        "+x_0=700000 +y_0=6600000 +ellps=GRS80"  # Lambert-93 (EPSG:2154)
+    )
+    # origin maps to the false origin
+    x, y = P.forward(lcc, 3.0, 46.5)
+    assert abs(float(x) - 700000.0) < 1e-6 and abs(float(y) - 6600000.0) < 1e-6
+    # meridional scale factor is exactly 1 on both standard parallels
+    for lat0 in (49.0, 44.0):
+        d = 1e-5
+        x0, y0 = P.forward(lcc, 3.0, lat0)
+        x1, y1 = P.forward(lcc, 3.0, lat0 + d)
+        phi = np.radians(lat0)
+        m = (lcc["a"] * (1 - lcc["e2"])
+             / (1 - lcc["e2"] * np.sin(phi) ** 2) ** 1.5 * np.radians(d))
+        assert abs(float(y1 - y0) / float(m) - 1.0) < 1e-6
+
+
+def test_stere_snyder_worked_example():
+    """Snyder p.314-315: International ellipsoid, south polar aspect,
+    lat_ts=-71 lon_0=-100, point (75S, 150E) -> x=-1540033.6 y=-560526.4."""
+    st = P.parse_proj4("+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=-100 +ellps=intl")
+    x, y = P.forward(st, 150.0, -75.0)
+    assert abs(float(x) + 1540033.6) < 0.5
+    assert abs(float(y) + 560526.4) < 0.5
+    lon, lat = P.inverse(st, x, y)
+    assert abs(float(lon) - 150.0) < 1e-9 and abs(float(lat) + 75.0) < 1e-9
+
+
+def test_stere_north_polar_roundtrip_and_pole():
+    import numpy as np
+
+    # NSIDC Sea Ice Polar Stereographic North (EPSG:3413 parameters)
+    st = P.parse_proj4(
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 +ellps=WGS84"
+    )
+    x, y = P.forward(st, 0.0, 90.0)
+    assert abs(float(x)) < 1e-6 and abs(float(y)) < 1e-6  # pole -> origin
+    lons = np.array([-135.0, -45.0, 0.0, 60.0, 179.0])
+    lats = np.array([60.0, 70.0, 75.0, 82.0, 89.0])
+    X, Y = P.forward(st, lons, lats)
+    lon2, lat2 = P.inverse(st, X, Y)
+    assert np.allclose(lon2, lons, atol=1e-9)
+    assert np.allclose(lat2, lats, atol=1e-9)
+    # scale is exactly 1 on the lat_ts parallel (finite difference along
+    # the meridian through lon_0)
+    d = 1e-5
+    x0, y0 = P.forward(st, -45.0, 70.0)
+    x1, y1 = P.forward(st, -45.0, 70.0 + d)
+    phi = np.radians(70.0)
+    m = (st["a"] * (1 - st["e2"])
+         / (1 - st["e2"] * np.sin(phi) ** 2) ** 1.5 * np.radians(d))
+    assert abs(np.hypot(float(x1 - x0), float(y1 - y0)) / float(m) - 1.0) < 1e-6
+
+
+def test_towgs84_datum_shift():
+    import numpy as np
+
+    # identity shift is a no-op
+    a = P.parse_proj4("+proj=longlat +ellps=WGS84 +towgs84=0,0,0")
+    b = P.parse_proj4("+proj=longlat +ellps=WGS84")
+    lon, lat = P.transform(a, b, np.array([12.5]), np.array([47.25]))
+    assert abs(float(lon[0]) - 12.5) < 1e-12 and abs(float(lat[0]) - 47.25) < 1e-12
+    # at (0,0) a +dx shift is purely radial (height): lon/lat unchanged
+    src = P.parse_proj4("+proj=longlat +ellps=WGS84 +towgs84=100,0,0")
+    lon0, lat0 = P.transform(src, b, np.array([0.0]), np.array([0.0]))
+    assert abs(float(lon0[0])) < 1e-9 and abs(float(lat0[0])) < 1e-9
+    # a +dy shift at (0,0) is tangential east: dlon = atan(dy/a)
+    src = P.parse_proj4("+proj=longlat +ellps=WGS84 +towgs84=0,100,0")
+    lon0, lat0 = P.transform(src, b, np.array([0.0]), np.array([0.0]))
+    expect = float(np.degrees(np.arctan2(100.0, P.WGS84_A)))
+    assert abs(float(lon0[0]) - expect) < 1e-9 and abs(float(lat0[0])) < 1e-9
+    # ED50 (intl) -> WGS84 with the standard 3-param set moves points by
+    # an arcsecond-scale amount in the right direction (west/south in
+    # central Europe), and the inverse direction round-trips
+    ed50 = P.parse_proj4("+proj=longlat +ellps=intl +towgs84=-87,-98,-121")
+    lon1, lat1 = P.transform(ed50, b, np.array([10.0]), np.array([50.0]))
+    assert 0.0005 < 10.0 - float(lon1[0]) < 0.0025   # ~ -4 arcsec
+    assert 0.0005 < 50.0 - float(lat1[0]) < 0.0025
+    # 2D round-trip: the ellipsoidal height the shift induces is dropped
+    # between legs, so closure is ~mm, not exact
+    lon2, lat2 = P.transform(b, ed50, lon1, lat1)
+    assert abs(float(lon2[0]) - 10.0) < 1e-7 and abs(float(lat2[0]) - 50.0) < 1e-7
+
+
+def test_seven_param_helmert_rotation_scale():
+    import numpy as np
+
+    # position-vector convention: +rz rotates X toward Y; +s scales ppm.
+    # 1 arcsec = 4.848e-6 rad (realistic datum rotations are this scale;
+    # the linearized inverse closes to O(theta^2) ~ 0.15 mm here)
+    arcsec = 1.0
+    theta = arcsec * np.pi / 648000.0
+    X, Y, Z = P._helmert(P.WGS84_A, 0.0, 0.0, (0, 0, 0, 0, 0, arcsec, 0))
+    assert abs(Y - P.WGS84_A * theta) < 1e-6
+    X2, Y2, Z2 = P._helmert(X, Y, Z, (0, 0, 0, 0, 0, arcsec, 0), inverse=True)
+    assert abs(X2 - P.WGS84_A) < 1e-3 and abs(Y2) < 1e-3
+    X3, _, _ = P._helmert(1000.0, 0.0, 0.0, (0, 0, 0, 0, 0, 0, 10.0))
+    assert abs(X3 - 1000.0 * (1 + 10e-6)) < 1e-12
