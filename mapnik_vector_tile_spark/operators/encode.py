@@ -45,15 +45,19 @@ TILE_SCHEMA = "z int, x long, y long, tile binary, n_features long, n_layers int
 # dictionaries (A1/A2)
 # ---------------------------------------------------------------------------
 
-def build_value_dicts(pdf: pd.DataFrame, prop_cols: list[str]):
+def build_value_dicts(pdf: pd.DataFrame, prop_cols: list[str],
+                      key_names: list[str] | None = None):
     """First-seen (row-major, column-within-row) key/value dictionaries —
     order parity with layer_builder_pbf::add_feature
     (vector_tile_layer.ipp:84-126). Returns (keys, value_list, tags_array)
     where tags_array is (n_rows, 2*n_cols) int64 (key_idx, val_idx pairs),
-    with -1 marking dropped nulls."""
+    with -1 marking dropped nulls. key_names overrides the written key
+    dictionary when the DATA columns were renamed to dodge the tile
+    coordinate columns (a feature property named 'x'/'y'/'z' is legal
+    wire-wise — the reference's linestrings_and_point fixture has one)."""
     n = len(pdf)
     ncols = len(prop_cols)
-    keys = list(prop_cols)  # key dict = column order (fixed schema)
+    keys = list(key_names or prop_cols)  # key dict = column order (fixed schema)
     val_index: dict[tuple, int] = {}
     values: list = []
     tags = np.full((n, 2 * ncols), -1, dtype=np.int64)
@@ -408,6 +412,7 @@ def _encode_geom_tiles_segmented(
     version: int = 2,
     fill_type: str = "even_odd",
     strictly_simple: bool = False,
+    key_names: list[str] | None = None,
 ) -> list[tuple] | None:
     """Encode every (z,x,y) geometry group of a sorted batch through ONE
     ragged kernel invocation (functions/ragged.py) — the geometry
@@ -510,7 +515,9 @@ def _encode_geom_tiles_segmented(
         fo = np.zeros(1, dtype=np.int64)
         g_lo = g_hi = np.zeros(n_groups, dtype=np.int64)
 
-    prefix, suffix = _layer_prefix_suffix(layer_name, prop_cols, extent, version)
+    prefix, suffix = _layer_prefix_suffix(
+        layer_name, key_names or prop_cols, extent, version
+    )
     out: list[tuple] = []
     compress = Z.compress
     for g in range(n_groups):
@@ -549,6 +556,7 @@ def encode_geom_layer(
     strictly_simple: bool = False,
     multi_polygon_union: bool = False,
     process_all_rings: bool = False,
+    key_names: list[str] | None = None,
 ) -> tuple[bytes, int]:
     """General-geometry layer through the fused transform/simplify/clip
     kernel, then ONE ragged batch command-stream + feature framing pass
@@ -559,7 +567,7 @@ def encode_geom_layer(
     minx, miny, maxx, maxy = tilemath.tile_mercator_bbox_np(x, y, z)
     vt = G.ViewTransform(float(minx), float(miny), float(maxx), float(maxy), extent, extent)
     clip_box = tilemath.buffered_tile_px_box(extent, buffer_px)
-    keys, values, tags = build_value_dicts(pdf, prop_cols)
+    keys, values, tags = build_value_dicts(pdf, prop_cols, key_names)
     ids = pdf[id_col].to_numpy() if id_col else None
     geoms = (
         [G.gunpack(bytes(b)) for b in pdf[geom_col]]

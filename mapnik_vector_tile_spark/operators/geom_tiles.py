@@ -245,8 +245,28 @@ def build_geom_tiles(
     Rows that already carry the packed geometry (_gpk) AND its envelope
     (env_minx..env_maxy) — e.g. the decode_tiles_gpack scan or a
     gpack-emitting reprojection — skip the WKT parse stage entirely:
-    the text boundary is paid at most once per pipeline."""
+    the text boundary is paid at most once per pipeline.
+
+    Property columns named 'z'/'x'/'y'/'tile' are legal (the reference's
+    linestrings_and_point fixture carries x/y properties) — they are
+    renamed internally so the tile-coordinate columns cannot clobber
+    them, and written to the layer key dictionary under their original
+    names."""
     from mapnik_vector_tile_spark.operators.encode import encode_geom_layer
+
+    reserved = {"z", "x", "y", "tile"}
+    key_names: list[str] | None = None
+    clash = [c for c in dict.fromkeys([*prop_cols, *( [id_col] if id_col else [] )])
+             if c in reserved]
+    if clash:
+        ren = {c: f"_prop_{c}" for c in clash}
+        geoms = geoms.select(
+            *[F.col(c).alias(ren.get(c, c)) for c in geoms.columns]
+        )
+        key_names = list(prop_cols)
+        prop_cols = [ren.get(c, c) for c in prop_cols]
+        if id_col:
+            id_col = ren.get(id_col, id_col)
 
     have = set(geoms.columns)
     if {"_gpk", "env_minx", "env_miny", "env_maxx", "env_maxy"} <= have:
@@ -277,6 +297,7 @@ def build_geom_tiles(
             strictly_simple=strictly_simple,
             multi_polygon_union=multi_polygon_union,
             process_all_rings=process_all_rings,
+            key_names=key_names,
         )
         unresolved = int(stats.get("budget_exceeded", 0))
         if nf == 0:
@@ -285,6 +306,29 @@ def build_geom_tiles(
         if compress_tiles:
             tile = Z.compress(tile)
         return (gz, gx, gy, tile, nf, 1, True, unresolved)
+
+    # declared Spark types of the prop columns: an integer column with
+    # nulls degrades to float64 through Arrow->pandas, which would
+    # silently retype Value variants (int 10 -> double 10.0); the kernel
+    # coerces such columns back per the DECLARED schema
+    int_props = {
+        f.name for f in slim.schema
+        if f.name in prop_cols
+        and f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+    }
+
+    def coerce(pdf: pd.DataFrame) -> pd.DataFrame:
+        for c in int_props:
+            if pdf[c].dtype.kind == "f":
+                # dtype=object is load-bearing: pandas re-infers
+                # [None, 0] as float64 otherwise
+                pdf = pdf.assign(**{
+                    c: pd.Series(
+                        [None if v != v else int(v) for v in pdf[c]],
+                        dtype=object, index=pdf.index,
+                    )
+                })
+        return pdf
 
     def kernel(iterator):
         """Explicitly repartitioned + sorted stream; tiles straddling
@@ -314,6 +358,7 @@ def build_geom_tiles(
                     full, layer_name, prop_cols, extent, buffer_px,
                     simplify_distance, area_threshold, "_gpk", compress_tiles,
                     fill_type=fill_type, strictly_simple=strictly_simple,
+                    key_names=key_names,
                 )
             )
             if rows is not None:
@@ -326,6 +371,7 @@ def build_geom_tiles(
         for pdf in iterator:
             if len(pdf) == 0:
                 continue
+            pdf = coerce(pdf)
             if carry:
                 if keys_of(pdf, 0) == carry_key:
                     same = (

@@ -119,3 +119,48 @@ def test_geometrycollection_through_geom_tiles(spark, tmp_path):
     tiles = geom_tiles.build_geom_tiles(rows, ["gid"], z=3, id_col="gid")
     decoded = decode.decode_tiles(tiles).toPandas()
     assert len(decoded) >= 2
+
+
+def test_linestrings_and_point_system_port(spark):
+    """Port of 'pbf vector tile from linestring geojson'
+    (test/vector_tile_pbf.cpp:573-645): the reference's own fixture
+    through source -> reproject -> z0 tile -> decode. Pins: one layer,
+    exactly 3 features (2 linestrings + 1 point), and the point feature
+    carrying typed x=0 / y=10 / pbool=false through the Value-variant
+    encode (encode_value int/bool legs)."""
+    import os
+
+    from mapnik_vector_tile_spark.operators import decode, geom_tiles
+
+    path = "/root/reference/test/data/linestrings_and_point.geojson"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference checkout not mounted")
+    df = GJ.read_geojson(spark, path)
+    rows = df.select(
+        F.get_json_object("properties", "$.x").cast("int").alias("x"),
+        F.get_json_object("properties", "$.y").cast("int").alias("y"),
+        F.get_json_object("properties", "$.pbool").cast("boolean").alias("pbool"),
+        F.monotonically_increasing_id().cast("string").alias("fid"),
+        "geom_wkt",
+    )
+    merc = geom_tiles.reproject_geoms(
+        rows, "+init=epsg:4326", "+init=epsg:3857", emit="gpack"
+    )
+    tiles = geom_tiles.build_geom_tiles(merc, ["x", "y", "pbool", "fid"], z=0,
+                                        id_col="fid")
+    tp = tiles.toPandas()
+    assert len(tp) == 1 and bool(tp.iloc[0]["painted"])
+    dec = decode.decode_tiles(tiles).toPandas()
+    assert len(dec) == 3
+    assert sorted(dec["geom_type"]) == [1, 2, 2]  # 2 linestrings + 1 point
+    assert set(dec["layer"]) == {"layer"}
+    pt = dec[dec["geom_type"] == 1].iloc[0]
+    assert pt["props"]["x"] == "0"
+    assert pt["props"]["y"] == "10"
+    assert pt["props"]["pbool"] == "False"
+    assert pt["geom_wkt"].startswith("POINT(")
+    # the two linestrings decode with >=2 vertices each
+    for _, r in dec[dec["geom_type"] == 2].iterrows():
+        assert r["geom_wkt"].startswith(("LINESTRING(", "MULTILINESTRING("))
