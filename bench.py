@@ -205,7 +205,7 @@ def one_run(cores: int, sf_dir: str, epochs: int = 1):
     run_benchmarks(spark, sf_dir, image_path, epochs=1)
     # the sandbox shares a host (nonzero steal time): take the per-query
     # min over trials as the steady-state estimate
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     times, rows = run_benchmarks(spark, sf_dir, image_path, epochs=epochs)
     for _ in range(trials - 1):
         t2, _r2 = run_benchmarks(spark, sf_dir, image_path, epochs=epochs)

@@ -44,7 +44,17 @@ class _LayerBatch:
 
     def __init__(self, layer: dict, dec_args: dict):
         self.dec_args = dec_args
-        fb = pbf.decode_features_batch(layer["features"], return_global=True)
+        msgs = layer["features"]
+        # shape heuristic: the lockstep walk + ragged gathers win on
+        # MANY SMALL features (the dense-tile shape) but cost ~3x the
+        # per-feature parse on a few huge ones (the reference's enf /
+        # multi_line bench tiles, ~40KB/feature) — those take the
+        # per-feature lane, whose geometry decode is vectorized anyway
+        few_big = len(msgs) > 0 and sum(len(m) for m in msgs) > 2048 * len(msgs)
+        fb = (
+            None if few_big
+            else pbf.decode_features_batch(msgs, return_global=True)
+        )
         self._fb = fb
         if fb is not None:
             self._feats = None
