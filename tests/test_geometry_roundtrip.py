@@ -835,3 +835,39 @@ def test_emit_path_scalar_numpy_parity_random_rings():
         ref.append(15)
         assert out_auto == ref, (pts.tolist(), out_auto, ref)
         assert cur_auto == [kx[-1], ky[-1]]
+
+
+# --- remaining encoding_pbf corpus edges (test/unit/encoding/*.cpp) ---------
+
+def test_enc_incredibly_large_segments():
+    """encoding/linestring_pbf.cpp 'incredibly large segments': int64
+    deltas wrap through int32 zigzag exactly like the reference encoder
+    (val=int64max encodes as zz(-1)=1 then zz(+1)=2)."""
+    v = 2**63 - 1
+    gt, cmds = C.encode_geometry(
+        ("linestring", np.array([[0, 0], [v, v], [0, 0]], dtype=np.int64)), [0, 0]
+    )
+    assert gt == C.LINESTRING
+    assert cmds == [9, 0, 0, (2 << 3) | 2, 1, 1, 2, 2]
+
+
+def test_enc_multiline_two_degenerate_parts():
+    """'multi_line_string with two degenerate linestrings': degenerate
+    parts roll back, the valid part still encodes."""
+    ml = [
+        np.array([[10, 10]], dtype=np.int64),            # single point: drop
+        np.array([[20, 20], [20, 20]], dtype=np.int64),  # repeated: drop
+        np.array([[30, 30], [40, 40]], dtype=np.int64),  # valid
+    ]
+    gt, cmds = C.encode_geometry(("multilinestring", ml), [0, 0])
+    assert gt == C.LINESTRING
+    zz = C._zz32
+    assert cmds == [9, zz(30), zz(30), (1 << 3) | 2, zz(10), zz(10)]
+
+
+def test_enc_empty_multis_fail():
+    """'empty multi point' / 'empty multi polygon' / 'empty polygon':
+    encode returns failure (None geometry type), nothing written."""
+    assert C.encode_geometry(("multipoint", np.empty((0, 2), dtype=np.int64)), [0, 0])[0] is None
+    assert C.encode_geometry(("multipolygon", []), [0, 0])[0] is None
+    assert C.encode_geometry(("polygon", []), [0, 0])[0] is None
