@@ -4,18 +4,29 @@ arbitrary proj4 transforms through mapnik::proj_transform; pyproj is
 absent in this container, so the common projections are implemented
 directly in numpy):
 
-* ``longlat``  — geographic WGS84 (degrees)
+* ``longlat``  — geographic (any supported ellipsoid, degrees)
 * ``merc``     — spherical web mercator (EPSG:3857 semantics, a=R)
 * ``merc_e``   — ellipsoidal mercator (EPSG:3395) when +ellps=WGS84 and
                  no +R/+a=6378137-only spherical hint
 * ``tmerc``    — transverse mercator via the Krüger/Karney series
-                 (order n^4 — sub-millimetre inside a UTM zone)
+                 (order n^4 — sub-millimetre inside a UTM-width zone),
+                 parameterized per ellipsoid (OSGB airy, Gauss-Krüger
+                 bessel, ... — r4)
 * ``utm``      — tmerc with zone parameters (k0=0.9996, FE=500km)
+* ``lcc``      — Lambert Conformal Conic, ellipsoidal 1SP/2SP
+                 (Snyder eq. 15-x; Lambert-93 / NAD83 state planes / the
+                 post-UTM national-grid family — r4)
+* ``stere``    — polar stereographic, ellipsoidal (Snyder eq. 21-x;
+                 NSIDC / Antarctic grids — r4; oblique not implemented)
 
-``parse_proj4`` reads the subset of proj4 strings the reference's own
-tests use ("+init=epsg:4326", "+proj=longlat ...", "+proj=merc ...",
-"+proj=utm +zone=.."); ``transform`` converts coordinate arrays between
-any two supported CRSs through the geographic intermediate, exactly the
+Ellipsoids come from +ellps/+a/+b/+rf (WGS84, GRS80, intl, clrk66,
+bessel, krass, airy); ``+towgs84`` 3/7-parameter Helmert datum shifts
+apply through geocentric XYZ in ``transform`` (position-vector
+convention, proj4-classic semantics: no +towgs84 anywhere = no shift).
+
+``parse_proj4`` reads the proj4 strings the reference's own tests use
+plus the above; ``transform`` converts coordinate arrays between any
+two supported CRSs through the geographic intermediate, exactly the
 shape of mapnik's proj_transform.forward/backward.
 """
 
@@ -117,12 +128,16 @@ def parse_proj4(s: str) -> dict:
         # ~20 km northing error vs mapnik::proj_transform.
         return {"proj": "merc", "spherical": bool(spherical)}
     if proj == "utm":
+        a, e2 = _ellipsoid(params)
         return {
             "proj": "utm",
             "zone": int(str(params["zone"])),
             "south": bool(params.get("south", False)),
+            "a": a, "e2": e2,
+            "towgs84": _towgs84(params),
         }
     if proj == "tmerc":
+        a, e2 = _ellipsoid(params)
         return {
             "proj": "tmerc",
             "lon_0": float(str(params.get("lon_0", 0.0))),
@@ -130,6 +145,8 @@ def parse_proj4(s: str) -> dict:
             "k": float(str(params.get("k", params.get("k_0", 1.0)))),
             "x_0": float(str(params.get("x_0", 0.0))),
             "y_0": float(str(params.get("y_0", 0.0))),
+            "a": a, "e2": e2,
+            "towgs84": _towgs84(params),
         }
     if proj == "lcc":
         a, e2 = _ellipsoid(params)
@@ -205,26 +222,38 @@ def _merc_inv(x, y, spherical: bool):
 
 # --- tmerc (Krüger series, Karney 2011 order-4 coefficients) ------------------
 
-_N = WGS84_F / (2.0 - WGS84_F)
-_A_CAP = WGS84_A / (1.0 + _N) * (1.0 + _N**2 / 4.0 + _N**4 / 64.0)
-_ALPHA = [
-    _N / 2.0 - 2.0 / 3.0 * _N**2 + 5.0 / 16.0 * _N**3 + 41.0 / 180.0 * _N**4,
-    13.0 / 48.0 * _N**2 - 3.0 / 5.0 * _N**3 + 557.0 / 1440.0 * _N**4,
-    61.0 / 240.0 * _N**3 - 103.0 / 140.0 * _N**4,
-    49561.0 / 161280.0 * _N**4,
-]
-_BETA = [
-    _N / 2.0 - 2.0 / 3.0 * _N**2 + 37.0 / 96.0 * _N**3 - 1.0 / 360.0 * _N**4,
-    1.0 / 48.0 * _N**2 + 1.0 / 15.0 * _N**3 - 437.0 / 1440.0 * _N**4,
-    17.0 / 480.0 * _N**3 - 37.0 / 840.0 * _N**4,
-    4397.0 / 161280.0 * _N**4,
-]
+from functools import lru_cache
 
 
-def _tmerc_fwd(lon, lat, lon0: float, k0: float, x0: float, y0: float):
+@lru_cache(maxsize=32)
+def _tmerc_consts(a: float, e2: float):
+    """(A_CAP, alpha[4], beta[4]) for an ellipsoid — n^4 series, exact
+    enough for sub-millimetre inside a UTM-width zone on any national
+    ellipsoid (airy/bessel/intl/GRS80/WGS84)."""
+    f = 1.0 - math.sqrt(1.0 - e2)
+    n = f / (2.0 - f)
+    a_cap = a / (1.0 + n) * (1.0 + n**2 / 4.0 + n**4 / 64.0)
+    alpha = [
+        n / 2.0 - 2.0 / 3.0 * n**2 + 5.0 / 16.0 * n**3 + 41.0 / 180.0 * n**4,
+        13.0 / 48.0 * n**2 - 3.0 / 5.0 * n**3 + 557.0 / 1440.0 * n**4,
+        61.0 / 240.0 * n**3 - 103.0 / 140.0 * n**4,
+        49561.0 / 161280.0 * n**4,
+    ]
+    beta = [
+        n / 2.0 - 2.0 / 3.0 * n**2 + 37.0 / 96.0 * n**3 - 1.0 / 360.0 * n**4,
+        1.0 / 48.0 * n**2 + 1.0 / 15.0 * n**3 - 437.0 / 1440.0 * n**4,
+        17.0 / 480.0 * n**3 - 37.0 / 840.0 * n**4,
+        4397.0 / 161280.0 * n**4,
+    ]
+    return a_cap, alpha, beta
+
+
+def _tmerc_fwd(lon, lat, lon0: float, k0: float, x0: float, y0: float,
+               a: float = WGS84_A, e2: float = WGS84_E2):
+    a_cap, alpha, _beta = _tmerc_consts(a, e2)
     lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
     phi = np.radians(np.asarray(lat, dtype=np.float64))
-    e = math.sqrt(WGS84_E2)
+    e = math.sqrt(e2)
     # conformal latitude
     t = np.sinh(
         np.arctanh(np.sin(phi)) - e * np.arctanh(e * np.sin(phi))
@@ -233,23 +262,25 @@ def _tmerc_fwd(lon, lat, lon0: float, k0: float, x0: float, y0: float):
     eta_p = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
     xi = xi_p.copy()
     eta = eta_p.copy()
-    for j, a in enumerate(_ALPHA, start=1):
-        xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
-        eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
-    x = x0 + k0 * _A_CAP * eta
-    y = y0 + k0 * _A_CAP * xi
+    for j, av in enumerate(alpha, start=1):
+        xi += av * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta += av * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    x = x0 + k0 * a_cap * eta
+    y = y0 + k0 * a_cap * xi
     return x, y
 
 
-def _tmerc_inv(x, y, lon0: float, k0: float, x0: float, y0: float):
-    eta = (np.asarray(x, dtype=np.float64) - x0) / (k0 * _A_CAP)
-    xi = (np.asarray(y, dtype=np.float64) - y0) / (k0 * _A_CAP)
+def _tmerc_inv(x, y, lon0: float, k0: float, x0: float, y0: float,
+               a: float = WGS84_A, e2: float = WGS84_E2):
+    a_cap, _alpha, beta = _tmerc_consts(a, e2)
+    eta = (np.asarray(x, dtype=np.float64) - x0) / (k0 * a_cap)
+    xi = (np.asarray(y, dtype=np.float64) - y0) / (k0 * a_cap)
     xi_p = xi.copy()
     eta_p = eta.copy()
-    for j, b in enumerate(_BETA, start=1):
+    for j, b in enumerate(beta, start=1):
         xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
         eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
-    e = math.sqrt(WGS84_E2)
+    e = math.sqrt(e2)
     chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
     phi = chi.copy()
     for _ in range(6):  # invert the conformal latitude
@@ -433,10 +464,12 @@ def forward(crs: dict, lon, lat):
     if p == "utm":
         lon0 = -183.0 + 6.0 * crs["zone"]
         return _tmerc_fwd(lon, lat, lon0, 0.9996, 500000.0,
-                          10000000.0 if crs.get("south") else 0.0)
+                          10000000.0 if crs.get("south") else 0.0,
+                          crs.get("a", WGS84_A), crs.get("e2", WGS84_E2))
     if p == "tmerc":
         return _tmerc_fwd(lon, lat, crs["lon_0"], crs["k"], crs["x_0"],
-                          crs["y_0"] - _tmerc_lat0_northing(crs))
+                          crs["y_0"] - _tmerc_lat0_northing(crs),
+                          crs.get("a", WGS84_A), crs.get("e2", WGS84_E2))
     if p == "lcc":
         return _lcc_fwd(crs, lon, lat)
     if p == "stere":
@@ -455,6 +488,7 @@ def _tmerc_lat0_northing(crs: dict) -> float:
     _x, y = _tmerc_fwd(
         np.asarray([crs["lon_0"]]), np.asarray([lat0]),
         crs["lon_0"], crs["k"], 0.0, 0.0,
+        crs.get("a", WGS84_A), crs.get("e2", WGS84_E2),
     )
     return float(y[0])
 
@@ -468,10 +502,12 @@ def inverse(crs: dict, x, y):
     if p == "utm":
         lon0 = -183.0 + 6.0 * crs["zone"]
         return _tmerc_inv(x, y, lon0, 0.9996, 500000.0,
-                          10000000.0 if crs.get("south") else 0.0)
+                          10000000.0 if crs.get("south") else 0.0,
+                          crs.get("a", WGS84_A), crs.get("e2", WGS84_E2))
     if p == "tmerc":
         return _tmerc_inv(x, y, crs["lon_0"], crs["k"], crs["x_0"],
-                          crs["y_0"] - _tmerc_lat0_northing(crs))
+                          crs["y_0"] - _tmerc_lat0_northing(crs),
+                          crs.get("a", WGS84_A), crs.get("e2", WGS84_E2))
     if p == "lcc":
         return _lcc_inv(crs, x, y)
     if p == "stere":

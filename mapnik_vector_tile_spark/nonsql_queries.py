@@ -239,6 +239,68 @@ SELECT image_id, 1 AS n_occurrences, 4 AS z_out FROM loc
 """
 
 
+def q_gpack_retile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 slow path on the PACKED representation (r4): the WKT fixture
+    builds z3 geometry tiles, decode_tiles_gpack hands each piece to
+    retile_geom_tiles as gpack+envelope (no WKT anywhere between the
+    two encodes), and the z4 output decodes through the packed scan.
+    Conservation oracle: every feature id survives both hops, its
+    pieces all land at z4, and every decoded vertex sits inside its
+    tile's mercator bbox grown by half a pixel (cell membership itself
+    is not oracle-replayable — the fixture's dyadic coordinates land on
+    px rounding boundaries; see packed_decode_roundtrip)."""
+    from mapnik_vector_tile_spark.operators import composite, decode, geom_tiles
+
+    h = tilemath.HALF_OF_EQUATOR
+    q = h / 4.0
+    rows = [
+        ("line_eq", f"LINESTRING(-{2.5 * q} 1000,{2.5 * q} 1000)"),
+        ("poly_one", f"POLYGON(({q * 0.1} {q * 0.1},{q * 0.9} {q * 0.1},"
+                     f"{q * 0.9} {q * 0.9},{q * 0.1} {q * 0.9},{q * 0.1} {q * 0.1}))"),
+        ("pt", f"POINT({q * 1.5} -{q * 1.5})"),
+        ("zig", "LINESTRING(" + ",".join(
+            f"{q * 0.1 + i * q * 0.05} {1000 + (i % 2)}" for i in range(10)) + ")"),
+    ]
+    geoms = spark.createDataFrame(rows, "gid string, geom_wkt string")
+    z3 = geom_tiles.build_geom_tiles(geoms, ["gid"], z=3, id_col="gid")
+    z4 = composite.retile_geom_tiles(z3.where(F.col("painted")), 4, ["gid"])
+    packed = decode.decode_tiles_packed(z4.where(F.col("painted")))
+    minx, miny, maxx, maxy = tilemath.tile_bbox_cols(
+        F.col("z"), F.col("x"), F.col("y")
+    )
+    hp = (maxx - minx) / F.lit(8192.0)
+    in_box = F.aggregate(
+        F.zip_with(
+            "xs", "ys",
+            lambda vx, vy: (
+                (vx >= minx - hp) & (vx <= maxx + hp)
+                & (vy >= miny - hp) & (vy <= maxy + hp)
+            ),
+        ),
+        F.lit(True), lambda a, b: a & b,
+    )
+    return (
+        packed.select(
+            F.col("props").getItem("gid").alias("gid"),
+            F.col("z").alias("z_out"),
+            in_box.alias("in_box"),
+        )
+        .groupBy("gid")
+        .agg(
+            F.min("z_out").alias("z_out"),
+            F.min("in_box").alias("all_in_box"),
+            (F.count("*") >= 1).alias("survived"),
+        )
+    )
+
+
+def o_gpack_retile_roundtrip() -> str:
+    return """
+SELECT gid, 4 AS z_out, true AS all_in_box, true AS survived
+FROM (VALUES ('line_eq'), ('poly_one'), ('pt'), ('zig')) AS t(gid)
+"""
+
+
 def q_composite_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 fast path: merge two layer-disjoint tile sets per (z,x,y)."""
     from mapnik_vector_tile_spark.operators import assign, composite, encode
@@ -882,6 +944,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "raster_invariants": q_raster_invariants,
     "composite_merge": q_composite_merge,
     "retile_pyramid": q_retile_pyramid,
+    "gpack_retile_roundtrip": q_gpack_retile_roundtrip,
     "knn_ring_expansion": q_knn_ring_expansion,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
@@ -903,6 +966,7 @@ _ORACLE_BUILDERS: dict[str, Callable[[], str]] = {
     "raster_invariants": o_raster_invariants,
     "composite_merge": o_composite_merge,
     "retile_pyramid": o_retile_pyramid,
+    "gpack_retile_roundtrip": o_gpack_retile_roundtrip,
     "knn_ring_expansion": o_knn_ring_expansion,
     "ann_lsh_topk": o_ann_lsh,
     "ann_ivf_topk": o_ann_ivf,

@@ -291,3 +291,70 @@ def test_seven_param_helmert_rotation_scale():
     assert abs(X2 - P.WGS84_A) < 1e-3 and abs(Y2) < 1e-3
     X3, _, _ = P._helmert(1000.0, 0.0, 0.0, (0, 0, 0, 0, 0, 0, 10.0))
     assert abs(X3 - 1000.0 * (1 + 10e-6)) < 1e-12
+
+
+def test_tmerc_parameterized_ellipsoids():
+    """tmerc/UTM on national ellipsoids (r4): the Krüger series is now
+    computed per (a, e2). Checks: sphere-limit closed form (n=0 makes
+    the series collapse to the exact spherical transverse mercator),
+    OSGB36-parameter (airy) round-trip + declared k0 on the central
+    meridian, bessel round-trip."""
+    # 1. sphere limit: closed-form spherical TM
+    R = 6370000.0
+    sph = P.parse_proj4(f"+proj=tmerc +lon_0=0 +k=1 +a={R} +b={R}")
+    lon = np.array([3.0, -6.0, 1.5])
+    lat = np.array([45.0, 52.0, -33.0])
+    x, y = P.forward(sph, lon, lat)
+    lam, phi = np.radians(lon), np.radians(lat)
+    b = np.cos(phi) * np.sin(lam)
+    x_exact = R * np.arctanh(b)
+    y_exact = R * np.arctan2(np.tan(phi), np.cos(lam))
+    assert np.allclose(x, x_exact, atol=1e-6)
+    assert np.allclose(y, y_exact, atol=1e-6)
+    # 2. OSGB36 National Grid parameters (EPSG:27700, airy)
+    osgb = P.parse_proj4(
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+        "+x_0=400000 +y_0=-100000 +ellps=airy"
+    )
+    assert abs(osgb["a"] - 6377563.396) < 1e-6
+    # true origin maps to the false origin
+    x0, y0 = P.forward(osgb, -2.0, 49.0)
+    assert abs(float(x0) - 400000.0) < 1e-6
+    assert abs(float(y0) + 100000.0) < 1e-6
+    # scale on the central meridian equals the declared k0
+    d = 1e-5
+    xa, ya = P.forward(osgb, -2.0, 52.0)
+    xb, yb = P.forward(osgb, -2.0, 52.0 + d)
+    phi0 = np.radians(52.0)
+    m = (osgb["a"] * (1 - osgb["e2"])
+         / (1 - osgb["e2"] * np.sin(phi0) ** 2) ** 1.5 * np.radians(d))
+    assert abs(float(yb - ya) / float(m) - 0.9996012717) < 1e-8
+    # round-trips across Britain
+    rng = np.random.RandomState(3)
+    lon = rng.uniform(-7.0, 2.0, 100)
+    lat = rng.uniform(50.0, 59.0, 100)
+    X, Y = P.forward(osgb, lon, lat)
+    lon2, lat2 = P.inverse(osgb, X, Y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    # 3. bessel (Gauss-Krüger style) round-trip
+    gk = P.parse_proj4("+proj=tmerc +lon_0=9 +k=1 +x_0=3500000 +ellps=bessel")
+    X, Y = P.forward(gk, np.array([9.5]), np.array([48.5]))
+    lon2, lat2 = P.inverse(gk, X, Y)
+    assert abs(float(lon2[0]) - 9.5) < 1e-9 and abs(float(lat2[0]) - 48.5) < 1e-9
+
+
+def test_osgb_datum_shift_magnitude():
+    """EPSG:27700's official +towgs84 7-param set moves a Britain point
+    by the well-known ~100-120 m ground distance vs raw WGS84."""
+    osgb_ll = P.parse_proj4(
+        "+proj=longlat +ellps=airy "
+        "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489"
+    )
+    wgs = P.parse_proj4("+proj=longlat +ellps=WGS84")
+    lon, lat = P.transform(osgb_ll, wgs, np.array([-2.0]), np.array([52.0]))
+    dlon = float(lon[0]) + 2.0
+    dlat = float(lat[0]) - 52.0
+    ground_m = np.hypot(dlon * 111320.0 * np.cos(np.radians(52.0)),
+                        dlat * 110574.0)
+    assert 80.0 < ground_m < 160.0
