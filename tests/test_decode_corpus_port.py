@@ -202,3 +202,101 @@ def test_corpus_size_and_coverage():
     assert len(_ALL) >= 67
     vers = {v for *_x, outcomes in _ALL for v in outcomes}
     assert vers == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# decoding/polygon_scaling.cpp: the same scrape, with per-SECTION scale
+# arguments. Expected WKTs carry 15-digit floats (mapnik's formatter),
+# so comparison is numeric (structure + allclose) rather than textual.
+# The int64-decode sections pin mapnik's integral-value_type rounding
+# (std::round), replayed via round-half-away on the double result.
+# ---------------------------------------------------------------------------
+
+def _parse_scaling_cases():
+    path = os.path.join(REF, "polygon_scaling.cpp")
+    if not os.path.exists(path):
+        return []
+    src = open(path).read()
+    out = []
+    for m in re.finditer(r'TEST_CASE\("([^"]+)"\)\s*\{(.*?)\n\}', src, re.S):
+        name, body = m.group(1), m.group(2)
+        head = body.split("SECTION", 1)[0]
+        cmds = []
+        ok = True
+        for am in re.finditer(r"add_geometry\(([^;]+)\);", head):
+            v = _parse_arg(am.group(1))
+            if v is None:
+                ok = False
+                break
+            cmds.append(v)
+        if not ok or not cmds:
+            continue
+        for sm in re.finditer(
+            r'SECTION\("VT Spec v(\d)"\)\s*\{(.*?)\n    \}', body, re.S
+        ):
+            ver, sbody = int(sm.group(1)), sm.group(2)
+            call = re.search(
+                r"decode_geometry<([^>]+)>\(geoms, [^,]+, \d, "
+                r"([-\d.]+), ([-\d.]+), ([-\d.]+), ([-\d.]+)\)",
+                sbody,
+            )
+            if not call:
+                continue
+            as_int = "int64" in call.group(1)
+            tile_x, tile_y, sx, sy = (float(call.group(i)) for i in range(2, 6))
+            wm = re.search(r'wkt0 == "([^"]*)"', sbody)
+            want = (
+                "raises" if ("CHECK_THROWS" in sbody or "REQUIRE_THROWS" in sbody)
+                else (wm.group(1) if wm else None)
+            )
+            if want is None:
+                continue
+            out.append((name, ver, cmds, tile_x, tile_y, sx, sy, as_int, want))
+    return out
+
+
+_SCALING = _parse_scaling_cases()
+
+
+def _flat_coords(geom):
+    k, v = geom
+    if k in ("point",):
+        return [np.atleast_2d(v)]
+    if k in ("multipoint", "linestring"):
+        return [np.atleast_2d(v)]
+    if k in ("multilinestring", "polygon"):
+        return [np.asarray(r) for r in v]
+    return [np.asarray(r) for p in v for r in p]
+
+
+@pytest.mark.parametrize(
+    "name,ver,cmds,tile_x,tile_y,sx,sy,as_int,want", _SCALING,
+    ids=[f"{c[0]}:v{c[1]}{':int' if c[7] else ''}" for c in _SCALING],
+)
+def test_reference_scaling_corpus(name, ver, cmds, tile_x, tile_y, sx, sy,
+                                  as_int, want):
+    try:
+        g = Cmd.decode_geometry(cmds, 3, version=ver, tile_x=tile_x,
+                                tile_y=tile_y, scale_x=sx, scale_y=sy)
+        raised = False
+    except (Cmd.DecodeError, ValueError):
+        raised = True
+    if want == "raises":
+        assert raised, (name, ver)
+        return
+    assert not raised, (name, ver)
+    exp = G.from_wkt(want)
+    assert g[0] == exp[0], (g[0], exp[0])
+    got_r, exp_r = _flat_coords(g), _flat_coords(exp)
+    assert len(got_r) == len(exp_r)
+    for a, b in zip(got_r, exp_r):
+        if as_int:
+            a = G.round_half_away(np.asarray(a, dtype=np.float64))
+        assert a.shape == b.shape
+        assert np.allclose(a, b, rtol=1e-12, atol=1e-9), (name, ver, a, b)
+
+
+def test_scaling_corpus_size():
+    if not os.path.isdir(REF):
+        pytest.skip("reference checkout not mounted")
+    assert len(_SCALING) >= 18  # 10 TEST_CASEs x ~2 sections, minus skips
