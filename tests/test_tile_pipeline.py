@@ -165,6 +165,38 @@ def test_features_at_point(tiles, located):
     assert any(m["image_id"] == src["image_id"] for m in hits["props"])
 
 
+def test_features_at_point_packed(tiles, located):
+    """S4 packed form (r4): same hits as the WKT lookup, geometry as
+    ragged arrays; the query bbox is pushed into the decoder, so every
+    returned geometry intersects the tolerance box."""
+    src = located.select("image_id", "lon", "lat").first()
+    ts = tilemath.EARTH_CIRCUMFERENCE / 2**Z_TEST
+    tol = ts / 4096.0 * 2
+    wkt_hits = decode.features_at_point(tiles, src["lon"], src["lat"], tol_merc=tol)
+    pk_hits = decode.features_at_point(
+        tiles, src["lon"], src["lat"], tol_merc=tol, packed=True
+    ).toPandas()
+    assert any(m["image_id"] == src["image_id"] for m in pk_hits["props"])
+    # same feature ids with geometry as the WKT path
+    wp = wkt_hits.toPandas()
+    want = sorted(wp[wp["geom_wkt"].notna()]["feature_id"])
+    got = sorted(pk_hits[pk_hits["kind"].notna()]["feature_id"])
+    assert got == want
+    import numpy as np
+
+    from mapnik_vector_tile_spark import tilemath as TM
+
+    mx, my = TM.mercator_np(src["lon"], src["lat"])
+    for _, r in pk_hits.iterrows():
+        if r["kind"] is None:
+            continue
+        xs, ys = np.asarray(r["xs"]), np.asarray(r["ys"])
+        assert (
+            (xs >= float(mx) - tol).any() and (xs <= float(mx) + tol).any()
+            and (ys >= float(my) - tol).any() and (ys <= float(my) + tol).any()
+        )
+
+
 def test_hot_path_salted_equals_cold_path(spark, located):
     """Two-phase salted encode (skew path) decodes to the same features
     and properties as the single-phase dense-dictionary path."""
