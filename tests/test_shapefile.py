@@ -97,3 +97,56 @@ def test_read_shapefile_spark(spark, tmp_path):
 
     attrs = [json.loads(a) for a in df.sort_values("record")["attributes"]]
     assert attrs[0]["NAME"] == "a" and attrs[1]["RANK"] == 2
+
+
+def test_invalid_latitude_shapefile_clamps_not_throws(spark):
+    """Port of 'vector tile transform -- should not throw on coords
+    outside merc range' (test/vector_tile.cpp): the reference's
+    poly-lat-invalid-4269.shp carries latitudes beyond +/-90; the
+    pipeline must CLAMP into mercator range and still paint one polygon
+    feature with its FID property — never throw."""
+    import os
+
+    import pytest
+
+    path = "/root/reference/test/data/poly-lat-invalid-4269.shp"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not mounted")
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark import tilemath
+    from mapnik_vector_tile_spark.operators import decode, geom_tiles
+    from mapnik_vector_tile_spark.sources import shapefile as SHP
+
+    import json
+
+    df = SHP.read_shapefile(spark, path).toPandas()
+    assert len(df) == 1
+    fid = str(json.loads(df.iloc[0]["attributes"])["FID"])
+    wkt = df.iloc[0]["geom_wkt"]
+    # lon/lat degrees -> clamped mercator via the engine's own transform
+    from mapnik_vector_tile_spark.functions import geometry as G
+    import numpy as np
+
+    kind, rings = G.from_wkt(wkt)
+    assert kind == "polygon"
+    lat_min = min(float(r[:, 1].min()) for r in rings)
+    assert lat_min < -90.0  # the fixture really is out of range (-92)
+    merc_rings = []
+    for r in rings:
+        mx, my = tilemath.mercator_np(
+            np.clip(r[:, 0], -179.999999, 179.999999),
+            np.clip(r[:, 1], -89.0, 89.0),
+        )
+        merc_rings.append(np.column_stack([mx, my]))
+    merc_wkt = G.to_wkt(("polygon", merc_rings))
+    rows = spark.createDataFrame(
+        [(fid, merc_wkt)], "FID string, geom_wkt string"
+    )
+    tiles = geom_tiles.build_geom_tiles(rows, ["FID"], z=0, id_col="FID")
+    tp = tiles.toPandas()
+    assert len(tp) == 1 and bool(tp.iloc[0]["painted"])
+    dec = decode.decode_tiles(tiles).toPandas()
+    assert len(dec) == 1
+    assert dec.iloc[0]["geom_type"] == 3
+    assert dec.iloc[0]["props"]["FID"] == fid
