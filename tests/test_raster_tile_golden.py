@@ -129,3 +129,42 @@ def test_raster_tiles_operator_carries_webp(spark, images_small):
                     n_rasters += 1
                     R.decode_image(bytes(f["raster"]))  # sniffs+decodes all 3 fmts
     assert n_rasters == 60
+
+
+def test_raster_tile_output_3_alpha_roundtrip():
+    """Port of 'raster tile output 3 -- should be able to round trip
+    image with alpha' (test/raster_tile.cpp:277-430): the reference's
+    alpha-white-2.png rides Feature.raster through encode -> decode ->
+    same-size re-render with ZERO pixel diff at every hop (its
+    expected-4.png golden equals the input for the same-size path)."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import compression as Z
+    from mapnik_vector_tile_spark.functions import pbf as P
+    from mapnik_vector_tile_spark.operators import decode as D
+
+    src_bytes = open("/root/reference/test/fixtures/alpha-white-2.png", "rb").read()
+    src = R.png_decode_raw(src_bytes)
+    assert src.shape == (256, 256, 4)
+    assert (src[..., 3] < 255).any()  # real alpha content
+
+    # hop 1: Feature.raster carries the bytes through a z0 tile
+    feat = P.encode_feature(1, [], 0, [], raster=src_bytes)
+    layer = P.encode_layer("layer", [feat], [], [])
+    tile = Z.compress(P.encode_tile([layer]))
+    rows = D.decode_tile_rows(0, 0, 0, tile)
+    assert len(rows) == 1 and rows[0][8] is not None
+    back = R.png_decode_raw(bytes(rows[0][8]))
+    assert np.array_equal(back, src)  # diff == 0, like compare_images
+
+    # hop 2: same-size re-render (the raster_clipper passthrough path)
+    rerendered = R.resize_any(back, 256, 256)
+    assert np.array_equal(rerendered, src)
+    reenc = R.png_encode_rgba(rerendered)
+    assert np.array_equal(R.png_decode_raw(reenc), src)
+
+    # the premultiply -> scale -> demultiply path keeps alpha exact on
+    # the identity-scale case for every scaling method
+    for method in ("near", "bilinear", "bicubic"):
+        out = R.resize_any(back, 256, 256, method=method)
+        assert np.array_equal(out, src), method
