@@ -253,3 +253,38 @@ def stream_rebuild_tiles(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_decode_packed(
+    spark: SparkSession,
+    tiles_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming PACKED decode scan (r4): the ragged xs/ys/offsets form
+    rides Structured Streaming exactly like the columnar scan —
+    decode_tiles_packed is a stateless mapInPandas, so arbitrary
+    geometry tiles landing in object storage decode to Arrow list
+    columns exactly once across resumable availableNow runs."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import decode as D
+
+    stream = (
+        spark.readStream.schema(
+            "z int, x long, y long, tile binary, n_features long, "
+            "n_layers int, painted boolean, n_unresolved int"
+        )
+        .option("maxFilesPerTrigger", 8)
+        .parquet(tiles_dir)
+    )
+    decoded = D.decode_tiles_packed(stream.where(F.col("painted")))
+    return (
+        decoded.drop("raster")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

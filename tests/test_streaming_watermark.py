@@ -123,3 +123,43 @@ def test_stream_decode_features(spark, images_small, tmp_path):
     q3 = S.stream_decode_features(spark, tiles_dir, out_dir, chk, ["image_id", "fmt"])
     q3.awaitTermination()
     assert spark.read.parquet(out_dir).count() == 500
+
+
+def test_stream_decode_packed(spark, tmp_path):
+    """r4: the packed ragged scan rides Structured Streaming — geometry
+    tiles landing as parquet decode to xs/ys/offsets list columns
+    exactly once, matching the batch packed scan row-for-row."""
+    import pandas as pd
+
+    from mapnik_vector_tile_spark.operators import decode, geom_tiles
+    from mapnik_vector_tile_spark.streaming import incremental as S
+
+    h = 20037508.342789244
+    q = h / 4.0
+    rows = [
+        ("a", f"LINESTRING(-{q} 1000,{q} 2000)"),
+        ("b", f"POLYGON(({q*0.1} {q*0.1},{q*0.9} {q*0.1},{q*0.9} {q*0.9},"
+              f"{q*0.1} {q*0.1}))"),
+        ("c", f"POINT({q*1.5} -{q*1.5})"),
+    ]
+    geoms = spark.createDataFrame(rows, "gid string, geom_wkt string")
+    tiles = geom_tiles.build_geom_tiles(geoms, ["gid"], z=2, id_col="gid")
+    tiles_dir = str(tmp_path / "tiles")
+    tiles.write.parquet(tiles_dir)
+    out_dir = str(tmp_path / "packed")
+    chk = str(tmp_path / "chk")
+    S.stream_decode_packed(spark, tiles_dir, out_dir, chk).awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas()
+    want = decode.decode_tiles_packed(
+        tiles.where("painted")
+    ).drop("raster").toPandas()
+    assert len(got) == len(want) > 0
+    key = ["z", "x", "y", "feature_id"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert list(g["kind"]) == list(w["kind"])
+    for a, b in zip(g["xs"], w["xs"]):
+        assert list(a) == list(b)
+    # exactly-once: rerun with no new input appends nothing
+    S.stream_decode_packed(spark, tiles_dir, out_dir, chk).awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == len(want)
