@@ -358,14 +358,13 @@ def _w_lanczos(x: np.ndarray, radius: float = 2.0) -> np.ndarray:
 _FILTERS = {"bicubic": (_w_bicubic, 2), "lanczos": (_w_lanczos, 2)}
 
 
-def _resample_axis_f64(img: np.ndarray, out_n: int, axis: int, method: str) -> np.ndarray:
-    """Separable 1-D resample along `axis` (float64): gather taps,
-    weight, sum — one vectorized pass, edge-clamped like AGG."""
+def _sample_axis_f64(img: np.ndarray, pos: np.ndarray, axis: int, method: str) -> np.ndarray:
+    """Separable 1-D filtered sampling along `axis` at ARBITRARY
+    fractional source positions (float64): gather taps, weight, sum —
+    one vectorized pass, edge-clamped like AGG. Shared by uniform
+    resize and the georeferenced warp."""
     n = img.shape[axis]
-    if out_n == n:
-        return img
     weight_fn, radius = _FILTERS[method]
-    pos = (np.arange(out_n) + 0.5) * (n / out_n) - 0.5
     base = np.floor(pos).astype(np.int64)
     taps = np.arange(-radius + 1, radius + 1)
     idx = base[:, None] + taps[None, :]
@@ -374,9 +373,17 @@ def _resample_axis_f64(img: np.ndarray, out_n: int, axis: int, method: str) -> n
     idx = np.clip(idx, 0, n - 1)
     moved = np.moveaxis(img, axis, 0)
     gathered = moved[idx]  # (out_n, taps, ...)
-    wshape = (out_n, len(taps)) + (1,) * (gathered.ndim - 2)
+    wshape = (len(pos), len(taps)) + (1,) * (gathered.ndim - 2)
     res = (gathered * w.reshape(wshape)).sum(axis=1)
     return np.moveaxis(res, 0, axis)
+
+
+def _resample_axis_f64(img: np.ndarray, out_n: int, axis: int, method: str) -> np.ndarray:
+    n = img.shape[axis]
+    if out_n == n:
+        return img
+    pos = (np.arange(out_n) + 0.5) * (n / out_n) - 0.5
+    return _sample_axis_f64(img, pos, axis, method)
 
 
 def _near_index(out_n: int, n: int) -> np.ndarray:

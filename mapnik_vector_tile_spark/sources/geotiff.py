@@ -172,12 +172,14 @@ def warp_to_tile(
     x: int,
     y: int,
     out_size: int = 512,
+    method: str = "bilinear",
 ) -> np.ndarray:
-    """Bilinear resample of a mercator-georeferenced raster onto the
+    """Filtered resample of a mercator-georeferenced raster onto the
     (z, x, y) tile's out_size x out_size pixel grid (the raster
-    clipper's scale/clip with SCALING_BILINEAR,
-    vector_tile_raster_clipper.ipp:23-69). Edge-clamped; fully
-    separable, so cost is O(out_size^2 * bands) numpy."""
+    clipper's scale/clip, vector_tile_raster_clipper.ipp:23-69, with
+    mapnik's scaling_method_e surface: near / bilinear (default) /
+    bicubic / lanczos). Edge-clamped; fully separable, so cost is
+    O(out_size^2 * bands) numpy."""
     ox, oy, sx, sy = transform
     minx, miny, maxx, maxy = tilemath.tile_mercator_bbox_np(x, y, z)
     h, w = img.shape[:2]
@@ -186,6 +188,16 @@ def warp_to_tile(
     ty = maxy - (np.arange(out_size) + 0.5) * (maxy - miny) / out_size
     u = (tx - ox) / sx - 0.5
     v = (oy - ty) / sy - 0.5
+    if method == "near":
+        ui = np.clip(np.floor(u + 0.5).astype(np.int64), 0, w - 1)
+        vi = np.clip(np.floor(v + 0.5).astype(np.int64), 0, h - 1)
+        return img[np.ix_(vi, ui)].copy()
+    if method != "bilinear":
+        from mapnik_vector_tile_spark.functions.raster import _sample_axis_f64
+
+        out = _sample_axis_f64(img.astype(np.float64), v, 0, method)
+        out = _sample_axis_f64(out, u, 1, method)
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
     u0 = np.clip(np.floor(u).astype(np.int64), 0, w - 1)
     v0 = np.clip(np.floor(v).astype(np.int64), 0, h - 1)
     u1 = np.minimum(u0 + 1, w - 1)

@@ -168,3 +168,37 @@ def test_raster_tile_output_3_alpha_roundtrip():
     for method in ("near", "bilinear", "bicubic"):
         out = R.resize_any(back, 256, 256, method=method)
         assert np.array_equal(out, src), method
+
+
+def test_warp_scaling_methods(natural_earth):
+    """warp_to_tile carries the scaling_method surface: near picks the
+    exact nearest source pixel; bicubic/lanczos track bilinear on the
+    natural-earth raster (smooth content) within a few dB while
+    producing genuinely different pixels."""
+    import hashlib
+
+    import numpy as np
+
+    from mapnik_vector_tile_spark.sources import geotiff as GT
+
+    img, transform, _epsg = natural_earth
+    outs = {}
+    for method in ("near", "bilinear", "bicubic", "lanczos"):
+        out = GT.warp_to_tile(img, transform, 0, 0, 0, out_size=256, method=method)
+        assert out.shape[:2] == (256, 256) and out.dtype == np.uint8
+        outs[method] = out
+    # near == exact nearest-pixel gather
+    ox, oy, sx, sy = transform
+    from mapnik_vector_tile_spark import tilemath
+
+    minx, miny, maxx, maxy = tilemath.tile_mercator_bbox_np(0, 0, 0)
+    tx = minx + (np.arange(256) + 0.5) * (maxx - minx) / 256
+    ty = maxy - (np.arange(256) + 0.5) * (maxy - miny) / 256
+    ui = np.clip(np.floor((tx - ox) / sx).astype(np.int64), 0, img.shape[1] - 1)
+    vi = np.clip(np.floor((oy - ty) / sy).astype(np.int64), 0, img.shape[0] - 1)
+    assert np.array_equal(outs["near"], img[np.ix_(vi, ui)])
+    # methods differ but agree closely on smooth content
+    digests = {m: hashlib.md5(o.tobytes()).hexdigest() for m, o in outs.items()}
+    assert len(set(digests.values())) == 4
+    for m in ("near", "bicubic", "lanczos"):
+        assert R.psnr(outs[m], outs["bilinear"]) >= 25.0, m
