@@ -26,8 +26,25 @@ from pyspark.sql import DataFrame, functions as F
 from mapnik_vector_tile_spark import tilemath
 
 
+def _guard_cell_columns(df: DataFrame) -> None:
+    """A property column named z/x/y would be silently clobbered by the
+    cell-key columns (the r4 geom-path bug, found via the reference's
+    linestrings_and_point fixture). The geometry pipeline renames such
+    props internally (geom_tiles.build_geom_tiles); the point path
+    refuses loudly instead of corrupting them."""
+    clash = [c for c in ("z", "x", "y") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {clash} — rename them before "
+            "tile assignment (they would be overwritten by the cell key); "
+            "properties named x/y/z are supported by build_geom_tiles, "
+            "which aliases them internally"
+        )
+
+
 def assign_tiles(df: DataFrame, z: int, lon="lon", lat="lat") -> DataFrame:
     """Add (z, x, y) cell-key columns at a single zoom. Narrow, no UDF."""
+    _guard_cell_columns(df)
     x, y = tilemath.lonlat_to_tile_cols(F.col(lon), F.col(lat), z)
     return df.withColumn("z", F.lit(z)).withColumn("x", x).withColumn("y", y)
 

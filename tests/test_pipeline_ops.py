@@ -324,3 +324,17 @@ def test_ann_lsh_scale_bounded_buckets(spark):
     e = set(map(tuple, exact[["query_id", "neighbor_id"]].to_numpy()))
     a = set(map(tuple, approx[["query_id", "neighbor_id"]].to_numpy()))
     assert len(e & a) / len(e) >= 0.5, len(e & a) / len(e)
+
+
+def test_assign_tiles_refuses_cell_column_clash(spark):
+    """A property named x/y/z must not be silently clobbered by the
+    cell key (r4 guard; the geom path aliases such props instead)."""
+    import pytest
+
+    from mapnik_vector_tile_spark.operators import assign
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, "v")], "lon double, lat double, x string"
+    )
+    with pytest.raises(ValueError, match="rename them before"):
+        assign.assign_tiles(df, 3)
