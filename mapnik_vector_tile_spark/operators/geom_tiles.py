@@ -18,7 +18,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from mapnik_vector_tile_spark import tilemath
-from mapnik_vector_tile_spark.functions import commands as Cmd
 from mapnik_vector_tile_spark.functions import compression as Z
 from mapnik_vector_tile_spark.functions import geometry as G
 from mapnik_vector_tile_spark.functions import pbf
