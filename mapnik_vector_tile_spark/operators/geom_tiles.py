@@ -51,9 +51,15 @@ def reproject_geoms(
     dst = PJ.parse_proj4(dst_srs)
     kernel = reproject_kernel(src, dst, wkt_col, emit)
     if emit == "gpack":
-        keep = [f for f in df.schema if f.name not in (wkt_col, "_gpk")]
+        # env_* is recomputed from the reprojected coords — exclude any
+        # incoming envelope columns (decode_tiles_gpack output, a prior
+        # gpack reprojection) so the declared schema lists each once
+        drop = {wkt_col, "_gpk", "env_minx", "env_miny", "env_maxx", "env_maxy"}
+        keep = [f for f in df.schema if f.name not in drop]
         schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keep)
-        schema += (", _gpk binary, env_minx double, env_miny double, "
+        if schema:
+            schema += ", "
+        schema += ("_gpk binary, env_minx double, env_miny double, "
                    "env_maxx double, env_maxy double")
     else:
         schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
@@ -138,8 +144,9 @@ def reproject_kernel(src, dst, wkt_col: str, emit: str):
                     seg[:, 0].min(), seg[:, 1].min(), seg[:, 0].max(), seg[:, 1].max()
                 )
             if emit == "gpack":
+                stale = (wkt_col, "_gpk", "env_minx", "env_miny", "env_maxx", "env_maxy")
                 yield pdf.drop(
-                    columns=[c for c in (wkt_col, "_gpk") if c in pdf.columns]
+                    columns=[c for c in stale if c in pdf.columns]
                 ).assign(
                     _gpk=out_packs,
                     env_minx=envs[:, 0], env_miny=envs[:, 1],
@@ -266,6 +273,17 @@ def build_geom_tiles(
         prop_cols = [ren.get(c, c) for c in prop_cols]
         if id_col:
             id_col = ren.get(id_col, id_col)
+
+    # any OTHER input column named z/x/y/tile (a passthrough not listed
+    # in prop_cols/id_col) would still be silently clobbered by the
+    # tile-key columns — refuse loudly, like assign._guard_cell_columns
+    stray = [c for c in geoms.columns if c in reserved]
+    if stray:
+        raise ValueError(
+            f"input column(s) {stray} collide with the tile-key columns: "
+            "list them in prop_cols/id_col (they are then aliased "
+            "internally) or rename them before build_geom_tiles"
+        )
 
     have = set(geoms.columns)
     if {"_gpk", "env_minx", "env_miny", "env_maxx", "env_maxy"} <= have:

@@ -272,10 +272,15 @@ def _ring_expansion(
             base, cands, pend0, candidates, k, ladder, zf, max(4, initial_ring),
             metric, dist, dist_name, cand_id,
         )
-        return out.select(
+        out = out.select(
             "query_id", "neighbor_id", "rank",
             F.round(dist_name, 12 if metric == "euclid" else 6).alias(dist_name),
-        )
+        # the result is small (<= qn*k rows); materializing it here lets
+        # pend0 release its executor storage instead of pinning it for
+        # the application lifetime (r4 advisor finding)
+        ).localCheckpoint(eager=True)
+        pend0.unpersist()
+        return out
 
     base = base.persist()
     cands = _cands_of(base)
@@ -341,6 +346,9 @@ def _ring_expansion(
         .localCheckpoint(eager=True)
     )
     pend_n = pend.count()
+    # the checkpoint above cut pend's lineage from pend0 — nothing
+    # downstream reads it, so release its storage now
+    pend0.unpersist()
 
     w = Window.partitionBy("query_id").orderBy(dist_name, "neighbor_id")
 

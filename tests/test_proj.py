@@ -173,6 +173,58 @@ def test_reproject_accepts_gpack_input(spark):
         assert abs(r["env_minx"] - float(mx)) < 1e-6
 
 
+def test_reproject_gpack_input_with_envelope_columns(spark):
+    """Input already carrying env_* columns (decode_tiles_gpack output or
+    a prior gpack reprojection) must not double-declare them in the
+    result schema (r4 advisor repro: RESULT_COLUMN_SCHEMA_MISMATCH)."""
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import geometry as G
+    from mapnik_vector_tile_spark.operators import geom_tiles as GT
+
+    pts = [("a", -122.4194, 37.7749), ("b", -121.0, 38.0)]
+    rows = [
+        (g, bytearray(G.gpack(("point", np.array([x, y])))), x, y, x, y)
+        for g, x, y in pts
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "gid string, _gpk binary, env_minx double, env_miny double, "
+        "env_maxx double, env_maxy double",
+    )
+    out = GT.reproject_geoms(df, "+init=epsg:4326", emit="gpack")
+    # each env_* declared exactly once, recomputed in mercator
+    assert sorted(out.columns) == sorted(
+        ["gid", "_gpk", "env_minx", "env_miny", "env_maxx", "env_maxy"]
+    )
+    pdf = out.toPandas().sort_values("gid")
+    for (gid, lon, lat), (_, r) in zip(pts, pdf.iterrows()):
+        mx, my = tilemath.mercator_np(lon, lat)
+        assert abs(r["env_minx"] - float(mx)) < 1e-6
+        assert abs(r["env_miny"] - float(my)) < 1e-6
+    # double-reprojection chain: gpack output feeds reproject again
+    back = GT.reproject_geoms(
+        out, "+init=epsg:3857", "+init=epsg:4326", emit="gpack"
+    ).toPandas().sort_values("gid")
+    for (gid, lon, lat), (_, r) in zip(pts, back.iterrows()):
+        assert abs(r["env_minx"] - lon) < 1e-9
+        assert abs(r["env_miny"] - lat) < 1e-9
+
+
+def test_build_geom_tiles_rejects_stray_tile_key_columns(spark):
+    """A passthrough column named z/x/y/tile not listed in prop_cols
+    must raise instead of being silently clobbered (r4 advisor)."""
+    import pytest
+
+    from mapnik_vector_tile_spark.operators import geom_tiles as GT
+
+    df = spark.createDataFrame(
+        [("g0", "POINT(0 0)", 7)], "gid string, geom_wkt string, z int"
+    )
+    with pytest.raises(ValueError, match="collide with the tile-key"):
+        GT.build_geom_tiles(df, ["gid"], z=3)
+
+
 # ---------------------------------------------------------------------------
 # lcc + polar stereographic + datum shifts (round 4 — strategy.hpp:69-104
 # accepts any proj4 CRS; these are the national-grid families after UTM)
