@@ -122,8 +122,11 @@ def run_benchmarks(
         tiles2.count()
         t_build = time.perf_counter() - t0
         t0 = time.perf_counter()
+        # explode_hot_tiles: the fixture's 300k-feature hotspot tile
+        # (r4's characterized straggler — one tile = one task) is split
+        # on feature-frame boundaries and decoded across tasks
         rows["tile_decode"] = D.decode_tiles_columnar(
-            tiles2, ["image_id", "caption", "fmt"]
+            D.explode_hot_tiles(tiles2), ["image_id", "caption", "fmt"]
         ).count()
         times["tile_decode"] = time.perf_counter() - t0
         tiles2.unpersist()
@@ -194,7 +197,7 @@ def run_benchmarks(
     return times, rows
 
 
-def one_run(cores: int, sf_dir: str, epochs: int = 1):
+def one_run(cores: int, sf_dir: str, epochs: int = 1, extra_anchors: bool = False):
     spark = _build_session(cores)
     image_path = _ensure_fixture(spark, BENCH_IMAGE_ROWS)
     # warm the JVM + the Python worker pool + codegen (untimed pass over
@@ -215,13 +218,73 @@ def one_run(cores: int, sf_dir: str, epochs: int = 1):
     # knn is latency-bound (iterative rounds) and reported separately
     tp_sec = times["tile_pipeline"] + times["pip_join"]
     work_rows = rows["tile_pipeline"] + rows["pip_join"]
-    return {
+    out = {
         "cores": cores,
         "times": times,
         "rows": rows,
         "total_sec": total,
         "throughput_sec": tp_sec,
         "throughput_rows_per_sec": work_rows / max(tp_sec, 1e-9),
+    }
+    if extra_anchors:
+        out["hot_tile"] = hot_tile_anchor(spark)
+    return out
+
+
+def hot_tile_anchor(spark, n: int = 300_000, trials: int = 3) -> dict:
+    """The monolithic-tile decode straggler, measured THROUGH Spark:
+    one z13 tile with n tagged point features (the bench fixture's
+    hotspot shape — per-occurrence dictionary, ~24 MB uncompressed)
+    decoded columnar (a) as one row = one task, (b) through
+    explode_hot_tiles' (tile, feature-span) split. Interleaved min over
+    trials; the speedup is the evidence that the decode wall drops with
+    cores instead of flooring at the hot tile (r4 verdict item)."""
+    import zlib
+
+    import numpy as np
+
+    from mapnik_vector_tile_spark.functions import commands as Cmd
+    from mapnik_vector_tile_spark.functions import pbf as P
+    from mapnik_vector_tile_spark.operators import decode as D
+
+    rng = np.random.default_rng(7)
+    pxy = rng.integers(0, 4096, size=(n, 2)).astype(np.int64)
+    zz = np.column_stack([Cmd.zigzag32(pxy[:, 0]), Cmd.zigzag32(pxy[:, 1])])
+    tags = np.empty((n, 6), dtype=np.int64)
+    tags[:, 0] = 0
+    tags[:, 1] = np.arange(n) * 2
+    tags[:, 2] = 1
+    tags[:, 3] = np.arange(n) * 2 + 1
+    tags[:, 4] = 2
+    tags[:, 5] = 2 * n
+    blob = P.encode_point_features_packed(tags, zz, None)
+    values = []
+    for i in range(n):
+        values.append(P.encode_value(f"im-{i:07d}"))
+        values.append(P.encode_value(f"caption text number {i} of this tile"))
+    values.append(P.encode_value("png"))
+    layer = P.encode_layer_packed("layer", blob, ["image_id", "caption", "fmt"], values)
+    tile = zlib.compress(P.encode_tile([layer]))
+    df = spark.createDataFrame(
+        [(13, 1000, 2000, bytearray(tile))], "z int, x long, y long, tile binary"
+    ).persist()
+    df.count()
+    keys = ["image_id", "caption", "fmt"]
+    D.decode_tiles_columnar(df, keys).count()  # warm
+    D.decode_tiles_columnar(D.explode_hot_tiles(df), keys).count()
+    best = {"serial": float("inf"), "split": float("inf")}
+    for _ in range(trials):
+        for label in ("serial", "split"):
+            src = df if label == "serial" else D.explode_hot_tiles(df)
+            t0 = time.perf_counter()
+            got = D.decode_tiles_columnar(src, keys).count()
+            best[label] = min(best[label], time.perf_counter() - t0)
+            assert got == n, (got, n)
+    df.unpersist()
+    return {
+        "hot_tile_serial_ms": round(best["serial"] * 1e3, 1),
+        "hot_tile_split_ms": round(best["split"] * 1e3, 1),
+        "hot_tile_split_speedup": round(best["serial"] / best["split"], 2),
     }
 
 
@@ -601,7 +664,7 @@ def main() -> None:
     decode_buildings = round(decode_buildings_anchor(), 1)
     reproject_rows = round(reproject_anchor(), 1)
     real_tiles = decode_real_tile_anchor()
-    res = one_run(cpus, sf_dir)
+    res = one_run(cpus, sf_dir, extra_anchors=True)
     out = {
         "metric": "tiles+join-rows/sec",
         "value": round(res["total_sec"], 3),
@@ -615,6 +678,7 @@ def main() -> None:
         "decode_buildings_feats_per_sec_core": decode_buildings,
         "reproject_rows_per_sec_core": reproject_rows,
         **{f"decode_real_{k}_ms": v for k, v in real_tiles.items()},
+        **res.get("hot_tile", {}),
     }
     print(json.dumps(out))
 

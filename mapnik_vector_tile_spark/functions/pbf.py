@@ -946,6 +946,116 @@ def layer_features_region(data: bytes) -> tuple[dict, bytes | None]:
 
 
 # ---------------------------------------------------------------------------
+# hot-layer span split (J3/S2 scale path): feature messages are
+# independently framed after the layer header, so a monolithic layer can
+# be cut on frame boundaries into standalone mini-layers that decode in
+# parallel tasks (r4 verdict: one 300k-feature tile = one task = the
+# decode wall floor). Each chunk repeats the layer header (name/version/
+# extent/keys/values) so every existing decode path accepts it verbatim.
+# ---------------------------------------------------------------------------
+
+def feature_frame_breaks(region: bytes, target: int) -> list[int]:
+    """Byte offsets (first 0, last len(region)) cutting a contiguous run
+    of Feature frames (tag 0x12) into ~target-byte chunks on frame
+    boundaries. Walks ONLY the frame lengths — payload bytes are never
+    touched. Raises ValueError if the run is not all Feature frames."""
+    breaks = [0]
+    pos = 0
+    n = len(region)
+    nxt = target
+    while pos < n:
+        if region[pos] != 0x12 or pos + 1 >= n:
+            raise ValueError("not a Feature frame at offset %d" % pos)
+        b0 = region[pos + 1]
+        if b0 < 0x80:
+            pos = pos + 2 + b0
+        else:
+            b1 = region[pos + 2]
+            if b1 < 0x80:
+                pos = pos + 3 + ((b0 & 0x7F) | (b1 << 7))
+            else:
+                b2 = region[pos + 3]
+                if b2 < 0x80:
+                    pos = pos + 4 + ((b0 & 0x7F) | ((b1 & 0x7F) << 7) | (b2 << 14))
+                else:
+                    ln, p2 = read_varint(region, pos + 1)
+                    pos = p2 + ln
+        if pos >= nxt:
+            breaks.append(min(pos, n))
+            nxt = pos + target
+    if pos != n:
+        raise ValueError("Feature frame overruns the region end")
+    if breaks[-1] != n:
+        breaks.append(n)
+    return breaks
+
+
+def split_layer_chunks(layer_bytes: bytes, chunk_bytes: int) -> list[bytes]:
+    """One layer message -> >=1 standalone layer messages, each carrying
+    the full header (every non-Feature field, order preserved) plus a
+    ~chunk_bytes slice of its Feature frames. Decoding the chunks
+    independently yields exactly the rows of the original layer (feature
+    order preserved across the chunk sequence)."""
+    data = bytes(layer_bytes)
+    n = len(data)
+    pos = 0
+    header = bytearray()
+    runs: list[tuple[int, int]] = []  # contiguous Feature-frame spans
+    while pos < n:
+        start = pos
+        if data[pos] == 0x12:  # tag(2, WT_LEN) — a Feature frame
+            b0 = data[pos + 1] if pos + 1 < n else 0x80
+            if b0 < 0x80:
+                pos = pos + 2 + b0
+            else:
+                ln, p2 = read_varint(data, pos + 1)
+                pos = p2 + ln
+            if runs and runs[-1][1] == start:
+                runs[-1] = (runs[-1][0], pos)
+            else:
+                runs.append((start, pos))
+            continue
+        t, pos = read_varint(data, pos)
+        wire = t & 0x7
+        if wire == WT_LEN:
+            ln, pos = read_varint(data, pos)
+            pos += ln
+        else:
+            pos = skip_field(data, pos, wire)
+        header += data[start:pos]
+    if not runs:
+        return [data]
+    hdr = bytes(header)
+    if len(runs) == 1:
+        region = data[runs[0][0] : runs[0][1]]
+    else:  # exotic interleaving: coalesce once, then cut
+        region = b"".join(data[a:b] for a, b in runs)
+    breaks = feature_frame_breaks(region, chunk_bytes)
+    if len(breaks) <= 2:
+        return [data]
+    return [hdr + region[a:b] for a, b in zip(breaks, breaks[1:])]
+
+
+def split_tile_chunks(tile_data: bytes, chunk_bytes: int) -> list[bytes]:
+    """One UNCOMPRESSED tile message -> >=1 standalone tile messages:
+    each output carries exactly one (mini-)layer. Small layers pass
+    through whole; a layer larger than chunk_bytes is cut on feature
+    boundaries via split_layer_chunks. The union of the chunks' decoded
+    rows equals the original tile's."""
+    out: list[bytes] = []
+    for layer_bytes in decode_tile(tile_data):
+        if len(layer_bytes) <= chunk_bytes:
+            parts = [layer_bytes]
+        else:
+            parts = split_layer_chunks(layer_bytes, chunk_bytes)
+        for p in parts:
+            buf = bytearray()
+            add_len_field(buf, 3, p)
+            out.append(bytes(buf))
+    return out if out else [tile_data]
+
+
+# ---------------------------------------------------------------------------
 # batched layer-header parse: the per-tile Python frame walk was ~75% of the
 # worst-case decode cost (r1 VERDICT: 2.1x off the reference's 481k feats/s
 # per core, bench/readme.md:24-30). This walks the headers of a WHOLE batch

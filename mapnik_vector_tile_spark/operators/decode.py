@@ -210,6 +210,200 @@ def decode_tile_rows(z: int, x: int, y: int, tile: bytes, bbox=None) -> list[tup
     return rows
 
 
+def _layer_sections(data: bytes):
+    """One walk over a layer message's top-level fields ->
+    (misc_bytes, n_keys, value starts (CONTIGUOUS run only — None if
+    value frames are interleaved with other fields), value run end,
+    feature runs [(start, end)]). misc keeps name, keys, extent,
+    version and unknown fields verbatim, order preserved. The walk is
+    the only per-frame Python loop of the split — kept minimal (frame
+    length reads, no payload parsing)."""
+    n = len(data)
+    pos = 0
+    misc = bytearray()
+    n_keys = 0
+    vstart: list[int] = []
+    vend = 0
+    v_contig = True
+    runs: list[tuple[int, int]] = []
+    read_varint = pbf.read_varint
+    append_v = vstart.append
+    while pos < n:
+        start = pos
+        b = data[pos]
+        if b == 0x12 or b == 0x22:  # Feature frame / Value frame
+            b0 = data[pos + 1]
+            if b0 < 0x80:
+                pos = pos + 2 + b0
+            else:
+                ln, p2 = read_varint(data, pos + 1)
+                pos = p2 + ln
+            if b == 0x12:
+                if runs and runs[-1][1] == start:
+                    runs[-1] = (runs[-1][0], pos)
+                else:
+                    runs.append((start, pos))
+            else:
+                if vstart and vend != start:
+                    v_contig = False
+                append_v(start)
+                vend = pos
+            continue
+        t, pos = read_varint(data, pos)
+        field, wire = t >> 3, t & 0x7
+        if wire == 2:  # WT_LEN
+            ln, pos = read_varint(data, pos)
+            pos += ln
+        else:
+            pos = pbf.skip_field(data, pos, wire)
+        if field == 3 and wire == 2:
+            n_keys += 1
+        misc += data[start:pos]
+    return bytes(misc), n_keys, (vstart if v_contig else None), vend, runs
+
+
+def _split_uniform_point_layer(layer_bytes: bytes, chunk_bytes: int):
+    """Dictionary-slicing split for this engine's uniform point framing
+    (the salted encoder's output — operators/encode.py — whose
+    per-occurrence dictionary makes values ~70% of a hot tile's bytes):
+    each chunk re-encodes its features with tag value indices SHIFTED so
+    it carries only the [vmin, vmax] slice of the value dictionary its
+    features actually reference — no dictionary repetition across
+    chunks. Returns list[bytes] or None when the layer is not uniform
+    (caller falls back to the generic full-header split)."""
+    data = bytes(layer_bytes)
+    try:
+        misc, c, vstart, vend, runs = _layer_sections(data)
+    except (IndexError, ValueError):
+        return None
+    if c == 0 or not vstart or not runs:
+        return None
+    region = (
+        data[runs[0][0] : runs[0][1]]
+        if len(runs) == 1
+        else b"".join(data[a:b] for a, b in runs)
+    )
+    try:
+        vals, vlens = pbf.decode_varints_vec(region, return_lengths=True)
+    except ValueError:
+        return None
+    w = 11 + 2 * c
+    if len(vals) == 0 or len(vals) % w != 0:
+        return None
+    m = vals.reshape(-1, w)
+    ml = vlens.reshape(-1, w)
+    if not _packed_rows_ok(m, ml, c).all():
+        return None
+    n = len(m)
+    vidx = m[:, [4 + 2 * j + 1 for j in range(c)]]  # uint64, no copy cast
+    # value spans: starts + one shared end (the walk proved the run is
+    # contiguous, so each frame ends where the next begins)
+    vs = np.empty(len(vstart) + 1, dtype=np.int64)
+    vs[:-1] = vstart
+    vs[-1] = vend
+    if int(vidx.max()) >= len(vstart):
+        return None  # dangling value reference: keep the layer whole
+    n_chunks = max(1, -(-(len(region) + (vend - vstart[0])) // chunk_bytes))
+    if n_chunks <= 1:
+        return None
+    rows_per = -(-n // n_chunks)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    zz = m[:, 9 + 2 * c : 11 + 2 * c].astype(np.uint32)
+    chunks: list[bytes] = []
+    for r0 in range(0, n, rows_per):
+        r1 = min(n, r0 + rows_per)
+        # exact referenced-value gather + compact index remap: a chunk
+        # carries ONLY the dictionary entries its features use (a range
+        # slice degenerates when a shared value sits at the far end of
+        # the dictionary — the whole dict would ride every chunk)
+        uniq, inv = np.unique(vidx[r0:r1], return_inverse=True)
+        big, _offs = pbf.ragged_gather(
+            buf, vs[uniq], vs[uniq + 1] - vs[uniq], np.arange(len(uniq))
+        )
+        tags_sub = m[r0:r1, 4 : 4 + 2 * c].copy()
+        tags_sub[:, 1::2] = inv.reshape(r1 - r0, c)
+        blob = pbf.encode_point_features_packed(tags_sub, zz[r0:r1])
+        chunks.append(misc + big.tobytes() + blob)
+    return chunks
+
+
+def split_tile_chunks_smart(tile_data: bytes, chunk_bytes: int) -> list[bytes]:
+    """pbf.split_tile_chunks with the dictionary-slicing lane for this
+    engine's uniform point layers; any other layer shape takes the
+    generic feature-frame split with the full header repeated."""
+    out: list[bytes] = []
+    for layer_bytes in pbf.decode_tile(tile_data):
+        if len(layer_bytes) <= chunk_bytes:
+            parts = [layer_bytes]
+        else:
+            parts = _split_uniform_point_layer(layer_bytes, chunk_bytes)
+            if parts is None:
+                try:
+                    parts = pbf.split_layer_chunks(layer_bytes, chunk_bytes)
+                except (IndexError, ValueError):
+                    # hostile/truncated framing: ship the layer whole —
+                    # the decode stage owns the error semantics
+                    parts = [layer_bytes]
+        for p in parts:
+            buf = bytearray()
+            pbf.add_len_field(buf, 3, p)
+            out.append(bytes(buf))
+    return out if out else [tile_data]
+
+
+def explode_hot_tiles(
+    tiles: DataFrame,
+    chunk_bytes: int = 1 << 20,
+    hot_bytes: int = 1 << 21,
+    shuffle: bool = True,
+) -> DataFrame:
+    """Scale pre-stage for every decode scan: a monolithic tile (one
+    row = one task = the decode wall floor at 100x data — r4 BENCH.md's
+    300k-feature z13 straggler) is split on feature-frame boundaries
+    into standalone mini-tiles of ~chunk_bytes each, which then decode
+    in PARALLEL tasks. Output schema is (z, x, y, tile) — the chunks are
+    valid uncompressed tile messages, so decode_tiles /
+    decode_tiles_packed / decode_tiles_gpack / decode_tiles_columnar
+    consume them unchanged (decompress passes raw pbf through).
+
+    Only rows whose stored payload is >= hot_bytes pay the split + the
+    round-robin shuffle that spreads their chunks across tasks; cold
+    tiles stream through untouched on their original partitioning. The
+    per-tile decoded row set is preserved exactly (feature order within
+    a layer is preserved across its chunk sequence); a tile's features
+    merely arrive from several tasks — the same contract as any
+    distributed scan. Counterpart of the salted ENCODE path
+    (operators/encode.py) on the decode side."""
+    from pyspark.sql import functions as F
+
+    src = tiles.select("z", "x", "y", "tile")
+    cold = src.where(F.length("tile") < hot_bytes)
+    hot = src.where(F.length("tile") >= hot_bytes)
+
+    def kernel(iterator):
+        for pdf in iterator:
+            out_z, out_x, out_y, out_t = [], [], [], []
+            for z, x, y, tile in zip(pdf["z"], pdf["x"], pdf["y"], pdf["tile"]):
+                if not tile:
+                    continue
+                data = Z.decompress(bytes(tile))
+                for chunk in split_tile_chunks_smart(data, chunk_bytes):
+                    out_z.append(z)
+                    out_x.append(x)
+                    out_y.append(y)
+                    out_t.append(chunk)
+            if out_t:
+                yield pd.DataFrame(
+                    {"z": out_z, "x": out_x, "y": out_y, "tile": out_t}
+                )
+
+    chunks = hot.mapInPandas(kernel, schema="z int, x long, y long, tile binary")
+    if shuffle:
+        npart = int(tiles.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        chunks = chunks.repartition(npart)
+    return cold.unionByName(chunks)
+
+
 def decode_tiles(tiles: DataFrame) -> DataFrame:
     """tiles: (z, x, y, tile binary, ...) -> decoded feature rows."""
 
