@@ -328,6 +328,115 @@ FROM cells
 """
 
 
+def q_merge_geom_slow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 slow path, general geometry (src/vector_tile_composite.hpp:78-97):
+    two sources per (z,x,y) at z3 — source 0 carries 'polys' (squares) +
+    'lines' (diagonals), source 1 carries a CONFLICTING 'polys' (two
+    triangles per image — twice the features, so a first-wins violation
+    flips the counts) + 'pts' (points). merge_tiles_reencode_geom must
+    keep source 0's polys/lines, source 1's pts, re-encoding all three
+    geometry types. Shapes are cell-centered (no tile straddling), so
+    DuckDB recomputes the expected per-(tile, layer) feature count /
+    distinct ids / idx sum from the raw fixture with the pinned cell
+    math — a full conservation oracle."""
+    from mapnik_vector_tile_spark.operators import assign, composite, decode
+    from mapnik_vector_tile_spark.operators import geom_tiles as GT
+
+    located = _located(spark, sf_dir)
+    cells = assign.assign_tiles(located, 3)
+    minx, miny, maxx, maxy = tilemath.tile_bbox_cols(
+        F.col("z"), F.col("x"), F.col("y")
+    )
+    src = cells.select(
+        F.col("image_id").alias("gid"),
+        F.substring("image_id", 4, 12).cast("long").alias("idx"),
+        ((minx + maxx) / 2).alias("cx"),
+        ((miny + maxy) / 2).alias("cy"),
+        ((maxx - minx) * F.lit(0.2)).alias("s"),
+    )
+    SCHEMA = ("gid string, idx long, _gpk binary, env_minx double, "
+              "env_miny double, env_maxx double, env_maxy double")
+
+    def shape_kernel(shape: str):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.functions import geometry as G
+
+        def kernel(iterator):
+            for pdf in iterator:
+                out = []
+                for gid, idx, cx, cy, s in zip(
+                    pdf["gid"], pdf["idx"], pdf["cx"], pdf["cy"], pdf["s"]
+                ):
+                    if shape == "square":
+                        ring = np.array(
+                            [[cx - s, cy - s], [cx + s, cy - s], [cx + s, cy + s],
+                             [cx - s, cy + s], [cx - s, cy - s]]
+                        )
+                        geoms = [(gid, ("polygon", [ring]))]
+                    elif shape == "line":
+                        geoms = [(gid, ("linestring",
+                                        np.array([[cx - s, cy - s], [cx + s, cy + s]])))]
+                    elif shape == "point":
+                        geoms = [(gid, ("point", np.array([cx + 0.1 * s, cy])))]
+                    else:  # two triangles per image: the losing source
+                        t1 = np.array([[cx - s, cy - s], [cx, cy + s],
+                                       [cx + s, cy - s], [cx - s, cy - s]])
+                        t2 = t1 * 0.5 + np.array([cx, cy]) * 0.5
+                        geoms = [(gid + "a", ("polygon", [t1])),
+                                 (gid + "b", ("polygon", [t2]))]
+                    for g, geom in geoms:
+                        pk = G.gpack(geom)
+                        arr = (geom[1][0] if geom[0] == "polygon"
+                               else np.atleast_2d(geom[1]))
+                        out.append((g, idx, pk,
+                                    arr[:, 0].min(), arr[:, 1].min(),
+                                    arr[:, 0].max(), arr[:, 1].max()))
+                if out:
+                    yield pd.DataFrame(
+                        out, columns=["gid", "idx", "_gpk", "env_minx",
+                                      "env_miny", "env_maxx", "env_maxy"]
+                    )
+
+        return kernel
+
+    def tiles_of(shape: str, layer: str) -> DataFrame:
+        rows = src.mapInPandas(shape_kernel(shape), SCHEMA)
+        return GT.build_geom_tiles(
+            rows, ["gid", "idx"], z=3, layer_name=layer, id_col="gid"
+        ).select("z", "x", "y", "tile")
+
+    merged = composite.merge_tiles_reencode_geom(
+        tiles_of("square", "polys").withColumn("source", F.lit(0))
+        .unionByName(tiles_of("line", "lines").withColumn("source", F.lit(0)))
+        .unionByName(tiles_of("tri2", "polys").withColumn("source", F.lit(1)))
+        .unionByName(tiles_of("point", "pts").withColumn("source", F.lit(1)))
+    )
+    dec = decode.decode_tiles_packed(merged)
+    return dec.groupBy("z", "x", "y", "layer").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct(F.col("props")["gid"]).cast("long").alias("n_ids"),
+        F.sum(F.col("props")["idx"].cast("long")).cast("long").alias("sum_idx"),
+    )
+
+
+def o_merge_geom_slow() -> str:
+    cell = tilemath.lonlat_to_tile_sql(3, "lon", "lat")
+    layer_rows = ", ".join(f"('{s}')" for s in ("polys", "lines", "pts"))
+    return f"""
+WITH loc AS ({_loc_cte()}),
+cells AS (
+  SELECT {cell['x']} AS x, {cell['y']} AS y, count(*) AS c,
+         count(DISTINCT image_id) AS g, sum(idx) AS si
+  FROM loc GROUP BY 1, 2
+)
+SELECT 3 AS z, x, y, layer,
+       cast(c AS bigint) AS n, cast(g AS bigint) AS n_ids,
+       cast(si AS bigint) AS sum_idx
+FROM cells, (VALUES {layer_rows}) AS l(layer)
+"""
+
+
 def q_tile_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K12 validity checker over freshly built tiles: per-layer feature-
     type counters (findings asserted empty in tests)."""
@@ -943,6 +1052,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geom_kernel_goldens": q_geom_kernel_goldens,
     "raster_invariants": q_raster_invariants,
     "composite_merge": q_composite_merge,
+    "merge_geom_slow": q_merge_geom_slow,
     "retile_pyramid": q_retile_pyramid,
     "gpack_retile_roundtrip": q_gpack_retile_roundtrip,
     "knn_ring_expansion": q_knn_ring_expansion,
@@ -965,6 +1075,7 @@ _ORACLE_BUILDERS: dict[str, Callable[[], str]] = {
     "geom_kernel_goldens": o_geom_kernel_goldens,
     "raster_invariants": o_raster_invariants,
     "composite_merge": o_composite_merge,
+    "merge_geom_slow": o_merge_geom_slow,
     "retile_pyramid": o_retile_pyramid,
     "gpack_retile_roundtrip": o_gpack_retile_roundtrip,
     "knn_ring_expansion": o_knn_ring_expansion,

@@ -239,6 +239,107 @@ def merge_tiles_fast(tiles: DataFrame, source_order_col: str = "source") -> Data
     return tiles.groupBy("z", "x", "y").applyInPandas(kernel, schema=TILE_SCHEMA)
 
 
+def merge_tiles_reencode_geom(
+    tiles: DataFrame,
+    source_order_col: str = "source",
+    extent: int = 4096,
+    buffer_px: int = 0,
+    simplify_distance: float = 0.0,
+    area_threshold: float = 0.1,
+    fill_type: str = "even_odd",
+    strictly_simple: bool = False,
+    compress_tiles: bool = True,
+) -> DataFrame:
+    """General-geometry slow-path merge — the reference's composite
+    re-encode leg (src/vector_tile_composite.hpp:78-97: every source
+    layer becomes a datasource and the processor re-renders it into the
+    target tile), for ALL geometry types.
+
+    Per (z, x, y): the winning source for each layer NAME is the first
+    in ``source_order_col`` order (tile::add_layer first-wins,
+    src/vector_tile_tile.ipp:19-43); its features are decoded to packed
+    mercator geometry (decode_tiles_gpack — no WKT) and re-encoded into
+    the target extent through the same fused kernel build_geom_tiles
+    uses, preserving layer order (source order, then wire order within
+    the source), per-layer key dictionaries, feature order, feature ids
+    (when any feature of the layer carries one) and Value variant
+    types. Raster-only features do not survive this path (the gpack
+    scan is geometry-only); merge raster layers with merge_tiles_fast.
+
+    One decode pass -> ONE hash shuffle on (z, x, y) -> per-tile
+    re-encode: the same plan shape as the gpack re-tiling pipeline, so
+    it holds at scale."""
+    from pyspark.sql import Window
+
+    from mapnik_vector_tile_spark.operators import decode as D
+    from mapnik_vector_tile_spark.operators.encode import encode_geom_layer
+
+    dec = D.decode_tiles_gpack(
+        tiles, keep_cols=[source_order_col], ordinals=True, typed=True
+    )
+    w = Window.partitionBy("z", "x", "y", "layer")
+    first = (
+        dec.withColumn("_win", F.min(source_order_col).over(w))
+        .where(F.col(source_order_col) == F.col("_win"))
+        .drop("_win")
+    )
+    cols = ["z", "x", "y", "tile", "n_features", "n_layers", "painted"]
+
+    def kernel(key, pdf):
+        gz, gx, gy = (int(v) for v in key)
+        pdf = pdf.sort_values(
+            [source_order_col, "layer_idx", "feat_idx"], kind="mergesort"
+        )
+        layers_out: list[bytes] = []
+        n_feats = 0
+        for lname, grp in pdf.groupby("layer", sort=False):
+            grp = grp.reset_index(drop=True)
+            # per-layer key dictionary: first-appearance order across
+            # features (row-major), like layer_builder_pbf::add_feature
+            keys: dict[str, None] = {}
+            for p in grp["props"]:
+                keys.update(dict.fromkeys(p))
+            key_list = list(keys)
+            data = {
+                k: pd.Series(
+                    [
+                        D.parse_tagged_value(p.get(k), t.get(k, "s"))
+                        for p, t in zip(grp["props"], grp["ptype"])
+                    ],
+                    dtype=object,  # pandas would re-infer [None, 0] as float
+                )
+                for k in key_list
+            }
+            enc = pd.DataFrame({"_gpk": grp["_gpk"], **data})
+            id_col = None
+            if (grp["feature_id"].to_numpy() != 0).any():
+                enc["feature_id"] = grp["feature_id"].to_numpy()
+                id_col = "feature_id"
+            layer_bytes, nf = encode_geom_layer(
+                enc, gz, gx, gy, lname, key_list,
+                geom_col="_gpk", extent=extent, buffer_px=buffer_px,
+                simplify_distance=simplify_distance,
+                area_threshold=area_threshold,
+                id_col=id_col,
+                fill_type=fill_type,
+                strictly_simple=strictly_simple,
+            )
+            if nf:
+                layers_out.append(layer_bytes)
+                n_feats += nf
+        tile_out = b""
+        if layers_out:
+            tile_out = pbf.encode_tile(layers_out)
+            if compress_tiles:
+                tile_out = Z.compress(tile_out)
+        return pd.DataFrame(
+            [(gz, gx, gy, tile_out, n_feats, len(layers_out), bool(layers_out))],
+            columns=cols,
+        )
+
+    return first.groupBy("z", "x", "y").applyInPandas(kernel, schema=TILE_SCHEMA)
+
+
 def merge_tiles_reencode(
     tiles: DataFrame,
     prop_cols: list[str],
@@ -247,8 +348,9 @@ def merge_tiles_reencode(
     buffer_px: int = 0,
 ) -> DataFrame:
     """Slow-path merge: decode all sources, re-encode one layer per tile
-    (the v1->v2 upgrade path of load_tile.hpp:53-137). Points only for
-    now — decoded rows re-enter build_point_tiles.
+    (the v1->v2 upgrade path of load_tile.hpp:53-137). Points-only
+    single-layer form — decoded rows re-enter build_point_tiles; the
+    general mixed-geometry multi-layer form is merge_tiles_reencode_geom.
 
     Rides the packed ragged scan: coordinates come back as Arrow list
     columns and the mercator->lon/lat inverse is pure Column math

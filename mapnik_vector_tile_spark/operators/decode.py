@@ -431,14 +431,17 @@ PACKED_SCHEMA = (
 )
 
 
-def iter_layer_packed(layer_bytes: bytes, bounds, bbox=None) -> list[tuple]:
+def iter_layer_packed(layer_bytes: bytes, bounds, bbox=None, typed: bool = False) -> list[tuple]:
     """One layer message -> (name, feature_id, geom_type, pk_dict, props,
     raster) tuples, where pk_dict is the packed ragged geometry
     {kind, xs, ys, offsets[, exterior]} or None (raster-only feature).
     Shared decode core of every packed consumer (packed scan, gpack
     scan, packed point lookup); empty/bbox-filtered geometry features
     without raster are dropped, like the reference featureset's
-    next() skip (src/vector_tile_featureset_pbf.ipp:113-180)."""
+    next() skip (src/vector_tile_featureset_pbf.ipp:113-180).
+    typed=True keeps property values as their decoded python variants
+    (int/float/bool/str) instead of stringifying — the re-encode merge
+    path needs the Value types back (vector_tile_load_tile.hpp:93-137)."""
     layer = pbf.decode_layer(bytes(layer_bytes))
     if not _layer_ok(layer):
         return []
@@ -446,7 +449,10 @@ def iter_layer_packed(layer_bytes: bytes, bounds, bbox=None) -> list[tuple]:
     lb = _LayerBatch(layer, kw)
     seg_pk = _packed_from_seg(lb.seg)
     keys = layer["keys"]
-    vals_str = [None if v is None else str(v) for v in layer["values"]]
+    if typed:
+        vals_str = list(layer["values"])
+    else:
+        vals_str = [None if v is None else str(v) for v in layer["values"]]
     name = layer["name"]
     out = []
     for fi in range(lb.n):
@@ -531,13 +537,45 @@ GPACK_SCHEMA = (
 )
 
 
-def decode_tiles_gpack(tiles: DataFrame, bbox=None) -> DataFrame:
+def decode_tiles_gpack(
+    tiles: DataFrame,
+    bbox=None,
+    keep_cols: list[str] | None = None,
+    ordinals: bool = False,
+    typed: bool = False,
+) -> DataFrame:
     """Decode scan emitting the compact gpack geometry + its mercator
     envelope — the exact input shape build_geom_tiles' encode stages
     read. The decode->re-encode pipelines (pyramid re-tiling, composite
     slow path) ride this: geometry crosses the boundary as one binary
     column, no WKT text and no per-part Python objects, and the
-    envelope stage of the encoder is already paid here."""
+    envelope stage of the encoder is already paid here.
+
+    keep_cols: input columns carried through per decoded row (e.g. a
+    source-order column for the composite merge). ordinals adds
+    layer_idx (wire order of the layer within its tile) and feat_idx
+    (wire order of the kept feature within its layer). typed adds a
+    ptype map (key -> one of s/i/f/b) so the stringified props can be
+    restored to their Value variant types at re-encode."""
+    keep = list(keep_cols or [])
+    schema = GPACK_SCHEMA
+    if ordinals:
+        schema += ", layer_idx int, feat_idx long"
+    if typed:
+        schema += ", ptype map<string,string>"
+    by_name = {f.name: f for f in tiles.schema}
+    for c in keep:
+        schema += f", {c} {by_name[c].dataType.simpleString()}"
+    base_cols = [
+        "z", "x", "y", "layer", "feature_id", "geom_type",
+        "_gpk", "env_minx", "env_miny", "env_maxx", "env_maxy", "props",
+    ]
+    out_cols = list(base_cols)
+    if ordinals:
+        out_cols += ["layer_idx", "feat_idx"]
+    if typed:
+        out_cols += ["ptype"]
+    out_cols += keep
 
     def kernel(iterator):
         for pdf in iterator:
@@ -546,11 +584,13 @@ def decode_tiles_gpack(tiles: DataFrame, bbox=None) -> DataFrame:
                 z, x, y = int(row["z"]), int(row["x"]), int(row["y"])
                 if not row["tile"]:
                     continue
+                extras = tuple(row[c] for c in keep)
                 data = Z.decompress(bytes(row["tile"]))
                 bounds = tilemath.tile_mercator_bbox_np(x, y, z)
-                for layer_bytes in pbf.decode_tile(data):
+                for li, layer_bytes in enumerate(pbf.decode_tile(data)):
+                    fi = 0
                     for name, fid, gt, pk, props, _raster in iter_layer_packed(
-                        layer_bytes, bounds, bbox=bbox
+                        layer_bytes, bounds, bbox=bbox, typed=typed
                     ):
                         if pk is None:
                             continue  # raster-only: no geometry to re-tile
@@ -558,21 +598,52 @@ def decode_tiles_gpack(tiles: DataFrame, bbox=None) -> DataFrame:
                             pk["kind"], pk["xs"], pk["ys"], pk["offsets"],
                             pk.get("exterior"),
                         )
-                        out.append(
-                            (z, x, y, name, fid, gt, gpk,
-                             env[0], env[1], env[2], env[3], props)
-                        )
+                        rec = [z, x, y, name, fid, gt, gpk,
+                               env[0], env[1], env[2], env[3]]
+                        if typed:
+                            rec.append(
+                                {k: None if v is None else str(v)
+                                 for k, v in props.items()}
+                            )
+                        else:
+                            rec.append(props)
+                        if ordinals:
+                            rec += [li, fi]
+                        if typed:
+                            rec.append({k: _vtag(v) for k, v in props.items()})
+                        out.append((*rec, *extras))
+                        fi += 1
             if out:
-                yield pd.DataFrame(
-                    out,
-                    columns=[
-                        "z", "x", "y", "layer", "feature_id", "geom_type",
-                        "_gpk", "env_minx", "env_miny", "env_maxx", "env_maxy",
-                        "props",
-                    ],
-                )
+                yield pd.DataFrame(out, columns=out_cols)
 
-    return tiles.select("z", "x", "y", "tile").mapInPandas(kernel, schema=GPACK_SCHEMA)
+    return tiles.select("z", "x", "y", "tile", *keep).mapInPandas(kernel, schema=schema)
+
+
+def _vtag(v) -> str:
+    """Value-variant tag for the typed gpack scan: b(ool) before i(nt) —
+    bool is an int subclass."""
+    if isinstance(v, bool):
+        return "b"
+    if isinstance(v, int):
+        return "i"
+    if isinstance(v, float):
+        return "f"
+    return "s"
+
+
+def parse_tagged_value(v, tag: str):
+    """Inverse of the typed gpack scan's stringification: restore the
+    python variant so the re-encoder writes the same Value type family
+    (ints stay ints — the r4 nullable-int bug class)."""
+    if v is None:
+        return None
+    if tag == "i":
+        return int(v)
+    if tag == "f":
+        return float(v)
+    if tag == "b":
+        return v == "True"
+    return v
 
 
 def _packed_from_seg(seg) -> dict:
