@@ -404,14 +404,16 @@ def explode_hot_tiles(
     return cold.unionByName(chunks)
 
 
-def decode_tiles(tiles: DataFrame) -> DataFrame:
-    """tiles: (z, x, y, tile binary, ...) -> decoded feature rows."""
+def decode_tiles(tiles: DataFrame, bbox=None) -> DataFrame:
+    """tiles: (z, x, y, tile binary, ...) -> decoded feature rows (WKT
+    text out — the compat/interop scan; pipelines ride the packed/gpack
+    forms). `bbox` pushes a mercator query box into the decoder."""
 
     def kernel(iterator):
         for pdf in iterator:
             out = []
-            for _, row in pdf.iterrows():
-                out.extend(decode_tile_rows(int(row["z"]), int(row["x"]), int(row["y"]), row["tile"]))
+            for z, x, y, tile in zip(pdf["z"], pdf["x"], pdf["y"], pdf["tile"]):
+                out.extend(decode_tile_rows(int(z), int(x), int(y), tile, bbox=bbox))
             if out:
                 yield pd.DataFrame(
                     out,
@@ -496,11 +498,11 @@ def decode_tiles_packed(tiles: DataFrame, bbox=None) -> DataFrame:
     def kernel(iterator):
         for pdf in iterator:
             out = []
-            for _, row in pdf.iterrows():
-                z, x, y = int(row["z"]), int(row["x"]), int(row["y"])
-                if not row["tile"]:
+            for z, x, y, tile in zip(pdf["z"], pdf["x"], pdf["y"], pdf["tile"]):
+                z, x, y = int(z), int(x), int(y)
+                if not tile:
                     continue
-                data = Z.decompress(bytes(row["tile"]))
+                data = Z.decompress(bytes(tile))
                 bounds = tilemath.tile_mercator_bbox_np(x, y, z)
                 for layer_bytes in pbf.decode_tile(data):
                     for name, fid, gt, pk, props, raster in iter_layer_packed(
@@ -580,12 +582,15 @@ def decode_tiles_gpack(
     def kernel(iterator):
         for pdf in iterator:
             out = []
-            for _, row in pdf.iterrows():
-                z, x, y = int(row["z"]), int(row["x"]), int(row["y"])
-                if not row["tile"]:
+            keep_vals = [pdf[c] for c in keep]
+            for z, x, y, tile, *extras in zip(
+                pdf["z"], pdf["x"], pdf["y"], pdf["tile"], *keep_vals
+            ):
+                z, x, y = int(z), int(x), int(y)
+                if not tile:
                     continue
-                extras = tuple(row[c] for c in keep)
-                data = Z.decompress(bytes(row["tile"]))
+                extras = tuple(extras)
+                data = Z.decompress(bytes(tile))
                 bounds = tilemath.tile_mercator_bbox_np(x, y, z)
                 for li, layer_bytes in enumerate(pbf.decode_tile(data)):
                     fi = 0
@@ -716,7 +721,7 @@ def _pack_from_parts(geom) -> tuple:
 
 def features_at_point(
     tiles: DataFrame, lon: float, lat: float, tol_merc: float = 0.0,
-    packed: bool = False,
+    packed: bool = True,
 ) -> DataFrame:
     """S4: point-lookup scan over encoded tiles — decode with a tiny bbox
     pushed *into* the decoder (the reference's filter_at_point,
@@ -725,9 +730,10 @@ def features_at_point(
     Cell pruning happens BEFORE any decode: only tiles whose mercator
     bbox (grown by the tolerance) contains the query point survive the
     Column filter, so a z-keyed/partitioned tile store prunes to O(1)
-    tiles per zoom instead of scanning the world. `packed=True` returns
-    the ragged array form (PACKED_SCHEMA) instead of WKT rows — the
-    scale path when hits feed further relational stages."""
+    tiles per zoom instead of scanning the world. The default return is
+    the ragged array form (PACKED_SCHEMA) — the scale path when hits
+    feed further relational stages; `packed=False` yields WKT rows for
+    interop (the compat boundary, via decode_tiles)."""
     from pyspark.sql import functions as F
 
     mx, my = tilemath.mercator_np(lon, lat)
@@ -742,24 +748,7 @@ def features_at_point(
     )
     if packed:
         return decode_tiles_packed(tiles, bbox=bbox)
-
-    def kernel(iterator):
-        for pdf in iterator:
-            out = []
-            for _, row in pdf.iterrows():
-                out.extend(
-                    decode_tile_rows(int(row["z"]), int(row["x"]), int(row["y"]), row["tile"], bbox=bbox)
-                )
-            if out:
-                yield pd.DataFrame(
-                    out,
-                    columns=[
-                        "z", "x", "y", "layer", "feature_id", "geom_type",
-                        "geom_wkt", "props", "raster",
-                    ],
-                )
-
-    return tiles.select("z", "x", "y", "tile").mapInPandas(kernel, schema=DECODED_SCHEMA)
+    return decode_tiles(tiles, bbox=bbox)
 
 
 # ---------------------------------------------------------------------------

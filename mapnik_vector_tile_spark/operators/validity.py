@@ -270,8 +270,8 @@ def validate_tiles(tiles: DataFrame) -> tuple[DataFrame, DataFrame]:
     def run(iterator, idx):
         for pdf in iterator:
             out = []
-            for _, row in pdf.iterrows():
-                res = validate_tile(int(row["z"]), int(row["x"]), int(row["y"]), row["tile"])
+            for z, x, y, tile in zip(pdf["z"], pdf["x"], pdf["y"], pdf["tile"]):
+                res = validate_tile(int(z), int(x), int(y), tile)
                 out.extend(res[idx])
             if out:
                 cols = (

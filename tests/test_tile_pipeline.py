@@ -172,9 +172,11 @@ def test_features_at_point_packed(tiles, located):
     src = located.select("image_id", "lon", "lat").first()
     ts = tilemath.EARTH_CIRCUMFERENCE / 2**Z_TEST
     tol = ts / 4096.0 * 2
-    wkt_hits = decode.features_at_point(tiles, src["lon"], src["lat"], tol_merc=tol)
-    pk_hits = decode.features_at_point(
-        tiles, src["lon"], src["lat"], tol_merc=tol, packed=True
+    wkt_hits = decode.features_at_point(
+        tiles, src["lon"], src["lat"], tol_merc=tol, packed=False
+    )
+    pk_hits = decode.features_at_point(  # packed is the default (r4 verdict)
+        tiles, src["lon"], src["lat"], tol_merc=tol
     ).toPandas()
     assert any(m["image_id"] == src["image_id"] for m in pk_hits["props"])
     # same feature ids with geometry as the WKT path
