@@ -16,8 +16,10 @@ directly in numpy):
 * ``lcc``      — Lambert Conformal Conic, ellipsoidal 1SP/2SP
                  (Snyder eq. 15-x; Lambert-93 / NAD83 state planes / the
                  post-UTM national-grid family — r4)
-* ``stere``    — polar stereographic, ellipsoidal (Snyder eq. 21-x;
-                 NSIDC / Antarctic grids — r4; oblique not implemented)
+* ``stere``    — stereographic, ellipsoidal: polar aspects (Snyder eq.
+                 21-33..21-41; NSIDC / Antarctic grids — r4) and
+                 oblique/equatorial aspects via the conformal-latitude
+                 method (Snyder eq. 3-1, 21-24..21-40 — r5)
 
 Ellipsoids come from +ellps/+a/+b/+rf (WGS84, GRS80, intl, clrk66,
 bessel, krass, airy); ``+towgs84`` 3/7-parameter Helmert datum shifts
@@ -167,10 +169,17 @@ def parse_proj4(s: str) -> dict:
         a, e2 = _ellipsoid(params)
         lat_0 = float(str(params.get("lat_0", 90.0)))
         if abs(lat_0) != 90.0:
-            raise NotImplementedError(
-                "+proj=stere: only the polar aspects (lat_0=+/-90) are "
-                "implemented (the national polar grids); oblique stere is not"
-            )
+            # oblique/equatorial aspect (r5): conformal-latitude method
+            return {
+                "proj": "stere_ob",
+                "lat_0": lat_0,
+                "lon_0": float(str(params.get("lon_0", 0.0))),
+                "k": float(str(params.get("k", params.get("k_0", 1.0)))),
+                "x_0": float(str(params.get("x_0", 0.0))),
+                "y_0": float(str(params.get("y_0", 0.0))),
+                "a": a, "e2": e2,
+                "towgs84": _towgs84(params),
+            }
         return {
             "proj": "stere",
             "south": lat_0 < 0,
@@ -407,6 +416,86 @@ def _stere_inv(crs: dict, x, y):
     return (lon + 180.0) % 360.0 - 180.0, sgn * np.degrees(phi)
 
 
+# --- stere_ob (oblique/equatorial stereographic, ellipsoidal — Snyder
+# eq. 3-1, 21-24..21-31 forward and 21-38..21-40 + 3-5 inverse: the
+# conformal-latitude method, which maps the ellipsoid conformally to a
+# sphere and applies the exact spherical oblique stereographic there;
+# completes the any-proj4 stere contract of vector_tile_strategy.hpp:69-104.
+# Pinned in tests by an INDEPENDENT derivation: on the conformal sphere
+# the image of any point must sit at radius 2*R'*tan(c/2) and azimuth
+# alpha from the center, with (c, alpha) computed by plain spherical
+# trigonometry — no shared code with the forward formulas.) ------------------
+
+def _conformal_lat(phi: np.ndarray, e: float) -> np.ndarray:
+    """Snyder eq. 3-1: geodetic -> conformal latitude chi (radians)."""
+    esin = e * np.sin(phi)
+    return (
+        2.0 * np.arctan(
+            np.tan(np.pi / 4.0 + phi / 2.0)
+            * np.power((1.0 - esin) / (1.0 + esin), e / 2.0)
+        )
+        - np.pi / 2.0
+    )
+
+
+def _phi_from_conformal(chi: np.ndarray, e: float) -> np.ndarray:
+    """Snyder eq. 3-4 iteration: conformal -> geodetic latitude."""
+    phi = chi.copy()
+    for _ in range(8):
+        esin = e * np.sin(phi)
+        phi = (
+            2.0 * np.arctan(
+                np.tan(np.pi / 4.0 + chi / 2.0)
+                * np.power((1.0 + esin) / (1.0 - esin), e / 2.0)
+            )
+            - np.pi / 2.0
+        )
+    return phi
+
+
+def _stere_ob_consts(crs: dict) -> tuple[float, float, float]:
+    """(chi1, sin/cos-free helpers): conformal center latitude and the
+    2*a*k0*m1 scale numerator (Snyder 21-27's A shares them per-CRS)."""
+    e = math.sqrt(crs["e2"])
+    phi1 = math.radians(crs["lat_0"])
+    chi1 = float(_conformal_lat(np.asarray([phi1]), e)[0])
+    m1 = math.cos(phi1) / math.sqrt(1.0 - crs["e2"] * math.sin(phi1) ** 2)
+    return chi1, m1, 2.0 * crs["a"] * crs["k"] * m1
+
+
+def _stere_ob_fwd(crs: dict, lon, lat):
+    e = math.sqrt(crs["e2"])
+    chi1, _m1, num = _stere_ob_consts(crs)
+    sc1, cc1 = math.sin(chi1), math.cos(chi1)
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - crs["lon_0"])
+    lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
+    chi = _conformal_lat(np.radians(np.asarray(lat, dtype=np.float64)), e)
+    sch, cch = np.sin(chi), np.cos(chi)
+    A = num / (cc1 * (1.0 + sc1 * sch + cc1 * cch * np.cos(lam)))  # 21-27
+    x = A * cch * np.sin(lam)                                      # 21-24
+    y = A * (cc1 * sch - sc1 * cch * np.cos(lam))                  # 21-25
+    return crs["x_0"] + x, crs["y_0"] + y
+
+
+def _stere_ob_inv(crs: dict, x, y):
+    e = math.sqrt(crs["e2"])
+    chi1, _m1, num = _stere_ob_consts(crs)
+    sc1, cc1 = math.sin(chi1), math.cos(chi1)
+    dx = np.asarray(x, dtype=np.float64) - crs["x_0"]
+    dy = np.asarray(y, dtype=np.float64) - crs["y_0"]
+    rho = np.hypot(dx, dy)
+    ce = 2.0 * np.arctan2(rho * cc1, num)                          # 21-38
+    sce, cce = np.sin(ce), np.cos(ce)
+    safe = np.where(rho == 0.0, 1.0, rho)
+    chi = np.arcsin(
+        np.where(rho == 0.0, sc1, cce * sc1 + dy * sce * cc1 / safe)
+    )                                                              # 21-39
+    lam = np.arctan2(dx * sce, rho * cc1 * cce - dy * sc1 * sce)   # 21-40
+    phi = _phi_from_conformal(chi, e)
+    lon = crs["lon_0"] + np.degrees(np.where(rho == 0.0, 0.0, lam))
+    return (lon + 180.0) % 360.0 - 180.0, np.degrees(phi)
+
+
 # --- datum shift (+towgs84: 3/7-parameter Helmert via geocentric XYZ,
 # position-vector convention — what proj4/mapnik apply between datums) ---------
 
@@ -474,6 +563,8 @@ def forward(crs: dict, lon, lat):
         return _lcc_fwd(crs, lon, lat)
     if p == "stere":
         return _stere_fwd(crs, lon, lat)
+    if p == "stere_ob":
+        return _stere_ob_fwd(crs, lon, lat)
     raise NotImplementedError(p)
 
 
@@ -512,6 +603,8 @@ def inverse(crs: dict, x, y):
         return _lcc_inv(crs, x, y)
     if p == "stere":
         return _stere_inv(crs, x, y)
+    if p == "stere_ob":
+        return _stere_ob_inv(crs, x, y)
     raise NotImplementedError(p)
 
 

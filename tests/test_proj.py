@@ -410,3 +410,129 @@ def test_osgb_datum_shift_magnitude():
     ground_m = np.hypot(dlon * 111320.0 * np.cos(np.radians(52.0)),
                         dlat * 110574.0)
     assert 80.0 < ground_m < 160.0
+
+
+# ---------------------------------------------------------------------------
+# oblique / equatorial stereographic (round 5 — closes the proj.py stere
+# guard; strategy.hpp:69-104 accepts any +proj=stere aspect). Pinned by an
+# INDEPENDENT derivation instead of a memorized worked example (no network):
+# a conformal-aspect azimuthal projection must place every point at radius
+# 2*R'*tan(c/2) and bearing alpha from the center on the conformal sphere,
+# with (c, alpha, chi) computed here by plain spherical trigonometry and the
+# isometric-latitude form of the conformal latitude — no code shared with
+# the implementation's Snyder 21-24..21-27 formulas.
+# ---------------------------------------------------------------------------
+
+def _chi_isometric(phi: float, e: float) -> float:
+    """Conformal latitude via the isometric-latitude identity
+    chi = gd(psi), psi = asinh(tan phi) - e atanh(e sin phi)."""
+    import math
+
+    psi = math.asinh(math.tan(phi)) - e * math.atanh(e * math.sin(phi))
+    return 2.0 * math.atan(math.exp(psi)) - math.pi / 2.0
+
+
+def _stere_trig_oracle(crs_str: str, lon: float, lat: float):
+    import math
+
+    crs = P.parse_proj4(crs_str)
+    e = math.sqrt(crs["e2"])
+    phi1 = math.radians(crs["lat_0"])
+    chi1 = _chi_isometric(phi1, e) if abs(phi1) > 0 else 0.0
+    chi = _chi_isometric(math.radians(lat), e)
+    dlam = math.radians(lon - crs["lon_0"])
+    # spherical trig on the conformal sphere: distance + initial bearing
+    c = math.acos(
+        min(1.0, max(-1.0,
+            math.sin(chi1) * math.sin(chi)
+            + math.cos(chi1) * math.cos(chi) * math.cos(dlam)))
+    )
+    alpha = math.atan2(
+        math.sin(dlam) * math.cos(chi),
+        math.cos(chi1) * math.sin(chi)
+        - math.sin(chi1) * math.cos(chi) * math.cos(dlam),
+    )
+    m1 = math.cos(phi1) / math.sqrt(1.0 - crs["e2"] * math.sin(phi1) ** 2)
+    r_eff = crs["a"] * crs["k"] * m1 / math.cos(chi1)
+    r = 2.0 * r_eff * math.tan(c / 2.0)
+    return crs["x_0"] + r * math.sin(alpha), crs["y_0"] + r * math.cos(alpha)
+
+
+def test_oblique_stere_matches_trig_oracle():
+    crs = "+proj=stere +lat_0=52.5 +lon_0=10 +k=0.9997 +x_0=30000 +y_0=-20000 +ellps=intl"
+    rng = np.random.default_rng(5)
+    lons = rng.uniform(-30.0, 50.0, 40)
+    lats = rng.uniform(20.0, 80.0, 40)
+    x, y = P.forward(P.parse_proj4(crs), lons, lats)
+    for i in range(len(lons)):
+        ex, ey = _stere_trig_oracle(crs, float(lons[i]), float(lats[i]))
+        assert abs(x[i] - ex) < 1e-5, (lons[i], lats[i])
+        assert abs(y[i] - ey) < 1e-5
+
+
+def test_equatorial_stere_matches_trig_oracle_and_symmetry():
+    crs = "+proj=stere +lat_0=0 +lon_0=-60 +k=0.994 +ellps=WGS84"
+    pc = P.parse_proj4(crs)
+    rng = np.random.default_rng(7)
+    lons = rng.uniform(-120.0, 0.0, 25)
+    lats = rng.uniform(-70.0, 70.0, 25)
+    x, y = P.forward(pc, lons, lats)
+    for i in range(len(lons)):
+        ex, ey = _stere_trig_oracle(crs, float(lons[i]), float(lats[i]))
+        assert abs(x[i] - ex) < 1e-5 and abs(y[i] - ey) < 1e-5
+    # hemispheric symmetry: mirroring latitude mirrors y, keeps x
+    xm, ym = P.forward(pc, lons, -lats)
+    np.testing.assert_allclose(xm, x, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(ym, -y, rtol=0, atol=1e-6)
+
+
+def test_oblique_stere_sphere_exact_identity():
+    """On a sphere (a=b) chi == phi and r == 2 R k0 tan(c/2) exactly."""
+    import math
+
+    crs = "+proj=stere +lat_0=40 +lon_0=-100 +k=1 +a=6370997 +b=6370997"
+    pc = P.parse_proj4(crs)
+    assert pc["e2"] == 0.0
+    lon, lat = -75.0, 30.0
+    x, y = P.forward(pc, np.asarray([lon]), np.asarray([lat]))
+    ex, ey = _stere_trig_oracle(crs, lon, lat)
+    assert abs(float(x[0]) - ex) < 1e-7
+    assert abs(float(y[0]) - ey) < 1e-7
+    # center maps to origin, scale k0 at center (numeric Jacobian)
+    x0, y0 = P.forward(pc, np.asarray([-100.0]), np.asarray([40.0]))
+    assert abs(float(x0[0])) < 1e-9 and abs(float(y0[0])) < 1e-9
+    d = 1e-7
+    xe, _ = P.forward(pc, np.asarray([-100.0 + d]), np.asarray([40.0]))
+    k_num = float(xe[0]) / (
+        6370997.0 * math.radians(d) * math.cos(math.radians(40.0))
+    )
+    assert abs(k_num - 1.0) < 1e-6
+
+
+def test_oblique_stere_roundtrip_and_transform():
+    crs = P.parse_proj4("+proj=stere +lat_0=-35 +lon_0=140 +k=0.9998 +ellps=GRS80")
+    rng = np.random.default_rng(3)
+    lons = rng.uniform(100.0, 180.0, 50)
+    lats = rng.uniform(-75.0, 5.0, 50)
+    x, y = P.forward(crs, lons, lats)
+    lon2, lat2 = P.inverse(crs, x, y)
+    np.testing.assert_allclose(lon2, lons, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(lat2, lats, rtol=0, atol=1e-9)
+    # through transform() into web mercator and back
+    mx, my = P.transform(crs, "+init=epsg:3857", x, y)
+    x3, y3 = P.transform("+init=epsg:3857", crs, mx, my)
+    np.testing.assert_allclose(x3, x, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(y3, y, rtol=0, atol=1e-6)
+
+
+def test_oblique_stere_continuity_with_polar():
+    """lat_0 -> 90 limit agrees with the polar-aspect implementation."""
+    ob = P.parse_proj4("+proj=stere +lat_0=89.9999 +lon_0=-45 +k=0.994 +ellps=WGS84")
+    po = P.parse_proj4("+proj=stere +lat_0=90 +lon_0=-45 +k=0.994 +ellps=WGS84")
+    lons = np.asarray([-100.0, 0.0, 77.0])
+    lats = np.asarray([70.0, 80.0, 60.0])
+    xo, yo = P.forward(ob, lons, lats)
+    xp, yp = P.forward(po, lons, lats)
+    # 1e-4 deg of center offset -> ~11 m; agreement inside ~3x that
+    np.testing.assert_allclose(xo, xp, rtol=0, atol=40.0)
+    np.testing.assert_allclose(yo, yp, rtol=0, atol=40.0)
