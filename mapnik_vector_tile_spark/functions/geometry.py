@@ -343,29 +343,74 @@ def from_wkt(wkt: str):
 _GP_KINDS = ["empty", "point", "multipoint", "linestring", "multilinestring",
              "polygon", "multipolygon"]
 _GP_CODE = {k: i for i, k in enumerate(_GP_KINDS)}
+_GP_COLLECTION = 8  # nested-variant tag (r5): tree header, coords at tail
+
+
+def _gp_simple_parts(kind: str, val):
+    """(rings list[(n,2) f64], part ids) of a NON-collection geometry."""
+    if kind == "point":
+        return [np.asarray(val, dtype=np.float64).reshape(1, 2)], [0]
+    if kind in ("multipoint", "linestring"):
+        return [np.asarray(val, dtype=np.float64).reshape(-1, 2)], [0]
+    if kind in ("multilinestring", "polygon"):
+        rings = [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in val]
+        parts = list(range(len(rings))) if kind == "multilinestring" else [0] * len(rings)
+        return rings, parts
+    # multipolygon
+    rings, parts = [], []
+    for pi, poly in enumerate(val):
+        for r in poly:
+            rings.append(np.asarray(r, dtype=np.float64).reshape(-1, 2))
+            parts.append(pi)
+    return rings, parts
+
+
+def _gp_tree(geom, rings_out: list) -> bytes:
+    """Recursive structure header for the collection layout — coords of
+    the whole tree accumulate into rings_out (traversal order) and are
+    written once, contiguously, after the header: the reproject lane's
+    patch-coords-behind-the-header invariant holds for collections."""
+    kind, val = geom
+    if kind == "geometrycollection":
+        b = bytearray([_GP_COLLECTION])
+        b += len(val).to_bytes(4, "little")
+        for m in val:
+            b += _gp_tree(m, rings_out)
+        return bytes(b)
+    if kind == "empty" or val is None:
+        return bytes([0])
+    rings, parts = _gp_simple_parts(kind, val)
+    counts = np.array([len(r) for r in rings], dtype=np.uint32)
+    head = np.concatenate([[len(rings)], counts, np.asarray(parts, dtype=np.uint32)])
+    rings_out.extend(rings)
+    return bytes([_GP_CODE[kind]]) + head.astype(np.uint32).tobytes()
 
 
 def gpack(geom) -> bytes:
     """(kind, val) -> compact bytes: [code u8][ring count u32]
-    [per-ring point count u32...][ring->part id u32...][coords f64...]."""
+    [per-ring point count u32...][ring->part id u32...][coords f64...].
+    Geometry collections (code 8, r5): [8][total pts u32][coords byte
+    offset u32][recursive tree][coords f64...] — nested structure in the
+    header, every coordinate of the tree contiguous at the tail."""
     kind, val = geom
     if kind == "geometrycollection":
-        raise ValueError("geometry collections are not packable")
+        rings_out: list = []
+        tree = _gp_tree(geom, rings_out)
+        coords = (
+            np.concatenate(rings_out, axis=0)
+            if rings_out else np.empty((0, 2), dtype=np.float64)
+        )
+        coff = 9 + len(tree)
+        return (
+            bytes([_GP_COLLECTION])
+            + len(coords).to_bytes(4, "little")
+            + coff.to_bytes(4, "little")
+            + tree
+            + coords.astype(np.float64).tobytes()
+        )
     if kind == "empty" or val is None:
         return bytes([0])
-    if kind == "point":
-        rings, parts = [np.asarray(val, dtype=np.float64).reshape(1, 2)], [0]
-    elif kind in ("multipoint", "linestring"):
-        rings, parts = [np.asarray(val, dtype=np.float64).reshape(-1, 2)], [0]
-    elif kind in ("multilinestring", "polygon"):
-        rings = [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in val]
-        parts = list(range(len(rings))) if kind == "multilinestring" else [0] * len(rings)
-    else:  # multipolygon
-        rings, parts = [], []
-        for pi, poly in enumerate(val):
-            for r in poly:
-                rings.append(np.asarray(r, dtype=np.float64).reshape(-1, 2))
-                parts.append(pi)
+    rings, parts = _gp_simple_parts(kind, val)
     counts = np.array([len(r) for r in rings], dtype=np.uint32)
     head = np.concatenate([[len(rings)], counts, np.asarray(parts, dtype=np.uint32)])
     coords = (
@@ -378,9 +423,52 @@ def gpack(geom) -> bytes:
     )
 
 
+def _gp_untree(data: bytes, pos: int, coords: np.ndarray, cpos: int):
+    """Parse one tree node at pos -> (geom tuple, new pos, new coord pos)."""
+    code = data[pos]
+    if code == _GP_COLLECTION:
+        n = int.from_bytes(data[pos + 1 : pos + 5], "little")
+        pos += 5
+        members = []
+        for _ in range(n):
+            g, pos, cpos = _gp_untree(data, pos, coords, cpos)
+            members.append(g)
+        return ("geometrycollection", members), pos, cpos
+    if code == 0:
+        return ("empty", None), pos + 1, cpos
+    kind = _GP_KINDS[code]
+    nr = int.from_bytes(data[pos + 1 : pos + 5], "little")
+    counts = np.frombuffer(data, dtype=np.uint32, count=nr, offset=pos + 5).astype(np.int64)
+    parts = np.frombuffer(data, dtype=np.uint32, count=nr, offset=pos + 5 + 4 * nr)
+    pos += 5 + 8 * nr
+    rings = []
+    for c in counts.tolist():
+        rings.append(coords[cpos : cpos + c])
+        cpos += c
+    if kind == "point":
+        return (kind, rings[0][0]), pos, cpos
+    if kind in ("multipoint", "linestring"):
+        return (kind, rings[0]), pos, cpos
+    if kind in ("multilinestring", "polygon"):
+        return (kind, rings), pos, cpos
+    polys: list[list[np.ndarray]] = []
+    last = -1
+    for r, p in zip(rings, parts):
+        if p != last:
+            polys.append([])
+            last = p
+        polys[-1].append(r)
+    return (kind, polys), pos, cpos
+
+
 def gunpack(data: bytes):
     """Inverse of gpack — same tuple shapes as from_wkt."""
     code = data[0]
+    if code == _GP_COLLECTION:
+        coff = int.from_bytes(data[5:9], "little")
+        coords = np.frombuffer(data, dtype=np.float64, offset=coff).reshape(-1, 2)
+        geom, _pos, _cpos = _gp_untree(data, 9, coords, 0)
+        return geom
     kind = _GP_KINDS[code]
     if code == 0:
         return ("empty", None)

@@ -1106,7 +1106,11 @@ def build_gpack(blobs, vt):
     buf = np.frombuffer(b"".join(blob_list), dtype=np.uint8)
     boffs = np.cumsum(lens) - lens
     codes = buf[boffs].astype(np.int64)
-    present = codes != _GPC_EMPTY
+    # geometry collections (gpack code 8, nested tree header) keep the
+    # scalar pipeline, like the tuple lane's build() ejects them
+    coll = codes == G._GP_COLLECTION
+    gc_ejects = np.flatnonzero(coll).tolist()
+    present = (codes != _GPC_EMPTY) & ~coll
     nr = np.zeros(F, dtype=np.int64)
     pr = np.flatnonzero(present)
     if len(pr):
@@ -1254,4 +1258,4 @@ def build_gpack(blobs, vt):
     if len(ok) and not ok.all():
         b2 = _apply_point_keep(b2, ok)
         b2 = _revalidate_after_pointdrop(b2, fkind)
-    return b2, fkind, [], F
+    return b2, fkind, gc_ejects, F

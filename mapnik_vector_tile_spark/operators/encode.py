@@ -371,18 +371,24 @@ def encode_point_layer(
 
 def _scalar_geom_feature(geom, vt, clip_box, simplify_distance,
                           area_threshold, stats,
-                          fill_type="even_odd", strictly_simple=False):
+                          fill_type="even_odd", strictly_simple=False,
+                          multi_polygon_union=False, process_all_rings=False):
     """One feature through the scalar pipeline (the eject lane):
-    transform -> simplify -> clip -> encode. Returns (gtype, cmds) or
-    (None, [])."""
+    transform -> simplify -> clip -> encode. Returns a LIST of
+    (gtype, cmds): a geometry collection expands into one entry per
+    member — the reference writes each collection member as its own
+    wire feature with the row's tags/id
+    (vector_tile_geometry_feature.hpp:70-76 visitor recursion; the
+    geometry encoder itself refuses collections,
+    vector_tile_geometry_encoder_pbf.ipp:62-65)."""
     tg0 = G.transform_geom(geom, vt)
     if tg0[0] == "empty":
-        return None, []
+        return []
     bbox = G._geom_px_bbox(tg0)
     if simplify_distance > 0:
         tg0 = G.simplify_geom(tg0, simplify_distance)
         if tg0[0] == "empty":
-            return None, []
+            return []
     cx0, cy0, cx1, cy1 = clip_box
     inside = (
         bbox is not None
@@ -390,13 +396,27 @@ def _scalar_geom_feature(geom, vt, clip_box, simplify_distance,
         and bbox[2] <= cx1 and bbox[3] <= cy1
         and tg0[0] != "geometrycollection"
     )
+    kw = dict(area_threshold=area_threshold, stats=stats,
+              fill_type=fill_type, strictly_simple=strictly_simple,
+              multi_polygon_union=multi_polygon_union,
+              process_all_rings=process_all_rings)
     if inside:
-        tg = G.clip_geom_inside(tg0, area_threshold=area_threshold, stats=stats,
-                                fill_type=fill_type, strictly_simple=strictly_simple)
+        tg = G.clip_geom_inside(tg0, **kw)
     else:
-        tg = G.clip_geom(tg0, clip_box, area_threshold=area_threshold, stats=stats,
-                         fill_type=fill_type, strictly_simple=strictly_simple)
-    return Cmd.encode_geometry(tg)
+        tg = G.clip_geom(tg0, clip_box, **kw)
+    out: list[tuple] = []
+
+    def emit(g):
+        if g[0] == "geometrycollection":
+            for m in g[1]:
+                emit(m)
+        elif g[0] != "empty":
+            gtype, cmds = Cmd.encode_geometry(g)
+            if gtype is not None:
+                out.append((gtype, cmds))
+
+    emit(tg)
+    return out
 
 
 def _encode_geom_tiles_segmented(
@@ -466,7 +486,7 @@ def _encode_geom_tiles_segmented(
                 float(maxyg[g]), extent, extent,
             )
             st_i: dict = {}
-            gtype, cmds = _scalar_geom_feature(
+            encoded = _scalar_geom_feature(
                 G.gunpack(bytes(blobs[i])), vt_i, clip_box,
                 simplify_distance, area_threshold, st_i,
                 fill_type=fill_type, strictly_simple=strictly_simple,
@@ -475,11 +495,10 @@ def _encode_geom_tiles_segmented(
             if ov:
                 stats["budget_exceeded"] = stats.get("budget_exceeded", 0) + ov
                 stats.setdefault("budget_exceeded_feats", []).extend([i] * ov)
-            if gtype is None:
-                continue
-            s_rows.append(i)
-            s_gtypes.append(gtype)
-            s_cmds.append(np.asarray(cmds, dtype=np.uint64))
+            for gtype, cmds in encoded:  # collections: one feature/member
+                s_rows.append(i)
+                s_gtypes.append(gtype)
+                s_cmds.append(np.asarray(cmds, dtype=np.uint64))
         if s_rows:
             pieces = np.split(cmds_flat, np.cumsum(clens)[:-1]) if len(clens) else []
             rows_all = np.concatenate([feat_rows, np.asarray(s_rows, dtype=np.int64)])
@@ -595,43 +614,19 @@ def encode_geom_layer(
             force_resolve=strictly_simple,
         )
     if ejects:
-        cx0, cy0, cx1, cy1 = clip_box
         s_rows: list[int] = []
         s_gtypes: list[int] = []
         s_cmds: list[np.ndarray] = []
         for i in ejects:
-            tg0 = G.transform_geom(geoms[i], vt)
-            if tg0[0] == "empty":
-                continue
-            bbox = G._geom_px_bbox(tg0)
-            if simplify_distance > 0:
-                tg0 = G.simplify_geom(tg0, simplify_distance)
-                if tg0[0] == "empty":
-                    continue
-            inside = (
-                bbox is not None
-                and bbox[0] >= cx0 and bbox[1] >= cy0
-                and bbox[2] <= cx1 and bbox[3] <= cy1
-                and tg0[0] != "geometrycollection"
-            )
-            if inside:
-                tg = G.clip_geom_inside(tg0, area_threshold=area_threshold, stats=stats,
-                                        fill_type=fill_type,
-                                        strictly_simple=strictly_simple,
-                                        multi_polygon_union=multi_polygon_union,
-                                        process_all_rings=process_all_rings)
-            else:
-                tg = G.clip_geom(tg0, clip_box, area_threshold=area_threshold, stats=stats,
-                                 fill_type=fill_type,
-                                 strictly_simple=strictly_simple,
-                                 multi_polygon_union=multi_polygon_union,
-                                 process_all_rings=process_all_rings)
-            gtype, cmds = Cmd.encode_geometry(tg)
-            if gtype is None:
-                continue
-            s_rows.append(i)
-            s_gtypes.append(gtype)
-            s_cmds.append(np.asarray(cmds, dtype=np.uint64))
+            for gtype, cmds in _scalar_geom_feature(
+                geoms[i], vt, clip_box, simplify_distance, area_threshold,
+                stats, fill_type=fill_type, strictly_simple=strictly_simple,
+                multi_polygon_union=multi_polygon_union,
+                process_all_rings=process_all_rings,
+            ):  # collections: one wire feature per member
+                s_rows.append(i)
+                s_gtypes.append(gtype)
+                s_cmds.append(np.asarray(cmds, dtype=np.uint64))
         if s_rows:
             # merge scalar features back in original feature order
             pieces = np.split(cmds_flat, np.cumsum(clens)[:-1]) if len(clens) else []

@@ -78,50 +78,26 @@ def reproject_kernel(src, dst, wkt_col: str, emit: str):
         x, y = PJ.transform(src, dst, coords[..., 0], coords[..., 1])
         return np.stack([x, y], axis=-1)
 
-    def map_geom(geom):  # geometrycollection fallback (not packable)
-        kind, val = geom
-        if kind == "empty":
-            return geom
-        if kind == "point":
-            return (kind, tx(np.asarray(val, dtype=np.float64)[None, :])[0])
-        if kind in ("multipoint", "linestring"):
-            return (kind, tx(np.asarray(val, dtype=np.float64)))
-        if kind in ("multilinestring", "polygon"):
-            return (kind, [tx(np.asarray(r, dtype=np.float64)) for r in val])
-        if kind == "multipolygon":
-            return (kind, [[tx(np.asarray(r, dtype=np.float64)) for r in poly] for poly in val])
-        return (kind, [map_geom(g) for g in val])
-
     def kernel(iterator):
         for pdf in iterator:
             if len(pdf) == 0:
                 continue
             has_gpk = "_gpk" in pdf.columns
-            coll: dict[int, str] = {}  # row -> reprojected collection WKT
-            packs: list[bytes] = []
             if has_gpk:
                 packs = [bytes(p) for p in pdf["_gpk"]]
             else:
-                for i, w in enumerate(pdf[wkt_col]):
-                    g = G.from_wkt(w)
-                    if g[0] == "geometrycollection":
-                        if emit == "gpack":
-                            raise ValueError(
-                                "geometry collections are not packable — "
-                                "use emit='wkt'"
-                            )
-                        coll[i] = G.to_wkt(map_geom(g))
-                        packs.append(bytes([0]))
-                    else:
-                        packs.append(G.gpack(g))
+                packs = [G.gpack(G.from_wkt(w)) for w in pdf[wkt_col]]
             metas: list[tuple] = []
             coord_parts: list[np.ndarray] = []
             for pk in packs:
                 if pk[0] == 0:
                     metas.append((pk, 1, 0))
                     continue
-                nr = int.from_bytes(pk[1:5], "little")
-                hlen = 5 + 8 * nr
+                if pk[0] == G._GP_COLLECTION:  # coords at tail, like simple
+                    hlen = int.from_bytes(pk[5:9], "little")
+                else:
+                    nr = int.from_bytes(pk[1:5], "little")
+                    hlen = 5 + 8 * nr
                 c = np.frombuffer(pk, dtype=np.float64, offset=hlen).reshape(-1, 2)
                 metas.append((pk, hlen, len(c)))
                 coord_parts.append(c)
@@ -154,8 +130,6 @@ def reproject_kernel(src, dst, wkt_col: str, emit: str):
                 )
             else:
                 wkts = G.to_wkt_batch([G.gunpack(p) for p in out_packs])
-                for i, w in coll.items():
-                    wkts[i] = w
                 yield pdf.assign(**{wkt_col: wkts})
 
     return kernel
@@ -186,6 +160,15 @@ def with_envelope(df: DataFrame, wkt_col: str = "geom_wkt") -> DataFrame:
                     arr = np.vstack(val)
                 elif kind == "polygon":
                     arr = np.vstack(val)
+                elif kind == "geometrycollection":
+                    # the pack just built carries every coordinate of the
+                    # tree contiguously at its tail
+                    pk = packs[-1]
+                    coff = int.from_bytes(pk[5:9], "little")
+                    arr = np.frombuffer(pk, dtype=np.float64, offset=coff).reshape(-1, 2)
+                    if len(arr) == 0:
+                        envs[i] = (np.nan,) * 4
+                        continue
                 else:  # multipolygon
                     arr = np.vstack([r for poly in val for r in poly])
                 envs[i] = (arr[:, 0].min(), arr[:, 1].min(), arr[:, 0].max(), arr[:, 1].max())

@@ -536,3 +536,101 @@ def test_oblique_stere_continuity_with_polar():
     # 1e-4 deg of center offset -> ~11 m; agreement inside ~3x that
     np.testing.assert_allclose(xo, xp, rtol=0, atol=40.0)
     np.testing.assert_allclose(yo, yp, rtol=0, atol=40.0)
+
+
+# ---------------------------------------------------------------------------
+# geometry-collection gpack (round 5 — closes the geom_tiles gpack guard:
+# collections now pack as a nested tree header with every coordinate
+# contiguous at the tail, so the parse-once reprojection lane covers the
+# full mapnik geometry variant, src/vector_tile_strategy.hpp:69-104 +
+# vector_tile_geometry_encoder visitor over geometry<T> incl. collections)
+# ---------------------------------------------------------------------------
+
+_GC_WKT = (
+    "GEOMETRYCOLLECTION(POINT(540000 4180000),"
+    "LINESTRING(540100 4180100,541000 4181000),"
+    "POLYGON((540000 4180000,542000 4180000,542000 4182000,540000 4180000)),"
+    "GEOMETRYCOLLECTION(POINT(541000 4180500),"
+    "MULTIPOLYGON(((540000 4180000,541000 4180000,541000 4181000,540000 4180000)),"
+    "((543000 4183000,544000 4183000,544000 4184000,543000 4183000)))))"
+)
+
+
+def test_gpack_roundtrip_geometrycollection():
+    from mapnik_vector_tile_spark.functions import geometry as G
+
+    g = G.from_wkt(_GC_WKT)
+    assert g[0] == "geometrycollection"
+    pk = G.gpack(g)
+    assert pk[0] == G._GP_COLLECTION
+    g2 = G.gunpack(pk)
+    assert G.to_wkt(g2) == G.to_wkt(g)  # nesting structure preserved
+    # coords contiguous at the tail — the reproject patch invariant
+    coff = int.from_bytes(pk[5:9], "little")
+    total = int.from_bytes(pk[1:5], "little")
+    assert len(pk) == coff + 16 * total
+
+
+def test_reproject_gpack_handles_collections(spark):
+    """emit='gpack' now accepts collections; the reprojected collection
+    round-trips through the pack and matches the WKT-lane output."""
+    from mapnik_vector_tile_spark.functions import geometry as G
+    from mapnik_vector_tile_spark.operators import geom_tiles as GT
+
+    df = spark.createDataFrame(
+        [("gc", _GC_WKT), ("ln", "LINESTRING(540000 4180000,541000 4181000)")],
+        "gid string, geom_wkt string",
+    )
+    via_wkt = GT.reproject_geoms(
+        df, "+proj=utm +zone=10", emit="wkt"
+    ).toPandas().set_index("gid")
+    via_gpk = GT.reproject_geoms(
+        df, "+proj=utm +zone=10", emit="gpack"
+    ).toPandas().set_index("gid")
+    for gid in ("gc", "ln"):
+        gw = G.from_wkt(via_wkt.loc[gid, "geom_wkt"])
+        gp = G.gunpack(bytes(via_gpk.loc[gid, "_gpk"]))
+        assert G.to_wkt(gw) == G.to_wkt(gp)
+    # envelope covers every member of the collection
+    env = via_gpk.loc["gc"]
+    gw = G.from_wkt(via_wkt.loc["gc", "geom_wkt"])
+
+    def _all_coords(geom):
+        k, v = geom
+        if k == "point":
+            return [np.atleast_2d(v)]
+        if k in ("multipoint", "linestring"):
+            return [np.atleast_2d(v)]
+        if k in ("multilinestring", "polygon"):
+            return [np.atleast_2d(r) for r in v]
+        if k == "multipolygon":
+            return [np.atleast_2d(r) for p in v for r in p]
+        return [c for m in v for c in _all_coords(m)]
+
+    allc = np.vstack(_all_coords(gw))
+    # WKT text keeps ~10 significant digits -> mm-level comparison
+    assert abs(env["env_minx"] - allc[:, 0].min()) < 1e-2
+    assert abs(env["env_maxy"] - allc[:, 1].max()) < 1e-2
+
+
+def test_build_geom_tiles_from_collection_gpack(spark):
+    """A collection feature tiles identically whether it arrives as WKT
+    or as a gpack (both encode lanes end in the scalar collection path)."""
+    from mapnik_vector_tile_spark.operators import geom_tiles as GT
+
+    half = 2.0037508342789244e7
+    wkt = (
+        f"GEOMETRYCOLLECTION(POINT({half/8} {half/8}),"
+        f"LINESTRING(0 0,{half/4} {half/4}),"
+        f"POLYGON((0 0,{half/4} 0,{half/4} {half/4},0 0)))"
+    )
+    df = spark.createDataFrame([("gc0", wkt)], "gid string, geom_wkt string")
+    via_wkt = GT.build_geom_tiles(df, ["gid"], z=2, id_col="gid").toPandas()
+    merc = GT.reproject_geoms(df, "+init=epsg:3857", emit="gpack")
+    via_gpk = GT.build_geom_tiles(merc, ["gid"], z=2, id_col="gid").toPandas()
+    a = via_wkt.sort_values(["x", "y"]).reset_index(drop=True)
+    b = via_gpk.sort_values(["x", "y"]).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a.itertuples(), b.itertuples()):
+        assert (ra.z, ra.x, ra.y, ra.n_features) == (rb.z, rb.x, rb.y, rb.n_features)
+        assert bytes(ra.tile) == bytes(rb.tile)
