@@ -100,10 +100,13 @@ def _parse_cases(path: str):
         # numeric_limits to a named variable first)
         consts = {}
         for vm in re.finditer(
-            r"std::int64_t\s+(\w+)\s*=\s*std::numeric_limits<\s*(?:std::)?int32_t\s*>::(max|min)\(\)\s*;",
+            r"std::int64_t\s+(\w+)\s*=\s*std::numeric_limits<\s*(?:std::)?int32_t\s*>::(max|min)\(\)\s*(?:([+-])\s*(\d+))?\s*;",
             head,
         ):
-            consts[vm.group(1)] = INT32_MAX if vm.group(2) == "max" else INT32_MIN
+            base = INT32_MAX if vm.group(2) == "max" else INT32_MIN
+            if vm.group(3):
+                base += int(vm.group(4)) * (1 if vm.group(3) == "+" else -1)
+            consts[vm.group(1)] = base
         cmds = []
         ok = True
         for am in re.finditer(r"add_geometry\(([^;]+)\);", head):
@@ -139,8 +142,8 @@ def _load_all():
     if not os.path.isdir(REF):
         pytest.skip("reference checkout not mounted")
     all_cases = []
-    for fname, min_cases in (("polygon.cpp", 38), ("linestring.cpp", 17),
-                             ("point.cpp", 12)):
+    for fname, min_cases in (("polygon.cpp", 40), ("linestring.cpp", 18),
+                             ("point.cpp", 13)):
         cases, skipped = _parse_cases(os.path.join(REF, fname))
         assert len(cases) >= min_cases, (fname, len(cases), skipped)
         all_cases.extend((fname, *c) for c in cases)
@@ -194,12 +197,13 @@ def test_reference_decode_corpus(fname, name, gtype, cmds, outcomes):
 
 
 def test_corpus_size_and_coverage():
-    """The scrape must keep covering the corpus as a whole: >=67 of
-    the 71 reference cases replayed (incl. the 'malicious' max-command-
-    count streams), and both versions exercised."""
+    """The scrape must keep covering the corpus as a whole: ALL 71
+    reference cases replayed (r5 — the int32-extreme const with an
+    offset was the last unparsed construct; incl. the 'malicious'
+    max-command-count streams), and both versions exercised."""
     if not _ALL:
         pytest.skip("reference checkout not mounted")
-    assert len(_ALL) >= 67
+    assert len(_ALL) >= 71
     vers = {v for *_x, outcomes in _ALL for v in outcomes}
     assert vers == {1, 2}
 
