@@ -571,6 +571,67 @@ def host_calibration(low_cores: int, high_cores: int) -> dict:
     }
 
 
+def scaling_evidence(sf_dir: str, low_cores: int, cpus: int, epochs: int, trials: int):
+    """North-rule evidence: the SAME end-to-end job (parquet scan ->
+    location math -> tile pipeline + PIP join, persist_input=False) at
+    two parallelism levels on identical input, interleaved so slow host
+    drift cancels, with a pure-python multiprocessing calibration of what
+    this shared box can deliver at all. N vs 4N sits below the host's
+    ~8-OS-process concurrency knee (each Spark slot with Pandas UDFs is
+    ~2 processes), so the measurement reflects the engine, not host
+    saturation — see BENCH.md. Returns (low, high, json_fields)."""
+    only = ("tile_pipeline", "pip_join")
+
+    def measured(cores: int):
+        spark = _build_session(cores)
+        image_path = _ensure_fixture(spark, BENCH_IMAGE_ROWS)
+        spark.range(256).repartition(cores).mapInPandas(lambda it: it, "id long").count()
+        run_benchmarks(
+            spark, sf_dir, image_path, epochs=1, only=only, persist_input=False
+        )  # warm
+        t, r = run_benchmarks(
+            spark, sf_dir, image_path, epochs=epochs, only=only, persist_input=False
+        )
+        return t, r
+
+    best: dict[int, dict] = {}
+    rows_at: dict[int, dict] = {}
+    for _trial in range(trials):
+        for cores in (low_cores, cpus):
+            t, r = measured(cores)
+            if cores not in best:
+                best[cores], rows_at[cores] = t, r
+            else:
+                best[cores] = {k: min(best[cores][k], t[k]) for k in t}
+
+    def pack(cores):
+        tp = best[cores]["tile_pipeline"] + best[cores]["pip_join"]
+        wr = rows_at[cores]["tile_pipeline"] + rows_at[cores]["pip_join"]
+        return {"times": best[cores], "throughput_sec": tp,
+                "throughput_rows_per_sec": wr / max(tp, 1e-9),
+                "total_sec": sum(best[cores].values())}
+
+    low, high = pack(low_cores), pack(cpus)
+    calib = host_calibration(low_cores, cpus)
+    speedup = low["throughput_sec"] / high["throughput_sec"]
+    efficiency = speedup / (cpus / low_cores)
+    fields = {
+        "low": {"cores": low_cores, "sec": round(low["throughput_sec"], 3),
+                "rows_per_sec": round(low["throughput_rows_per_sec"], 1)},
+        "high": {"cores": cpus, "sec": round(high["throughput_sec"], 3),
+                 "rows_per_sec": round(high["throughput_rows_per_sec"], 1)},
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+        "scaling_epochs": epochs,
+        "scaling_rows": BENCH_IMAGE_ROWS * epochs,
+        "host_calibration": calib,
+        "host_normalized_efficiency": round(
+            min(1.0, speedup / max(calib["host_max_ratio"], 1e-9)), 3
+        ),
+    }
+    return low, high, fields
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -586,57 +647,13 @@ def main() -> None:
     if "--scaling" in sys.argv:
         epochs = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "8"))
         trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
-        # N vs 4N below this box's concurrency knee: each Spark slot uses
-        # ~2 processes (JVM task thread + Python worker), and host
-        # calibration shows parallel efficiency collapsing past ~8 procs
-        # (pure-python multiprocessing reaches only 1.87x at 2 procs /
-        # 6.6x at 8 — nonzero steal). 1 vs 4 cores keeps the HIGH level
-        # at 8 OS procs = the knee, so the measurement reflects the
-        # engine, not host saturation — see BENCH.md. Override with
-        # SPARK_GRAFT_SCALING_CORES=a,b.
         pair = os.environ.get("SPARK_GRAFT_SCALING_CORES", "1,4")
         low_cores, cpus = (int(v) for v in pair.split(","))
-        only = ("tile_pipeline", "pip_join")
-
-        def measured(cores: int):
-            spark = _build_session(cores)
-            image_path = _ensure_fixture(spark, BENCH_IMAGE_ROWS)
-            spark.range(256).repartition(cores).mapInPandas(lambda it: it, "id long").count()
-            run_benchmarks(
-                spark, sf_dir, image_path, epochs=1, only=only, persist_input=False
-            )  # warm
-            t, r = run_benchmarks(
-                spark, sf_dir, image_path, epochs=epochs, only=only, persist_input=False
-            )
-            return t, r
-
-        # interleave core levels so slow host-speed drift cancels;
-        # per-level min over trials is the steady-state estimate
-        best: dict[int, dict] = {}
-        rows_at: dict[int, dict] = {}
-        for _trial in range(trials):
-            for cores in (low_cores, cpus):
-                t, r = measured(cores)
-                if cores not in best:
-                    best[cores], rows_at[cores] = t, r
-                else:
-                    best[cores] = {k: min(best[cores][k], t[k]) for k in t}
-
-        def pack(cores):
-            tp = best[cores]["tile_pipeline"] + best[cores]["pip_join"]
-            wr = rows_at[cores]["tile_pipeline"] + rows_at[cores]["pip_join"]
-            return {"times": best[cores], "throughput_sec": tp,
-                    "throughput_rows_per_sec": wr / max(tp, 1e-9),
-                    "total_sec": sum(best[cores].values())}
-
-        low, high = pack(low_cores), pack(cpus)
+        low, high, fields = scaling_evidence(sf_dir, low_cores, cpus, epochs, trials)
         # one full-query pass at the high level for the per-query table
         full = one_run(cpus, sf_dir, epochs=epochs)
         high["times"] = {**full["times"], **high["times"]}
         high["total_sec"] = sum(full["times"].values())
-        calib = host_calibration(low_cores, cpus)
-        speedup = low["throughput_sec"] / high["throughput_sec"]
-        efficiency = speedup / (cpus / low_cores)
         out = {
             "metric": "tiles+join-rows/sec",
             "value": round(high["total_sec"], 3),
@@ -644,16 +661,7 @@ def main() -> None:
             "queries": {k: round(v, 3) for k, v in high["times"].items()},
             "sf": sf,
             "bench_image_rows": BENCH_IMAGE_ROWS * epochs,
-            "low": {"cores": low_cores, "sec": round(low["throughput_sec"], 3),
-                    "rows_per_sec": round(low["throughput_rows_per_sec"], 1)},
-            "high": {"cores": cpus, "sec": round(high["throughput_sec"], 3),
-                     "rows_per_sec": round(high["throughput_rows_per_sec"], 1)},
-            "speedup": round(speedup, 3),
-            "scaling_efficiency": round(efficiency, 3),
-            "host_calibration": calib,
-            "host_normalized_efficiency": round(
-                min(1.0, speedup / max(calib["host_max_ratio"], 1e-9)), 3
-            ),
+            **fields,
         }
         print(json.dumps(out))
         return
@@ -665,6 +673,17 @@ def main() -> None:
     reproject_rows = round(reproject_anchor(), 1)
     real_tiles = decode_real_tile_anchor()
     res = one_run(cpus, sf_dir, extra_anchors=True)
+    # scaling evidence IN the recorded file (r4 verdict: raw/normalized
+    # efficiency + host calibration must live in the JSON of record, not
+    # prose) — a reduced-epoch pass of the full --scaling protocol
+    scaling_fields = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        s_epochs = int(os.environ.get("SPARK_GRAFT_SCALING_EPOCHS", "4"))
+        pair = os.environ.get("SPARK_GRAFT_SCALING_CORES", "1,4")
+        s_low, s_high = (int(v) for v in pair.split(","))
+        _lo, _hi, scaling_fields = scaling_evidence(
+            sf_dir, s_low, s_high, s_epochs, trials=2
+        )
     out = {
         "metric": "tiles+join-rows/sec",
         "value": round(res["total_sec"], 3),
@@ -679,6 +698,7 @@ def main() -> None:
         "reproject_rows_per_sec_core": reproject_rows,
         **{f"decode_real_{k}_ms": v for k, v in real_tiles.items()},
         **res.get("hot_tile", {}),
+        **scaling_fields,
     }
     print(json.dumps(out))
 

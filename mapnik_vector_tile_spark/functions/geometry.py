@@ -335,6 +335,123 @@ def from_wkt(wkt: str):
     raise ValueError(f"unsupported WKT type {tag}")
 
 
+def _split_rings_fast(inner: str) -> list[str]:
+    """'(r1),(r2)' -> ring substrings via C-level str.split when the
+    separators are exactly '),(' (this engine's writer and most WKT);
+    any other spelling falls back to the char-walk splitter."""
+    if inner and inner[0] == "(" and inner[-1] == ")":
+        gs = inner[1:-1].split("),(")
+        if all("(" not in g and ")" not in g for g in gs):
+            return gs
+    return _split_groups(inner)
+
+
+def from_wkt_batch(wkts, return_flat: bool = False):
+    """Batch from_wkt: identical tuples, but ALL numeric tokens of the
+    batch parse in ONE numpy C-level pass instead of a Python float()
+    per token — the WKT-input reprojection lane spent ~55% of its time
+    tokenizing (BENCH.md r4). Structure (tags, ring splits) still walks
+    per row; every coordinate array is a VIEW into one batch array.
+
+    return_flat=True additionally returns (geoms, flat, spans): the
+    (N,2) batch coordinate array (writing into it updates every tuple)
+    and per-row [start, end) spans into it, -1 for rows whose coords are
+    not in the array (EMPTY and geometry collections, which take the
+    scalar path). Spans are contiguous and ordered — reduceat-friendly."""
+    n = len(wkts)
+    out: list = [None] * n
+    ring_txt: list[str] = []          # ring substrings, batch order
+    metas: list[tuple] = []           # (row, kind, ring-structure)
+
+    for i, wkt in enumerate(wkts):
+        w = wkt.strip()
+        m = re.match(r"([A-Z ]+?)\s*(\(.*\)|EMPTY)$", w, re.I)
+        if not m:
+            raise ValueError(f"bad WKT: {wkt!r}")
+        tag = m.group(1).strip().upper()
+        body = m.group(2)
+        if body == "EMPTY":
+            out[i] = ("empty", None)
+            continue
+        inner = body[1:-1]
+        if tag == "GEOMETRYCOLLECTION":
+            out[i] = from_wkt(w)  # rare: scalar recursive path
+            continue
+        if tag == "POINT":
+            ring_txt.append(inner)
+            metas.append((i, "point", 1))
+        elif tag == "MULTIPOINT":
+            if "(" in inner:  # ((x y),(x y)) form: k singles, contiguous
+                groups = _split_rings_fast(inner)
+                ring_txt.extend(groups)
+                metas.append((i, "multipoint", len(groups)))
+            else:
+                ring_txt.append(inner)
+                metas.append((i, "multipoint", inner.count(",") + 1))
+        elif tag == "LINESTRING":
+            ring_txt.append(inner)
+            metas.append((i, "linestring", inner.count(",") + 1))
+        elif tag in ("MULTILINESTRING", "POLYGON"):
+            groups = _split_rings_fast(inner)
+            ring_txt.extend(groups)
+            metas.append(
+                (i, tag.lower(), [g.count(",") + 1 for g in groups])
+            )
+        elif tag == "MULTIPOLYGON":
+            polys: list[list[int]] = []
+            depth, start = 0, 0
+            for j, ch in enumerate(inner):
+                if ch == "(":
+                    if depth == 0:
+                        start = j
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        groups = _split_rings_fast(inner[start + 1 : j])
+                        ring_txt.extend(groups)
+                        polys.append([g.count(",") + 1 for g in groups])
+            metas.append((i, "multipolygon", polys))
+        else:
+            raise ValueError(f"unsupported WKT type {tag}")
+
+    if ring_txt:
+        toks = " ".join(ring_txt).replace(",", " ").split()
+        flat = np.array(toks, dtype=np.float64)
+        if len(flat) % 2:
+            raise ValueError("odd coordinate count in WKT batch")
+        coords = flat.reshape(-1, 2)
+    else:
+        coords = np.empty((0, 2), dtype=np.float64)
+
+    pos = 0
+    spans = np.full((n, 2), -1, dtype=np.int64) if return_flat else None
+
+    def take(c: int) -> np.ndarray:
+        nonlocal pos
+        a = coords[pos : pos + c]
+        pos += c
+        return a
+
+    for i, kind, st in metas:
+        row_start = pos
+        if kind == "point":
+            out[i] = ("point", take(1)[0])
+        elif kind in ("multipoint", "linestring"):
+            out[i] = (kind, take(st))
+        elif kind in ("multilinestring", "polygon"):
+            out[i] = (kind, [take(c) for c in st])
+        else:  # multipolygon
+            out[i] = (kind, [[take(c) for c in poly] for poly in st])
+        if return_flat:
+            spans[i] = (row_start, pos)
+    if pos != len(coords):
+        raise ValueError("WKT batch structure/token mismatch")
+    if return_flat:
+        return out, coords, spans
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Compact binary geometry pack (WKT parsed ONCE per pipeline; stages
 # downstream read this instead of re-running the regex parser)
@@ -411,16 +528,29 @@ def gpack(geom) -> bytes:
     if kind == "empty" or val is None:
         return bytes([0])
     rings, parts = _gp_simple_parts(kind, val)
-    counts = np.array([len(r) for r in rings], dtype=np.uint32)
-    head = np.concatenate([[len(rings)], counts, np.asarray(parts, dtype=np.uint32)])
-    coords = (
-        np.concatenate(rings, axis=0) if rings else np.empty((0, 2), dtype=np.float64)
-    )
-    return (
-        bytes([_GP_CODE[kind]])
-        + head.astype(np.uint32).tobytes()
-        + coords.astype(np.float64).tobytes()
-    )
+    # single-pass build into one preallocated buffer (same layout as
+    # gpack_from_packed) — per-row np.concatenate dominated the
+    # WKT-ingest lane's pack cost
+    nr = len(rings)
+    n_pts = sum(len(r) for r in rings)
+    hlen = 1 + 4 * (1 + 2 * nr)
+    buf = bytearray(hlen + 16 * n_pts)
+    buf[0] = _GP_CODE[kind]
+    head = np.frombuffer(memoryview(buf), dtype=np.uint32, count=1 + 2 * nr, offset=1)
+    head[0] = nr
+    head[1 : 1 + nr] = [len(r) for r in rings]
+    head[1 + nr :] = parts
+    coords = np.frombuffer(
+        memoryview(buf), dtype=np.float64, count=2 * n_pts, offset=hlen
+    ).reshape(-1, 2)
+    if nr == 1:
+        coords[:] = rings[0]
+    else:
+        p = 0
+        for r in rings:
+            coords[p : p + len(r)] = r
+            p += len(r)
+    return buf
 
 
 def _gp_untree(data: bytes, pos: int, coords: np.ndarray, cpos: int):

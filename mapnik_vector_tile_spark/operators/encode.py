@@ -591,7 +591,7 @@ def encode_geom_layer(
     geoms = (
         [G.gunpack(bytes(b)) for b in pdf[geom_col]]
         if geom_col
-        else [G.from_wkt(w) for w in pdf[wkt_col]]
+        else G.from_wkt_batch(list(pdf[wkt_col]))
     )
     # the WHOLE simplify/clip/assemble/encode pass runs as flat numpy
     # over every feature at once (functions/ragged.py — the fused

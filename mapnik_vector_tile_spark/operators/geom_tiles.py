@@ -82,43 +82,14 @@ def reproject_kernel(src, dst, wkt_col: str, emit: str):
         for pdf in iterator:
             if len(pdf) == 0:
                 continue
-            has_gpk = "_gpk" in pdf.columns
-            if has_gpk:
+            if "_gpk" in pdf.columns:
                 packs = [bytes(p) for p in pdf["_gpk"]]
+                out_packs, envs = _patch_packs(packs, tx)
             else:
-                packs = [G.gpack(G.from_wkt(w)) for w in pdf[wkt_col]]
-            metas: list[tuple] = []
-            coord_parts: list[np.ndarray] = []
-            for pk in packs:
-                if pk[0] == 0:
-                    metas.append((pk, 1, 0))
-                    continue
-                if pk[0] == G._GP_COLLECTION:  # coords at tail, like simple
-                    hlen = int.from_bytes(pk[5:9], "little")
-                else:
-                    nr = int.from_bytes(pk[1:5], "little")
-                    hlen = 5 + 8 * nr
-                c = np.frombuffer(pk, dtype=np.float64, offset=hlen).reshape(-1, 2)
-                metas.append((pk, hlen, len(c)))
-                coord_parts.append(c)
-            if coord_parts:
-                flat = (
-                    coord_parts[0] if len(coord_parts) == 1 else np.vstack(coord_parts)
-                )
-                new = tx(flat)
-            pos = 0
-            out_packs: list[bytes] = []
-            envs = np.full((len(packs), 4), np.nan)
-            for i, (pk, hlen, npts) in enumerate(metas):
-                if npts == 0:
-                    out_packs.append(pk)
-                    continue
-                seg = new[pos : pos + npts]
-                pos += npts
-                out_packs.append(pk[:hlen] + seg.tobytes())
-                envs[i] = (
-                    seg[:, 0].min(), seg[:, 1].min(), seg[:, 0].max(), seg[:, 1].max()
-                )
+                # WKT lane: ONE C-level numeric parse for the batch,
+                # transform the shared coord array IN PLACE (every tuple
+                # is a view), envelopes by reduceat — no pack-then-patch
+                out_packs, envs = _tx_wkt_rows(list(pdf[wkt_col]), tx)
             if emit == "gpack":
                 stale = (wkt_col, "_gpk", "env_minx", "env_miny", "env_maxx", "env_maxy")
                 yield pdf.drop(
@@ -135,6 +106,106 @@ def reproject_kernel(src, dst, wkt_col: str, emit: str):
     return kernel
 
 
+def _patch_packs(packs: list, tx):
+    """gpack-input reprojection: ONE tx call over the concatenated tail
+    coords of every pack, patched back behind the header bytes."""
+    metas: list[tuple] = []
+    coord_parts: list[np.ndarray] = []
+    for pk in packs:
+        if pk[0] == 0:
+            metas.append((pk, 1, 0))
+            continue
+        if pk[0] == G._GP_COLLECTION:  # coords at tail, like simple
+            hlen = int.from_bytes(pk[5:9], "little")
+        else:
+            nr = int.from_bytes(pk[1:5], "little")
+            hlen = 5 + 8 * nr
+        c = np.frombuffer(pk, dtype=np.float64, offset=hlen).reshape(-1, 2)
+        metas.append((pk, hlen, len(c)))
+        coord_parts.append(c)
+    if coord_parts:
+        flat = coord_parts[0] if len(coord_parts) == 1 else np.vstack(coord_parts)
+        new = tx(flat)
+    pos = 0
+    out_packs: list = []
+    envs = np.full((len(packs), 4), np.nan)
+    for i, (pk, hlen, npts) in enumerate(metas):
+        if npts == 0:
+            out_packs.append(pk)
+            continue
+        seg = new[pos : pos + npts]
+        pos += npts
+        out_packs.append(pk[:hlen] + seg.tobytes())
+        envs[i] = (
+            seg[:, 0].min(), seg[:, 1].min(), seg[:, 0].max(), seg[:, 1].max()
+        )
+    return out_packs, envs
+
+
+def _tx_geom_tree(geom, tx):
+    """Recursive transform of a geometry-collection tuple (rare path —
+    simple geoms ride the in-place batch array instead)."""
+    kind, val = geom
+    if kind == "empty":
+        return geom
+    if kind == "point":
+        return (kind, tx(np.asarray(val, dtype=np.float64)[None, :])[0])
+    if kind in ("multipoint", "linestring"):
+        return (kind, tx(np.asarray(val, dtype=np.float64)))
+    if kind in ("multilinestring", "polygon"):
+        return (kind, [tx(np.asarray(r, dtype=np.float64)) for r in val])
+    if kind == "multipolygon":
+        return (kind, [[tx(np.asarray(r, dtype=np.float64)) for r in p] for p in val])
+    return (kind, [_tx_geom_tree(m, tx) for m in val])
+
+
+def _batch_envelopes(geoms, flat, spans, packs=None) -> np.ndarray:
+    """Per-row envelopes over the shared batch coord array in ONE
+    reduceat pass (spans are contiguous/ordered by construction);
+    collection rows (not in the array) read their pack's coord tail."""
+    n = len(geoms)
+    envs = np.full((n, 4), np.nan)
+    vrows = np.flatnonzero(spans[:, 1] > spans[:, 0])
+    if len(vrows):
+        starts = spans[vrows, 0]
+        rmin = np.minimum.reduceat(flat, starts, axis=0)
+        rmax = np.maximum.reduceat(flat, starts, axis=0)
+        envs[vrows, 0] = rmin[:, 0]
+        envs[vrows, 1] = rmin[:, 1]
+        envs[vrows, 2] = rmax[:, 0]
+        envs[vrows, 3] = rmax[:, 1]
+    if packs is not None:
+        for i, g in enumerate(geoms):
+            if g is not None and g[0] == "geometrycollection":
+                pk = packs[i]
+                coff = int.from_bytes(pk[5:9], "little")
+                c = np.frombuffer(pk, dtype=np.float64, offset=coff).reshape(-1, 2)
+                if len(c):
+                    envs[i] = (
+                        c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max()
+                    )
+    return envs
+
+
+def _tx_wkt_rows(wkts: list, tx):
+    """WKT-input reprojection: batch parse (views into one array),
+    transform the array in place, pack each row once. Collections take
+    the recursive scalar transform before packing."""
+    geoms, flat, spans = G.from_wkt_batch(wkts, return_flat=True)
+    if len(flat):
+        flat[:] = tx(flat)
+    packs: list = []
+    for g in geoms:
+        if g[0] == "empty":
+            packs.append(bytes([0]))
+        elif g[0] == "geometrycollection":
+            packs.append(G.gpack(_tx_geom_tree(g, tx)))
+        else:
+            packs.append(G.gpack(g))
+    envs = _batch_envelopes(geoms, flat, spans, packs)
+    return packs, envs
+
+
 def with_envelope(df: DataFrame, wkt_col: str = "geom_wkt") -> DataFrame:
     """Add mercator envelope columns + the compact packed geometry
     (geometry.gpack) so the WKT regex parse runs exactly ONCE per row —
@@ -144,34 +215,11 @@ def with_envelope(df: DataFrame, wkt_col: str = "geom_wkt") -> DataFrame:
         for pdf in iterator:
             if len(pdf) == 0:
                 continue
-            envs = np.empty((len(pdf), 4), dtype=np.float64)
-            packs: list[bytes] = []
-            for i, wkt in enumerate(pdf[wkt_col]):
-                kind, val = G.from_wkt(wkt)
-                packs.append(G.gpack((kind, val)))
-                if kind == "empty":
-                    envs[i] = (np.nan,) * 4
-                    continue
-                if kind == "point":
-                    arr = np.asarray(val, dtype=np.float64)[None, :]
-                elif kind in ("multipoint", "linestring"):
-                    arr = np.asarray(val, dtype=np.float64)
-                elif kind == "multilinestring":
-                    arr = np.vstack(val)
-                elif kind == "polygon":
-                    arr = np.vstack(val)
-                elif kind == "geometrycollection":
-                    # the pack just built carries every coordinate of the
-                    # tree contiguously at its tail
-                    pk = packs[-1]
-                    coff = int.from_bytes(pk[5:9], "little")
-                    arr = np.frombuffer(pk, dtype=np.float64, offset=coff).reshape(-1, 2)
-                    if len(arr) == 0:
-                        envs[i] = (np.nan,) * 4
-                        continue
-                else:  # multipolygon
-                    arr = np.vstack([r for poly in val for r in poly])
-                envs[i] = (arr[:, 0].min(), arr[:, 1].min(), arr[:, 0].max(), arr[:, 1].max())
+            geoms, flat, spans = G.from_wkt_batch(list(pdf[wkt_col]), return_flat=True)
+            packs = [
+                bytes([0]) if g[0] == "empty" else G.gpack(g) for g in geoms
+            ]
+            envs = _batch_envelopes(geoms, flat, spans, packs)
             yield pdf.assign(
                 env_minx=envs[:, 0], env_miny=envs[:, 1],
                 env_maxx=envs[:, 2], env_maxy=envs[:, 3],

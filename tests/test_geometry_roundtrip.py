@@ -871,3 +871,33 @@ def test_enc_empty_multis_fail():
     assert C.encode_geometry(("multipoint", np.empty((0, 2), dtype=np.int64)), [0, 0])[0] is None
     assert C.encode_geometry(("multipolygon", []), [0, 0])[0] is None
     assert C.encode_geometry(("polygon", []), [0, 0])[0] is None
+
+
+def test_from_wkt_batch_matches_scalar():
+    """from_wkt_batch (one C-level numeric pass per batch) must return
+    tuples identical to per-row from_wkt for every geometry type,
+    including EMPTY, nested collections, paren multipoints and
+    scientific-notation tokens."""
+    from mapnik_vector_tile_spark.functions import geometry as G
+
+    wkts = [
+        "POINT(1.5 -2.5)",
+        "POINT(1e5 -2.25e-3)",
+        "MULTIPOINT(1 2,3 4,5 6)",
+        "MULTIPOINT((1 2),(3 4))",
+        "LINESTRING(0 0,10 10,20 0)",
+        "MULTILINESTRING((0 0,1 1),(2 2,3 3,4 4))",
+        "POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,2 4,4 4,2 2))",
+        "MULTIPOLYGON(((0 0,5 0,5 5,0 0)),((10 10,20 10,20 20,10 10),(12 12,12 14,14 14,12 12)))",
+        "GEOMETRYCOLLECTION EMPTY",
+        "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1),"
+        "GEOMETRYCOLLECTION(POLYGON((0 0,4 0,4 4,0 0))))",
+        "POINT(-0.0001 90)",
+    ] * 3  # repetition: the global token array spans many rows
+    batch = G.from_wkt_batch(wkts)
+    for w, got in zip(wkts, batch):
+        want = G.from_wkt(w)
+        assert G.to_wkt(got) == G.to_wkt(want), w
+    # gpack equality too (the reproject lane packs straight from these)
+    for w, got in zip(wkts, batch):
+        assert bytes(G.gpack(got)) == bytes(G.gpack(G.from_wkt(w))), w
