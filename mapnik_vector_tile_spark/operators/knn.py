@@ -187,7 +187,13 @@ def _one_shot_probe(
     )
     stragglers = pend0.join(
         enriched.where(F.col("_ok")).select("query_id"), "query_id", "left_anti"
-    ).select("query_id", "lon", "lat")
+    ).select("query_id", "lon", "lat").localCheckpoint(eager=True)
+    if stragglers.isEmpty():
+        # the usual case on dense data: every query resolved in-block.
+        # Skipping the brute union avoids a full candidate-table scan
+        # whose join side is empty (counting the tiny straggler table is
+        # one cheap job over the checkpointed topk rows).
+        return resolved
     brute_fn = brute_force_knn if metric == "euclid" else brute_force_knn_haversine
     brute = brute_fn(
         candidates, stragglers, k=k, query_id="query_id", cand_id=cand_id
