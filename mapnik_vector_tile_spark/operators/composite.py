@@ -262,9 +262,9 @@ def merge_tiles_reencode_geom(
     the target extent through the same fused kernel build_geom_tiles
     uses, preserving layer order (source order, then wire order within
     the source), per-layer key dictionaries, feature order, feature ids
-    (when any feature of the layer carries one) and Value variant
-    types. Raster-only features do not survive this path (the gpack
-    scan is geometry-only); merge raster layers with merge_tiles_fast.
+    (when any feature of the layer carries one), Value variant types,
+    and Feature.raster bytes (raster-only features re-encode as
+    geometry-less UNKNOWN-type features, raster_to_feature semantics).
 
     One decode pass -> ONE hash shuffle on (z, x, y) -> per-tile
     re-encode: the same plan shape as the gpack re-tiling pipeline, so
@@ -275,7 +275,8 @@ def merge_tiles_reencode_geom(
     from mapnik_vector_tile_spark.operators.encode import encode_geom_layer
 
     dec = D.decode_tiles_gpack(
-        tiles, keep_cols=[source_order_col], ordinals=True, typed=True
+        tiles, keep_cols=[source_order_col], ordinals=True, typed=True,
+        with_raster=True,
     )
     w = Window.partitionBy("z", "x", "y", "layer")
     first = (
@@ -315,6 +316,12 @@ def merge_tiles_reencode_geom(
             if (grp["feature_id"].to_numpy() != 0).any():
                 enc["feature_id"] = grp["feature_id"].to_numpy()
                 id_col = "feature_id"
+            raster_col = None
+            if grp["raster"].notna().any():
+                enc["raster"] = [
+                    None if r is None else bytes(r) for r in grp["raster"]
+                ]
+                raster_col = "raster"
             layer_bytes, nf = encode_geom_layer(
                 enc, gz, gx, gy, lname, key_list,
                 geom_col="_gpk", extent=extent, buffer_px=buffer_px,
@@ -323,6 +330,7 @@ def merge_tiles_reencode_geom(
                 id_col=id_col,
                 fill_type=fill_type,
                 strictly_simple=strictly_simple,
+                raster_col=raster_col,
             )
             if nf:
                 layers_out.append(layer_bytes)

@@ -545,6 +545,7 @@ def decode_tiles_gpack(
     keep_cols: list[str] | None = None,
     ordinals: bool = False,
     typed: bool = False,
+    with_raster: bool = False,
 ) -> DataFrame:
     """Decode scan emitting the compact gpack geometry + its mercator
     envelope — the exact input shape build_geom_tiles' encode stages
@@ -558,13 +559,18 @@ def decode_tiles_gpack(
     layer_idx (wire order of the layer within its tile) and feat_idx
     (wire order of the kept feature within its layer). typed adds a
     ptype map (key -> one of s/i/f/b) so the stringified props can be
-    restored to their Value variant types at re-encode."""
+    restored to their Value variant types at re-encode. with_raster adds
+    the Feature.raster bytes and KEEPS raster-only features (as
+    empty-geometry rows, _gpk = the empty pack) so the re-encode merge
+    can carry them; the default scan stays geometry-only."""
     keep = list(keep_cols or [])
     schema = GPACK_SCHEMA
     if ordinals:
         schema += ", layer_idx int, feat_idx long"
     if typed:
         schema += ", ptype map<string,string>"
+    if with_raster:
+        schema += ", raster binary"
     by_name = {f.name: f for f in tiles.schema}
     for c in keep:
         schema += f", {c} {by_name[c].dataType.simpleString()}"
@@ -577,6 +583,8 @@ def decode_tiles_gpack(
         out_cols += ["layer_idx", "feat_idx"]
     if typed:
         out_cols += ["ptype"]
+    if with_raster:
+        out_cols += ["raster"]
     out_cols += keep
 
     def kernel(iterator):
@@ -594,15 +602,19 @@ def decode_tiles_gpack(
                 bounds = tilemath.tile_mercator_bbox_np(x, y, z)
                 for li, layer_bytes in enumerate(pbf.decode_tile(data)):
                     fi = 0
-                    for name, fid, gt, pk, props, _raster in iter_layer_packed(
+                    for name, fid, gt, pk, props, raster in iter_layer_packed(
                         layer_bytes, bounds, bbox=bbox, typed=typed
                     ):
                         if pk is None:
-                            continue  # raster-only: no geometry to re-tile
-                        gpk, env = G.gpack_from_packed(
-                            pk["kind"], pk["xs"], pk["ys"], pk["offsets"],
-                            pk.get("exterior"),
-                        )
+                            if not with_raster:
+                                continue  # raster-only: nothing to re-tile
+                            gpk = bytes([0])
+                            env = (float("nan"),) * 4
+                        else:
+                            gpk, env = G.gpack_from_packed(
+                                pk["kind"], pk["xs"], pk["ys"], pk["offsets"],
+                                pk.get("exterior"),
+                            )
                         rec = [z, x, y, name, fid, gt, gpk,
                                env[0], env[1], env[2], env[3]]
                         if typed:
@@ -616,6 +628,8 @@ def decode_tiles_gpack(
                             rec += [li, fi]
                         if typed:
                             rec.append({k: _vtag(v) for k, v in props.items()})
+                        if with_raster:
+                            rec.append(raster)
                         out.append((*rec, *extras))
                         fi += 1
             if out:

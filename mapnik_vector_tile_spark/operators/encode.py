@@ -576,18 +576,30 @@ def encode_geom_layer(
     multi_polygon_union: bool = False,
     process_all_rings: bool = False,
     key_names: list[str] | None = None,
+    raster_col: str | None = None,
 ) -> tuple[bytes, int]:
     """General-geometry layer through the fused transform/simplify/clip
     kernel, then ONE ragged batch command-stream + feature framing pass
     (pbf.encode_features_packed_ragged) — no per-feature pbf writer.
     geom_col: compact packed geometry (geometry.gpack) — preferred; the
     WKT column is parsed only when no packed column is present.
-    stats: optional dict accumulating fill-resolver budget_exceeded."""
+    stats: optional dict accumulating fill-resolver budget_exceeded.
+    raster_col: Feature.raster bytes per row (the re-encode merge path,
+    raster_to_feature semantics — vector_tile_geometry_feature.hpp:23-34):
+    raster-bearing rows keep their geometry AND raster; rows with
+    raster but no surviving geometry are written as geometry-less
+    raster features (type UNKNOWN), like the reference's raster
+    features."""
     minx, miny, maxx, maxy = tilemath.tile_mercator_bbox_np(x, y, z)
     vt = G.ViewTransform(float(minx), float(miny), float(maxx), float(maxy), extent, extent)
     clip_box = tilemath.buffered_tile_px_box(extent, buffer_px)
     keys, values, tags = build_value_dicts(pdf, prop_cols, key_names)
     ids = pdf[id_col].to_numpy() if id_col else None
+    rasters = None
+    if raster_col and raster_col in pdf.columns:
+        rl = list(pdf[raster_col])
+        if any(r is not None for r in rl):
+            rasters = rl
     geoms = (
         [G.gunpack(bytes(b)) for b in pdf[geom_col]]
         if geom_col
@@ -639,12 +651,12 @@ def encode_geom_layer(
             cmd_list = [all_cmds[j] for j in order]
             cmds_flat = np.concatenate(cmd_list) if cmd_list else cmds_flat
             clens = np.array([len(c) for c in cmd_list], dtype=np.int64)
-    if len(feat_rows) == 0:
+    if len(feat_rows) == 0 and rasters is None:
         return b"", 0
     keep_idx = feat_rows
     kept_tags = tags[keep_idx]
     tmask = kept_tags >= 0
-    blob = pbf.encode_features_packed_ragged(
+    ragged_args = (
         gtypes_v,
         cmds_flat,
         clens,
@@ -652,11 +664,78 @@ def encode_geom_layer(
         tmask.sum(axis=1).astype(np.int64),
         ids[keep_idx].astype(np.int64) if ids is not None else None,
     )
+    if rasters is None:
+        blob = pbf.encode_features_packed_ragged(*ragged_args)
+        n_out = len(feat_rows)
+    else:
+        blob, n_out = _splice_raster_frames(
+            ragged_args, feat_rows, gtypes_v, cmds_flat, clens,
+            tags, ids, rasters,
+        )
+        if n_out == 0:
+            return b"", 0
     vals = [pbf.encode_value(v) for v in values]
     layer = pbf.encode_layer_packed(
         layer_name, blob, keys, vals, extent=extent, version=version
     )
-    return layer, len(feat_rows)
+    return layer, n_out
+
+
+def _splice_raster_frames(ragged_args, feat_rows, gtypes_v, cmds_flat,
+                          clens, tags, ids, rasters):
+    """Weave Feature.raster bytes into the batch-framed blob: frames of
+    raster-bearing rows are rebuilt by the scalar writer (field order
+    id, tags, type, geometry, raster — matching encode_feature and the
+    reference's raster_to_feature), raster-only rows (no surviving
+    geometry) are inserted at their original row position as
+    geometry-less UNKNOWN-type features. A collection row's raster
+    attaches to its FIRST member feature only."""
+    blob_b, flens = pbf.encode_features_packed_ragged(
+        *ragged_args, return_lengths=True
+    )
+    frame_off = np.concatenate([[0], np.cumsum(flens)]).astype(np.int64)
+    cmd_pieces = (
+        np.split(cmds_flat, np.cumsum(clens)[:-1]) if len(clens) else []
+    )
+    geom_rows = set(int(r) for r in feat_rows)
+    extra = [
+        i for i, r in enumerate(rasters)
+        if r is not None and i not in geom_rows
+    ]
+
+    def raster_frame(row: int, gtype: int, cmds) -> bytes:
+        trow = tags[row]
+        tm = trow >= 0
+        msg = pbf.encode_feature(
+            int(ids[row]) if ids is not None else None,
+            [int(t) for t in trow[tm]],
+            gtype,
+            [int(c) for c in cmds],
+            raster=bytes(rasters[row]),
+        )
+        framed = bytearray()
+        pbf.add_len_field(framed, 2, msg)  # Layer.features framing
+        return bytes(framed)
+
+    pieces: list[bytes] = []
+    gi = ei = 0
+    prev_row = -1
+    while gi < len(feat_rows) or ei < len(extra):
+        take_extra = gi >= len(feat_rows) or (
+            ei < len(extra) and extra[ei] < int(feat_rows[gi])
+        )
+        if take_extra:
+            pieces.append(raster_frame(extra[ei], 0, []))
+            ei += 1
+            continue
+        row = int(feat_rows[gi])
+        if rasters[row] is not None and row != prev_row:
+            pieces.append(raster_frame(row, int(gtypes_v[gi]), cmd_pieces[gi]))
+        else:
+            pieces.append(bytes(blob_b[frame_off[gi] : frame_off[gi + 1]]))
+        prev_row = row
+        gi += 1
+    return b"".join(pieces), len(pieces)
 
 
 def _layer_prefix_suffix(layer_name: str, prop_cols: list[str], extent: int, version: int):

@@ -155,6 +155,59 @@ def test_merge_geom_preserves_value_types_and_ids(spark):
     assert tag_counts == [4, 5, 5]
 
 
+def test_merge_geom_preserves_raster_features(spark):
+    """Feature.raster bytes survive the re-encode merge: point+raster
+    features keep geometry AND raster; a raster-only feature (no
+    geometry) re-encodes as a geometry-less UNKNOWN-type feature
+    (raster_to_feature semantics, vector_tile_geometry_feature.hpp:23-34)."""
+    from mapnik_vector_tile_spark.operators import assign, encode as E
+
+    pts = [
+        ("r0", -10.0, 10.0, bytearray(b"\x89PNG-fake-0")),
+        ("r1", 40.0, -20.0, bytearray(b"\x89PNG-fake-1")),
+        ("g2", 100.0, 30.0, None),
+    ]
+    df = spark.createDataFrame(
+        pts, "gid string, lon double, lat double, patch binary"
+    )
+    t_pts = E.build_point_tiles(
+        assign.assign_tiles(df, 1), ["gid"], layer_name="imgs",
+        raster_col="patch", order_col="gid",
+    )
+    # plus a hand-built tile holding a raster-ONLY feature (type 0, no
+    # geometry) in its own layer — the foreign-tile shape
+    ro_feat = pbf.encode_feature(7, [0, 0], 0, [], raster=b"RAW-raster-bytes")
+    ro_layer = pbf.encode_layer(
+        "radar", [ro_feat], ["kind"], [pbf.encode_value("precip")]
+    )
+    ro_tile = Z.compress(pbf.encode_tile([ro_layer]))
+    extra = spark.createDataFrame(
+        [(1, 0, 0, bytearray(ro_tile))], "z int, x long, y long, tile binary"
+    )
+    merged = composite.merge_tiles_reencode_geom(
+        t_pts.select("z", "x", "y", "tile").withColumn("source", F.lit(0))
+        .unionByName(extra.withColumn("source", F.lit(0)))
+    ).cache()
+    dec = decode.decode_tiles_packed(merged).toPandas()
+    by_layer = {}
+    for r in dec.itertuples():
+        by_layer.setdefault(r.layer, []).append(r)
+    imgs = by_layer["imgs"]
+    assert len(imgs) == 3
+    got = {r.props["gid"]: (None if r.raster is None else bytes(r.raster),
+                            r.kind) for r in imgs}
+    assert got["r0"] == (b"\x89PNG-fake-0", "multipoint")
+    assert got["r1"] == (b"\x89PNG-fake-1", "multipoint")
+    assert got["g2"] == (None, "multipoint")
+    radar = by_layer["radar"]
+    assert len(radar) == 1
+    assert bytes(radar[0].raster) == b"RAW-raster-bytes"
+    assert radar[0].kind is None  # geometry-less raster feature
+    assert radar[0].props == {"kind": "precip"}
+    assert radar[0].feature_id == 7  # id preserved
+    assert radar[0].geom_type == 0
+
+
 def test_merge_geom_single_source_roundtrip(spark, sources):
     """Merging ONE source re-encodes to the same decoded feature set."""
     one = sources["tiles"].where(F.col("source") == 0)
