@@ -193,6 +193,17 @@ def parse_proj4(s: str) -> dict:
             "a": a, "e2": e2,
             "towgs84": _towgs84(params),
         }
+    if proj == "aeqd":
+        a, e2 = _ellipsoid(params)
+        return {
+            "proj": "aeqd",
+            "lat_0": float(str(params.get("lat_0", 0.0))),
+            "lon_0": float(str(params.get("lon_0", 0.0))),
+            "x_0": float(str(params.get("x_0", 0.0))),
+            "y_0": float(str(params.get("y_0", 0.0))),
+            "a": a, "e2": e2,
+            "towgs84": _towgs84(params),
+        }
     raise NotImplementedError(f"unsupported +proj {proj}")
 
 
@@ -496,6 +507,208 @@ def _stere_ob_inv(crs: dict, x, y):
     return (lon + 180.0) % 360.0 - 180.0, np.degrees(phi)
 
 
+# --- aeqd (azimuthal equidistant — Snyder ch. 25: r = geodesic distance
+# from the center, theta = forward azimuth. Sphere: exact closed form
+# (25-2..25-4). Ellipsoid, polar aspect: meridian-arc rho (25-9/25-16,
+# series 3-21). Ellipsoid, oblique: geodesic inverse/direct problems
+# (Vincenty 1975, the published iteration PROJ's aeqd 'e_fwd/e_inv' legs
+# correspond to) — x = s*sin(az1), y = s*cos(az1). Tests pin the sphere
+# limit, a numeric-quadrature meridian-arc oracle, and geodesic
+# self-consistency; near-antipodal points (where Vincenty's inverse is
+# known not to converge) are outside the projection's useful domain. ---
+
+def _merid_arc(phi: np.ndarray, a: float, e2: float) -> np.ndarray:
+    """Meridian arc length from the equator (Snyder eq. 3-21)."""
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return a * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * phi)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * phi)
+        - (35 * e6 / 3072) * np.sin(6 * phi)
+    )
+
+
+def _inv_merid_arc(m: np.ndarray, a: float, e2: float) -> np.ndarray:
+    """Footpoint latitude of a meridian arc length (Snyder 3-24, 3-26)."""
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    mu = m / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 ** 3 / 256))
+    return (
+        mu
+        + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu)
+        + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * np.sin(4 * mu)
+        + (151 * e1 ** 3 / 96) * np.sin(6 * mu)
+        + (1097 * e1 ** 4 / 512) * np.sin(8 * mu)
+    )
+
+
+def _vincenty_inverse(phi1: float, lam1: float, phi2, lam2, a: float, e2: float):
+    """(s, alpha1) of the geodesic from a FIXED point 1 to points 2
+    (vectorized Vincenty 1975 inverse)."""
+    f = 1.0 - math.sqrt(1.0 - e2)
+    b = a * (1.0 - f)
+    U1 = math.atan((1 - f) * math.tan(phi1))
+    sU1, cU1 = math.sin(U1), math.cos(U1)
+    U2 = np.arctan((1 - f) * np.tan(np.asarray(phi2, dtype=np.float64)))
+    sU2, cU2 = np.sin(U2), np.cos(U2)
+    L = np.asarray(lam2, dtype=np.float64) - lam1
+    L = (L + np.pi) % (2 * np.pi) - np.pi
+    lam = L.copy()
+    for _ in range(60):
+        sl, cl = np.sin(lam), np.cos(lam)
+        sin_sig = np.hypot(cU2 * sl, cU1 * sU2 - sU1 * cU2 * cl)
+        cos_sig = sU1 * sU2 + cU1 * cU2 * cl
+        sig = np.arctan2(sin_sig, cos_sig)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_alp = np.where(sin_sig == 0, 0.0, cU1 * cU2 * sl / sin_sig)
+        cos2_alp = 1.0 - sin_alp ** 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos_2sm = np.where(
+                cos2_alp == 0, 0.0, cos_sig - 2 * sU1 * sU2 / np.where(cos2_alp == 0, 1.0, cos2_alp)
+            )
+        C = f / 16 * cos2_alp * (4 + f * (4 - 3 * cos2_alp))
+        lam_new = L + (1 - C) * f * sin_alp * (
+            sig + C * sin_sig * (cos_2sm + C * cos_sig * (-1 + 2 * cos_2sm ** 2))
+        )
+        if np.all(np.abs(lam_new - lam) < 1e-14):
+            lam = lam_new
+            break
+        lam = lam_new
+    sl, cl = np.sin(lam), np.cos(lam)
+    sin_sig = np.hypot(cU2 * sl, cU1 * sU2 - sU1 * cU2 * cl)
+    cos_sig = sU1 * sU2 + cU1 * cU2 * cl
+    sig = np.arctan2(sin_sig, cos_sig)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sin_alp = np.where(sin_sig == 0, 0.0, cU1 * cU2 * sl / sin_sig)
+    cos2_alp = 1.0 - sin_alp ** 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos_2sm = np.where(
+            cos2_alp == 0, 0.0, cos_sig - 2 * sU1 * sU2 / np.where(cos2_alp == 0, 1.0, cos2_alp)
+        )
+    u2 = cos2_alp * (a * a - b * b) / (b * b)
+    A = 1 + u2 / 16384 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
+    B = u2 / 1024 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
+    dsig = B * sin_sig * (
+        cos_2sm
+        + B / 4 * (
+            cos_sig * (-1 + 2 * cos_2sm ** 2)
+            - B / 6 * cos_2sm * (-3 + 4 * sin_sig ** 2) * (-3 + 4 * cos_2sm ** 2)
+        )
+    )
+    s = b * A * (sig - dsig)
+    alpha1 = np.arctan2(cU2 * sl, cU1 * sU2 - sU1 * cU2 * cl)
+    return s, alpha1
+
+
+def _vincenty_direct(phi1: float, lam1: float, alpha1, s, a: float, e2: float):
+    """Point at azimuth alpha1 / distance s from a FIXED point 1
+    (vectorized Vincenty 1975 direct)."""
+    f = 1.0 - math.sqrt(1.0 - e2)
+    b = a * (1.0 - f)
+    U1 = math.atan((1 - f) * math.tan(phi1))
+    sU1, cU1 = math.sin(U1), math.cos(U1)
+    alpha1 = np.asarray(alpha1, dtype=np.float64)
+    s = np.asarray(s, dtype=np.float64)
+    sa1, ca1 = np.sin(alpha1), np.cos(alpha1)
+    sig1 = np.arctan2(sU1, cU1 * ca1)
+    sin_alp = cU1 * sa1
+    cos2_alp = 1.0 - sin_alp ** 2
+    u2 = cos2_alp * (a * a - b * b) / (b * b)
+    A = 1 + u2 / 16384 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
+    B = u2 / 1024 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
+    sig = s / (b * A)
+    for _ in range(60):
+        cos_2sm = np.cos(2 * sig1 + sig)
+        sin_sig, cos_sig = np.sin(sig), np.cos(sig)
+        dsig = B * sin_sig * (
+            cos_2sm
+            + B / 4 * (
+                cos_sig * (-1 + 2 * cos_2sm ** 2)
+                - B / 6 * cos_2sm * (-3 + 4 * sin_sig ** 2) * (-3 + 4 * cos_2sm ** 2)
+            )
+        )
+        sig_new = s / (b * A) + dsig
+        if np.all(np.abs(sig_new - sig) < 1e-14):
+            sig = sig_new
+            break
+        sig = sig_new
+    sin_sig, cos_sig = np.sin(sig), np.cos(sig)
+    cos_2sm = np.cos(2 * sig1 + sig)
+    phi2 = np.arctan2(
+        sU1 * cos_sig + cU1 * sin_sig * ca1,
+        (1 - f) * np.hypot(sin_alp, sU1 * sin_sig - cU1 * cos_sig * ca1),
+    )
+    lam = np.arctan2(sin_sig * sa1, cU1 * cos_sig - sU1 * sin_sig * ca1)
+    C = f / 16 * cos2_alp * (4 + f * (4 - 3 * cos2_alp))
+    L = lam - (1 - C) * f * sin_alp * (
+        sig + C * sin_sig * (cos_2sm + C * cos_sig * (-1 + 2 * cos_2sm ** 2))
+    )
+    return phi2, lam1 + L
+
+
+def _aeqd_fwd(crs: dict, lon, lat):
+    a, e2 = crs["a"], crs["e2"]
+    phi1 = math.radians(crs["lat_0"])
+    lam1 = math.radians(crs["lon_0"])
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    if e2 == 0.0:
+        dl = lam - lam1
+        cosc = math.sin(phi1) * np.sin(phi) + math.cos(phi1) * np.cos(phi) * np.cos(dl)
+        c = np.arccos(np.clip(cosc, -1.0, 1.0))
+        az = np.arctan2(
+            np.sin(dl) * np.cos(phi),
+            math.cos(phi1) * np.sin(phi) - math.sin(phi1) * np.cos(phi) * np.cos(dl),
+        )
+        r = a * c
+        return crs["x_0"] + r * np.sin(az), crs["y_0"] + r * np.cos(az)
+    if abs(crs["lat_0"]) == 90.0:  # polar: rho = meridian arc to the pole
+        sgn = 1.0 if crs["lat_0"] > 0 else -1.0
+        mp = float(_merid_arc(np.asarray([math.pi / 2.0]), a, e2)[0])
+        rho = mp - sgn * _merid_arc(phi, a, e2)
+        dl = lam - lam1
+        return (
+            crs["x_0"] + rho * np.sin(dl),
+            crs["y_0"] - sgn * rho * np.cos(dl),
+        )
+    s, az1 = _vincenty_inverse(phi1, lam1, phi, lam, a, e2)
+    return crs["x_0"] + s * np.sin(az1), crs["y_0"] + s * np.cos(az1)
+
+
+def _aeqd_inv(crs: dict, x, y):
+    a, e2 = crs["a"], crs["e2"]
+    phi1 = math.radians(crs["lat_0"])
+    lam1 = math.radians(crs["lon_0"])
+    dx = np.asarray(x, dtype=np.float64) - crs["x_0"]
+    dy = np.asarray(y, dtype=np.float64) - crs["y_0"]
+    rho = np.hypot(dx, dy)
+    if e2 == 0.0:
+        c = rho / a
+        safe = np.where(rho == 0, 1.0, rho)
+        phi = np.arcsin(
+            np.where(
+                rho == 0, math.sin(phi1),
+                np.cos(c) * math.sin(phi1) + dy * np.sin(c) * math.cos(phi1) / safe,
+            )
+        )
+        lam = lam1 + np.arctan2(
+            dx * np.sin(c),
+            rho * math.cos(phi1) * np.cos(c) - dy * math.sin(phi1) * np.sin(c),
+        )
+        lam = np.where(rho == 0, lam1, lam)
+        return (np.degrees(lam) + 180.0) % 360.0 - 180.0, np.degrees(phi)
+    if abs(crs["lat_0"]) == 90.0:
+        sgn = 1.0 if crs["lat_0"] > 0 else -1.0
+        mp = float(_merid_arc(np.asarray([math.pi / 2.0]), a, e2)[0])
+        phi = sgn * _inv_merid_arc(mp - rho, a, e2)
+        lam = lam1 + np.arctan2(dx, -sgn * dy)
+        return (np.degrees(lam) + 180.0) % 360.0 - 180.0, np.degrees(phi)
+    az1 = np.arctan2(dx, dy)
+    phi, lam = _vincenty_direct(phi1, lam1, az1, rho, a, e2)
+    phi = np.where(rho == 0, phi1, phi)
+    lam = np.where(rho == 0, lam1, lam)
+    return (np.degrees(lam) + 180.0) % 360.0 - 180.0, np.degrees(phi)
+
+
 # --- datum shift (+towgs84: 3/7-parameter Helmert via geocentric XYZ,
 # position-vector convention — what proj4/mapnik apply between datums) ---------
 
@@ -565,6 +778,8 @@ def forward(crs: dict, lon, lat):
         return _stere_fwd(crs, lon, lat)
     if p == "stere_ob":
         return _stere_ob_fwd(crs, lon, lat)
+    if p == "aeqd":
+        return _aeqd_fwd(crs, lon, lat)
     raise NotImplementedError(p)
 
 
@@ -605,6 +820,8 @@ def inverse(crs: dict, x, y):
         return _stere_inv(crs, x, y)
     if p == "stere_ob":
         return _stere_ob_inv(crs, x, y)
+    if p == "aeqd":
+        return _aeqd_inv(crs, x, y)
     raise NotImplementedError(p)
 
 

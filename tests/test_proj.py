@@ -634,3 +634,124 @@ def test_build_geom_tiles_from_collection_gpack(spark):
     for ra, rb in zip(a.itertuples(), b.itertuples()):
         assert (ra.z, ra.x, ra.y, ra.n_features) == (rb.z, rb.x, rb.y, rb.n_features)
         assert bytes(ra.tile) == bytes(rb.tile)
+
+
+# ---------------------------------------------------------------------------
+# aeqd (round 5 — azimuthal equidistant, Snyder ch. 25 + Vincenty 1975
+# geodesics for the ellipsoidal oblique aspect). Oracles are independent
+# derivations: a numeric-quadrature meridian arc, the exact spherical
+# closed form, and geodesic defining properties (fwd/inv duality,
+# equidistance along radial lines).
+# ---------------------------------------------------------------------------
+
+def test_aeqd_sphere_exact():
+    """Sphere: r == R*c exactly (the defining property), azimuth from
+    spherical trig — computed here independently."""
+    import math
+
+    crs = P.parse_proj4("+proj=aeqd +lat_0=40 +lon_0=-100 +a=6370997 +b=6370997")
+    R = 6370997.0
+    rng = np.random.default_rng(2)
+    lons = rng.uniform(-170.0, -30.0, 30)
+    lats = rng.uniform(-40.0, 85.0, 30)
+    x, y = P.forward(crs, lons, lats)
+    p1 = (math.radians(40.0), math.radians(-100.0))
+    for i in range(len(lons)):
+        p2 = (math.radians(float(lats[i])), math.radians(float(lons[i])))
+        dl = p2[1] - p1[1]
+        c = math.acos(
+            min(1.0, max(-1.0,
+                math.sin(p1[0]) * math.sin(p2[0])
+                + math.cos(p1[0]) * math.cos(p2[0]) * math.cos(dl)))
+        )
+        az = math.atan2(
+            math.sin(dl) * math.cos(p2[0]),
+            math.cos(p1[0]) * math.sin(p2[0])
+            - math.sin(p1[0]) * math.cos(p2[0]) * math.cos(dl),
+        )
+        assert abs(float(x[i]) - R * c * math.sin(az)) < 1e-6
+        assert abs(float(y[i]) - R * c * math.cos(az)) < 1e-6
+    lon2, lat2 = P.inverse(crs, x, y)
+    np.testing.assert_allclose(lon2, lons, atol=1e-9)
+    np.testing.assert_allclose(lat2, lats, atol=1e-9)
+
+
+def test_aeqd_polar_meridian_arc_quadrature():
+    """Polar ellipsoidal aspect: rho(phi) must equal the pole-to-phi
+    meridian arc, integrated here NUMERICALLY (Simpson over
+    M'(phi) = a(1-e^2)/(1-e^2 sin^2 phi)^1.5) — no series shared with
+    the implementation."""
+    import math
+
+    crs = P.parse_proj4("+proj=aeqd +lat_0=90 +lon_0=0 +ellps=WGS84")
+    a, e2 = crs["a"], crs["e2"]
+
+    def arc(phi_from: float, phi_to: float, n: int = 20001) -> float:
+        phis = np.linspace(phi_from, phi_to, n)
+        integrand = a * (1 - e2) / np.power(1 - e2 * np.sin(phis) ** 2, 1.5)
+        h = (phi_to - phi_from) / (n - 1)
+        w = np.ones(n)
+        w[1:-1:2], w[2:-1:2] = 4.0, 2.0
+        return float(h / 3.0 * np.sum(w * integrand))
+
+    for lat, lon in ((80.0, 0.0), (60.0, 90.0), (30.0, -135.0)):
+        x, y = P.forward(crs, np.asarray([lon]), np.asarray([lat]))
+        rho = math.hypot(float(x[0]), float(y[0]))
+        want = arc(math.radians(lat), math.pi / 2.0)
+        assert abs(rho - want) < 2e-3, (lat, rho, want)  # quadrature+series mm-level
+    # round-trip
+    lons = np.asarray([0.0, 90.0, -135.0, 17.0])
+    lats = np.asarray([80.0, 60.0, 30.0, 45.0])
+    x, y = P.forward(crs, lons, lats)
+    lon2, lat2 = P.inverse(crs, x, y)
+    np.testing.assert_allclose(lon2, lons, atol=1e-9)
+    np.testing.assert_allclose(lat2, lats, atol=1e-8)
+
+
+def test_aeqd_oblique_ellipsoid_properties():
+    """Oblique ellipsoidal aspect (Vincenty): defining properties —
+    (a) fwd/inv round-trip, (b) equidistance: points generated by the
+    DIRECT geodesic at distance s from the center must project to
+    radius exactly s, (c) sphere-limit agreement."""
+    import math
+
+    crs = P.parse_proj4("+proj=aeqd +lat_0=52 +lon_0=5 +ellps=GRS80")
+    rng = np.random.default_rng(9)
+    lons = rng.uniform(-40.0, 60.0, 40)
+    lats = rng.uniform(5.0, 85.0, 40)
+    x, y = P.forward(crs, lons, lats)
+    lon2, lat2 = P.inverse(crs, x, y)
+    np.testing.assert_allclose(lon2, lons, atol=1e-8)
+    np.testing.assert_allclose(lat2, lats, atol=1e-8)
+    # equidistance: direct-geodesic points at known (az, s)
+    phi1, lam1 = math.radians(52.0), math.radians(5.0)
+    azs = np.radians(np.asarray([10.0, 95.0, 200.0, 301.0]))
+    ss = np.asarray([5e4, 3e5, 1.2e6, 2.5e6])
+    phi2, lam2 = P._vincenty_direct(phi1, lam1, azs, ss, crs["a"], crs["e2"])
+    xs, ys = P.forward(crs, np.degrees(lam2), np.degrees(phi2))
+    np.testing.assert_allclose(np.hypot(xs, ys), ss, rtol=1e-9)
+    np.testing.assert_allclose(np.arctan2(xs, ys) % (2 * np.pi), azs, atol=1e-9)
+    # sphere limit: +a=+b aeqd equals the spherical closed form
+    sph = P.parse_proj4("+proj=aeqd +lat_0=52 +lon_0=5 +a=6371000 +b=6371000")
+    x_s, y_s = P.forward(sph, lons, lats)
+    R = 6371000.0
+    for i in range(3):
+        dl = math.radians(float(lons[i]) - 5.0)
+        p2 = math.radians(float(lats[i]))
+        c = math.acos(
+            min(1.0, max(-1.0,
+                math.sin(math.radians(52.0)) * math.sin(p2)
+                + math.cos(math.radians(52.0)) * math.cos(p2) * math.cos(dl)))
+        )
+        assert abs(math.hypot(float(x_s[i]), float(y_s[i])) - R * c) < 1e-5
+
+
+def test_aeqd_transform_integration():
+    crs = P.parse_proj4("+proj=aeqd +lat_0=-20 +lon_0=135 +ellps=WGS84 +x_0=10000 +y_0=-5000")
+    lons = np.asarray([110.0, 150.0, 178.0])
+    lats = np.asarray([-45.0, -10.0, 5.0])
+    x, y = P.forward(crs, lons, lats)
+    mx, my = P.transform(crs, "+init=epsg:3857", x, y)
+    x2, y2 = P.transform("+init=epsg:3857", crs, mx, my)
+    np.testing.assert_allclose(x2, x, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(y2, y, rtol=0, atol=1e-5)
