@@ -20,6 +20,9 @@ directly in numpy):
                  21-33..21-41; NSIDC / Antarctic grids — r4) and
                  oblique/equatorial aspects via the conformal-latitude
                  method (Snyder eq. 3-1, 21-24..21-40 — r5)
+* ``aeqd``     — azimuthal equidistant: spherical closed form, polar
+                 meridian-arc, oblique ellipsoidal via Vincenty
+                 geodesics (Snyder ch. 25 — r5)
 
 Ellipsoids come from +ellps/+a/+b/+rf (WGS84, GRS80, intl, clrk66,
 bessel, krass, airy); ``+towgs84`` 3/7-parameter Helmert datum shifts
