@@ -196,6 +196,17 @@ def parse_proj4(s: str) -> dict:
             "a": a, "e2": e2,
             "towgs84": _towgs84(params),
         }
+    if proj == "cass":
+        a, e2 = _ellipsoid(params)
+        return {
+            "proj": "cass",
+            "lat_0": float(str(params.get("lat_0", 0.0))),
+            "lon_0": float(str(params.get("lon_0", 0.0))),
+            "x_0": float(str(params.get("x_0", 0.0))),
+            "y_0": float(str(params.get("y_0", 0.0))),
+            "a": a, "e2": e2,
+            "towgs84": _towgs84(params),
+        }
     if proj == "aeqd":
         a, e2 = _ellipsoid(params)
         return {
@@ -648,6 +659,48 @@ def _vincenty_direct(phi1: float, lam1: float, alpha1, s, a: float, e2: float):
     return phi2, lam1 + L
 
 
+# --- cass (Cassini-Soldner, ellipsoidal series — Snyder eq. 13-7/13-8
+# forward, 13-9..13-12 inverse; the historic national cadastral grids,
+# e.g. older UK county series / Malaysia cassini states). Valid within a
+# few degrees of the central meridian, like the projection itself. -----------
+
+def _cass_fwd(crs: dict, lon, lat):
+    a, e2 = crs["a"], crs["e2"]
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - crs["lon_0"])
+    lam = (lam + np.pi) % (2 * np.pi) - np.pi
+    sin_p, cos_p = np.sin(phi), np.cos(phi)
+    N = a / np.sqrt(1 - e2 * sin_p ** 2)
+    T = np.tan(phi) ** 2
+    A = lam * cos_p
+    C = e2 * cos_p ** 2 / (1 - e2) if e2 else np.zeros_like(phi)
+    x = N * (A - T * A ** 3 / 6 - (8 - T + 8 * C) * T * A ** 5 / 120)
+    m0 = float(_merid_arc(np.asarray([math.radians(crs["lat_0"])]), a, e2)[0])
+    y = _merid_arc(phi, a, e2) - m0 + N * np.tan(phi) * (
+        A ** 2 / 2 + (5 - T + 6 * C) * A ** 4 / 24
+    )
+    return crs["x_0"] + x, crs["y_0"] + y
+
+
+def _cass_inv(crs: dict, x, y):
+    a, e2 = crs["a"], crs["e2"]
+    dx = np.asarray(x, dtype=np.float64) - crs["x_0"]
+    dy = np.asarray(y, dtype=np.float64) - crs["y_0"]
+    m0 = float(_merid_arc(np.asarray([math.radians(crs["lat_0"])]), a, e2)[0])
+    phi1 = _inv_merid_arc(m0 + dy, a, e2)
+    sin1, cos1 = np.sin(phi1), np.cos(phi1)
+    T1 = np.tan(phi1) ** 2
+    N1 = a / np.sqrt(1 - e2 * sin1 ** 2)
+    R1 = a * (1 - e2) / np.power(1 - e2 * sin1 ** 2, 1.5)
+    D = dx / N1
+    phi = phi1 - (N1 * np.tan(phi1) / R1) * (
+        D ** 2 / 2 - (1 + 3 * T1) * D ** 4 / 24
+    )
+    lam = (D - T1 * D ** 3 / 3 + (1 + 3 * T1) * T1 * D ** 5 / 15) / cos1
+    lon = crs["lon_0"] + np.degrees(lam)
+    return (lon + 180.0) % 360.0 - 180.0, np.degrees(phi)
+
+
 def _aeqd_fwd(crs: dict, lon, lat):
     a, e2 = crs["a"], crs["e2"]
     phi1 = math.radians(crs["lat_0"])
@@ -783,6 +836,8 @@ def forward(crs: dict, lon, lat):
         return _stere_ob_fwd(crs, lon, lat)
     if p == "aeqd":
         return _aeqd_fwd(crs, lon, lat)
+    if p == "cass":
+        return _cass_fwd(crs, lon, lat)
     raise NotImplementedError(p)
 
 
@@ -825,6 +880,8 @@ def inverse(crs: dict, x, y):
         return _stere_ob_inv(crs, x, y)
     if p == "aeqd":
         return _aeqd_inv(crs, x, y)
+    if p == "cass":
+        return _cass_inv(crs, x, y)
     raise NotImplementedError(p)
 
 

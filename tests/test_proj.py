@@ -755,3 +755,60 @@ def test_aeqd_transform_integration():
     x2, y2 = P.transform("+init=epsg:3857", crs, mx, my)
     np.testing.assert_allclose(x2, x, rtol=0, atol=1e-5)
     np.testing.assert_allclose(y2, y, rtol=0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# cass (round 5 — Cassini-Soldner, Snyder eq. 13-7..13-12). Oracles:
+# the central meridian is the meridian arc (shared quadrature check),
+# the SPHERE closed form x = R asin(cos phi sin dlam) /
+# y = R (atan2(tan phi, cos dlam) - phi0), and round-trips.
+# ---------------------------------------------------------------------------
+
+def test_cass_sphere_closed_form():
+    import math
+
+    R = 6370997.0
+    crs = P.parse_proj4(f"+proj=cass +lat_0=10 +lon_0=20 +a={R} +b={R}")
+    rng = np.random.default_rng(4)
+    lons = 20.0 + rng.uniform(-3.0, 3.0, 25)
+    lats = rng.uniform(-60.0, 75.0, 25)
+    x, y = P.forward(crs, lons, lats)
+    for i in range(len(lons)):
+        dl = math.radians(float(lons[i]) - 20.0)
+        ph = math.radians(float(lats[i]))
+        ex = R * math.asin(math.cos(ph) * math.sin(dl))
+        ey = R * (math.atan2(math.tan(ph), math.cos(dl)) - math.radians(10.0))
+        # series truncation at |dlam|<=3 deg is centimetre-level
+        assert abs(float(x[i]) - ex) < 0.05, (lons[i], lats[i])
+        assert abs(float(y[i]) - ey) < 0.05
+
+
+def test_cass_central_meridian_is_meridian_arc():
+    import math
+
+    crs = P.parse_proj4("+proj=cass +lat_0=4 +lon_0=102 +ellps=GRS80")
+    a, e2 = crs["a"], crs["e2"]
+    for lat in (4.0, 7.0, 1.0, -2.0):
+        x, y = P.forward(crs, np.asarray([102.0]), np.asarray([lat]))
+        assert abs(float(x[0])) < 1e-6
+        want = float(
+            P._merid_arc(np.asarray([math.radians(lat)]), a, e2)[0]
+            - P._merid_arc(np.asarray([math.radians(4.0)]), a, e2)[0]
+        )
+        assert abs(float(y[0]) - want) < 1e-6
+
+
+def test_cass_roundtrip_and_offsets():
+    crs = P.parse_proj4(
+        "+proj=cass +lat_0=4 +lon_0=102 +x_0=40000 +y_0=-10000 +ellps=bessel"
+    )
+    rng = np.random.default_rng(6)
+    lons = 102.0 + rng.uniform(-2.5, 2.5, 50)
+    lats = rng.uniform(-5.0, 12.0, 50)
+    x, y = P.forward(crs, lons, lats)
+    lon2, lat2 = P.inverse(crs, x, y)
+    np.testing.assert_allclose(lon2, lons, atol=2e-7)
+    np.testing.assert_allclose(lat2, lats, atol=2e-7)
+    x0, y0 = P.forward(crs, np.asarray([102.0]), np.asarray([4.0]))
+    assert abs(float(x0[0]) - 40000.0) < 1e-6
+    assert abs(float(y0[0]) + 10000.0) < 1e-6
