@@ -23,6 +23,8 @@ directly in numpy):
 * ``aeqd``     — azimuthal equidistant: spherical closed form, polar
                  meridian-arc, oblique ellipsoidal via Vincenty
                  geodesics (Snyder ch. 25 — r5)
+* ``cass``     — Cassini-Soldner, ellipsoidal series (Snyder ch. 13 —
+                 r5; historic cadastral grids)
 
 Ellipsoids come from +ellps/+a/+b/+rf (WGS84, GRS80, intl, clrk66,
 bessel, krass, airy); ``+towgs84`` 3/7-parameter Helmert datum shifts

@@ -901,3 +901,37 @@ def test_from_wkt_batch_matches_scalar():
     # gpack equality too (the reproject lane packs straight from these)
     for w, got in zip(wkts, batch):
         assert bytes(G.gpack(got)) == bytes(G.gpack(G.from_wkt(w))), w
+
+
+# --- test/system/encode_and_decode.cpp (r5 explicit port) -------------------
+# Raw-geometry encode -> command stream -> decode under BOTH spec
+# versions; the reference pins the cursor event sequence, which for
+# these inputs is exactly the coordinate sequence of the round-tripped
+# geometry.
+
+@pytest.mark.parametrize("wkt", [
+    "POINT(0 0)",                                       # :10
+    "MULTIPOINT(0 0,1 1,2 2)",                          # :28
+    "LINESTRING(0 0,1 1,100 100)",                      # :55
+    "MULTILINESTRING((0 0,1 1,100 100),(-10 -10,-20 -20,-100 -100))",  # :78
+    "POLYGON((0 0,100 0,100 100,0 0))",                 # :115
+])
+def test_system_encode_and_decode(wkt):
+    from mapnik_vector_tile_spark.functions import commands as Cmd
+    from mapnik_vector_tile_spark.functions import geometry as G
+
+    geom = G.from_wkt(wkt)
+    gtype, cmds = Cmd.encode_geometry(geom)
+    assert gtype is not None
+    for version in (1, 2):
+        back = Cmd.decode_geometry(
+            cmds, gtype, version=version,
+            tile_x=0.0, tile_y=0.0, scale_x=1.0, scale_y=1.0,
+        )
+        assert G.to_wkt(back) == wkt, (version, G.to_wkt(back))
+        vec = Cmd.decode_geometry_vec(
+            np.asarray(cmds, dtype=np.uint64), gtype, version=version,
+            tile_x=0.0, tile_y=0.0, scale_x=1.0, scale_y=1.0,
+        )
+        if vec is not None:
+            assert G.to_wkt(vec) == wkt, (version, "vec")
