@@ -144,6 +144,32 @@ FROM loc GROUP BY 1, 2, 3
 """
 
 
+def q_hot_tile_split_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 scale pre-stage (r5): the SAME dense z2 tiles as
+    ★dense_tile_decode, but decoded through explode_hot_tiles with
+    thresholds forced low enough that EVERY tile splits into multiple
+    feature-span mini-tiles (dictionary-sliced uniform-point lane) and
+    the chunks shuffle across tasks before the columnar decode. The
+    conservation oracle is identical — the split must be invisible in
+    the result."""
+    from mapnik_vector_tile_spark.operators import assign, decode, encode
+
+    located = _located(spark, sf_dir)
+    assigned = assign.assign_tiles(located, 2)
+    tiles = encode.build_point_tiles(
+        assigned, prop_cols=["image_id", "caption", "fmt"], order_col="image_id"
+    )
+    split = decode.explode_hot_tiles(tiles, chunk_bytes=8192, hot_bytes=1024)
+    decoded = decode.decode_tiles_columnar(split, ["image_id", "caption", "fmt"])
+    return decoded.groupBy("z", "x", "y").agg(
+        F.count("*").alias("n_decoded"),
+        F.countDistinct("image_id").alias("n_ids"),
+        F.min("image_id").alias("min_id"),
+        F.max("caption").alias("max_caption"),
+        F.countDistinct("fmt").alias("n_fmt"),
+    )
+
+
 def q_packed_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S3 at scale form: z13 point tiles decoded through the PACKED
     ragged scan (decode_tiles_packed — flat xs/ys + part offsets as
@@ -1048,6 +1074,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_validity_stats": q_tile_validity,
     "tile_encode_roundtrip": q_tile_encode_roundtrip,
     "dense_tile_decode": q_dense_tile_decode,
+    "hot_tile_split_decode": q_hot_tile_split_decode,
     "packed_decode_roundtrip": q_packed_decode_roundtrip,
     "geom_kernel_goldens": q_geom_kernel_goldens,
     "raster_invariants": q_raster_invariants,
@@ -1071,6 +1098,7 @@ _ORACLE_BUILDERS: dict[str, Callable[[], str]] = {
     "tile_validity_stats": o_tile_validity,
     "tile_encode_roundtrip": o_tile_encode_roundtrip,
     "dense_tile_decode": o_dense_tile_decode,
+    "hot_tile_split_decode": o_dense_tile_decode,  # identical oracle by design
     "packed_decode_roundtrip": o_packed_decode_roundtrip,
     "geom_kernel_goldens": o_geom_kernel_goldens,
     "raster_invariants": o_raster_invariants,
