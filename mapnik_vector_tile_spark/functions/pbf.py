@@ -1030,7 +1030,12 @@ def split_layer_chunks(layer_bytes: bytes, chunk_bytes: int) -> list[bytes]:
         region = data[runs[0][0] : runs[0][1]]
     else:  # exotic interleaving: coalesce once, then cut
         region = b"".join(data[a:b] for a, b in runs)
-    breaks = feature_frame_breaks(region, chunk_bytes)
+    # the header (incl. any key/value dictionaries) repeats per chunk:
+    # for dictionary-heavy foreign layers, grow the chunk target so the
+    # repeated header stays <= ~25% of each chunk (bounds total output
+    # at ~1.33x the input instead of header_count x)
+    target = max(chunk_bytes, 4 * len(hdr))
+    breaks = feature_frame_breaks(region, target)
     if len(breaks) <= 2:
         return [data]
     return [hdr + region[a:b] for a, b in zip(breaks, breaks[1:])]
