@@ -309,22 +309,28 @@ def _split_uniform_point_layer(layer_bytes: bytes, chunk_bytes: int):
     rows_per = -(-n // n_chunks)
     buf = np.frombuffer(data, dtype=np.uint8)
     zz = m[:, 9 + 2 * c : 11 + 2 * c].astype(np.uint32)
-    chunks: list[bytes] = []
-    for r0 in range(0, n, rows_per):
-        r1 = min(n, r0 + rows_per)
-        # exact referenced-value gather + compact index remap: a chunk
-        # carries ONLY the dictionary entries its features use (a range
-        # slice degenerates when a shared value sits at the far end of
-        # the dictionary — the whole dict would ride every chunk)
+    # exact referenced-value gather + compact index remap per chunk: a
+    # chunk carries ONLY the dictionary entries its features use (a
+    # range slice degenerates when a shared value sits at the far end of
+    # the dictionary — the whole dict would ride every chunk). The tag
+    # streams of ALL chunks re-encode in ONE vectorized pass; the blob
+    # is then cut at per-feature frame boundaries.
+    bounds = list(range(0, n, rows_per)) + [n]
+    dicts: list[bytes] = []
+    new_tags = m[:, 4 : 4 + 2 * c].copy()
+    for r0, r1 in zip(bounds, bounds[1:]):
         uniq, inv = np.unique(vidx[r0:r1], return_inverse=True)
         big, _offs = pbf.ragged_gather(
             buf, vs[uniq], vs[uniq + 1] - vs[uniq], np.arange(len(uniq))
         )
-        tags_sub = m[r0:r1, 4 : 4 + 2 * c].copy()
-        tags_sub[:, 1::2] = inv.reshape(r1 - r0, c)
-        blob = pbf.encode_point_features_packed(tags_sub, zz[r0:r1])
-        chunks.append(misc + big.tobytes() + blob)
-    return chunks
+        dicts.append(big.tobytes())
+        new_tags[r0:r1, 1::2] = inv.reshape(r1 - r0, c)
+    blob, flens = pbf.encode_point_features_packed(new_tags, zz, return_lengths=True)
+    frame_off = np.concatenate([[0], np.cumsum(flens)]).astype(np.int64)
+    return [
+        misc + dicts[i] + blob[frame_off[r0] : frame_off[r1]]
+        for i, (r0, r1) in enumerate(zip(bounds, bounds[1:]))
+    ]
 
 
 def split_tile_chunks_smart(tile_data: bytes, chunk_bytes: int) -> list[bytes]:
