@@ -267,22 +267,16 @@ def merge_tiles_reencode_geom(
     geometry-less UNKNOWN-type features, raster_to_feature semantics).
 
     One decode pass -> ONE hash shuffle on (z, x, y) -> per-tile
-    re-encode: the same plan shape as the gpack re-tiling pipeline, so
-    it holds at scale."""
-    from pyspark.sql import Window
-
+    re-encode (first-wins resolves INSIDE the per-tile kernel — a
+    window on (z, x, y, layer name) would cost a second full shuffle of
+    the feature stream): the same plan shape as the gpack re-tiling
+    pipeline, so it holds at scale."""
     from mapnik_vector_tile_spark.operators import decode as D
     from mapnik_vector_tile_spark.operators.encode import encode_geom_layer
 
-    dec = D.decode_tiles_gpack(
+    first = D.decode_tiles_gpack(
         tiles, keep_cols=[source_order_col], ordinals=True, typed=True,
         with_raster=True,
-    )
-    w = Window.partitionBy("z", "x", "y", "layer")
-    first = (
-        dec.withColumn("_win", F.min(source_order_col).over(w))
-        .where(F.col(source_order_col) == F.col("_win"))
-        .drop("_win")
     )
     cols = ["z", "x", "y", "tile", "n_features", "n_layers", "painted"]
 
@@ -294,7 +288,11 @@ def merge_tiles_reencode_geom(
         layers_out: list[bytes] = []
         n_feats = 0
         for lname, grp in pdf.groupby("layer", sort=False):
-            grp = grp.reset_index(drop=True)
+            # first-wins per layer NAME: the minimum source carrying the
+            # layer owns it (tile::add_layer, vector_tile_tile.ipp:19-43);
+            # the sort above makes that the group's leading source
+            win = grp[source_order_col].iloc[0]
+            grp = grp[grp[source_order_col] == win].reset_index(drop=True)
             # per-layer key dictionary: first-appearance order across
             # features (row-major), like layer_builder_pbf::add_feature
             keys: dict[str, None] = {}
