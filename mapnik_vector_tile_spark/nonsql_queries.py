@@ -463,6 +463,55 @@ FROM cells, (VALUES {layer_rows}) AS l(layer)
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING — the step after LSH + verification in a
+    web-scale dedup pipeline: verified n-gram-Jaccard pairs (the exact
+    ★ngram_jaccard_pairs SQL) resolve into connected components
+    (cluster id = min member id) with per-cluster sizes. The Spark side
+    runs the distributed min-label-propagation operator
+    (operators.dedup.connected_components); DuckDB resolves the SAME
+    pairs with a recursive CTE — two fully independent implementations
+    of the graph step must agree row-for-row."""
+    from mapnik_vector_tile_spark import queries as Q
+    from mapnik_vector_tile_spark.operators.dedup import connected_components
+
+    Q._register_views(spark, sf_dir)
+    pairs = spark.sql(Q.SQL_QUERIES["ngram_jaccard_pairs"]("spark"))
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+def o_dedup_clusters() -> str:
+    from mapnik_vector_tile_spark import queries as Q
+
+    pairs_sql = Q.SQL_QUERIES["ngram_jaccard_pairs"]("duckdb")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+),
+comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id),
+sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT cast(c.id AS bigint) AS doc_id,
+       cast(c.component AS bigint) AS component,
+       cast(s.cluster_size AS bigint) AS cluster_size
+FROM comp c JOIN sizes s USING (component)
+"""
+
+
 def q_tile_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K12 validity checker over freshly built tiles: per-layer feature-
     type counters (findings asserted empty in tests)."""
@@ -1080,6 +1129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "raster_invariants": q_raster_invariants,
     "composite_merge": q_composite_merge,
     "merge_geom_slow": q_merge_geom_slow,
+    "dedup_clusters": q_dedup_clusters,
     "retile_pyramid": q_retile_pyramid,
     "gpack_retile_roundtrip": q_gpack_retile_roundtrip,
     "knn_ring_expansion": q_knn_ring_expansion,
@@ -1104,6 +1154,7 @@ _ORACLE_BUILDERS: dict[str, Callable[[], str]] = {
     "raster_invariants": o_raster_invariants,
     "composite_merge": o_composite_merge,
     "merge_geom_slow": o_merge_geom_slow,
+    "dedup_clusters": o_dedup_clusters,
     "retile_pyramid": o_retile_pyramid,
     "gpack_retile_roundtrip": o_gpack_retile_roundtrip,
     "knn_ring_expansion": o_knn_ring_expansion,

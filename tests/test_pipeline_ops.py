@@ -338,3 +338,62 @@ def test_assign_tiles_refuses_cell_column_clash(spark):
     )
     with pytest.raises(ValueError, match="rename them before"):
         assign.assign_tiles(df, 3)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Distributed min-label components vs a scalar union-find oracle
+    over a random graph (chains, cycles, singleton-free pair lists,
+    multiple components)."""
+    import random
+
+    from mapnik_vector_tile_spark.operators.dedup import connected_components
+
+    rng = random.Random(13)
+    n = 400
+    pairs = set()
+    # long chains (worst case for naive propagation: big diameter)
+    for base in range(0, 300, 100):
+        for i in range(base, base + 99):
+            pairs.add((i, i + 1))
+    # random extra edges + a cycle
+    for _ in range(150):
+        a, b = rng.randrange(300, n), rng.randrange(300, n)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    pairs.add((399, 300))
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    touched = {v for p in pairs for v in p}
+    for v in touched:
+        want[v] = find(v)
+
+    df = spark.createDataFrame(
+        sorted(pairs), "doc_a long, doc_b long"
+    )
+    got = {
+        int(r["id"]): int(r["component"])
+        for r in connected_components(df).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_string_ids(spark):
+    from mapnik_vector_tile_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
