@@ -324,6 +324,35 @@ GROUP BY lang, source
 """
 
 
+def q_stratified_sample(dialect: str) -> str:
+    """Deterministic stratified sampling — the dataset-curation step
+    between filtering and training-set export: up to K docs per
+    (lang, source) stratum, chosen by md5-hash rank so the sample is
+    reproducible across engines and runs (no RNG anywhere); emits the
+    kept rows with their in-stratum rank and the stratum population,
+    so downstream weighting can invert the sampling rate."""
+    h = _hash60("doc_id", dialect)
+    return f"""
+WITH strata AS (
+  SELECT lang, source, count(*) AS stratum_n
+  FROM documents GROUP BY lang, source
+),
+ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source ORDER BY {h}, doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.lang, r.source,
+       cast(r.rk AS bigint) AS rk,
+       cast(s.stratum_n AS bigint) AS stratum_n
+FROM ranked r
+JOIN strata s ON r.lang = s.lang AND r.source = s.source
+WHERE r.rk <= 10
+"""
+
+
 def q_minhash_band(dialect: str) -> str:
     """MinHash(4 permutations)-style signature per doc from whitespace
     shingles, via portable md5-derived hashes; band key groups candidate
@@ -500,6 +529,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "dedup_exact": q_dedup_exact,
     "text_quality": q_text_quality,
     "lang_profile": q_lang_profile,
+    "stratified_sample": q_stratified_sample,
     "minhash_band": q_minhash_band,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash": q_simhash,
