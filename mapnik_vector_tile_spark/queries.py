@@ -353,6 +353,62 @@ WHERE r.rk <= 10
 """
 
 
+def q_curation_funnel(dialect: str) -> str:
+    """The composed curation pipeline a training-data user actually
+    runs, as ONE declarative query: quality filter (length + space
+    ratio) -> exact dedup (min-doc representative per content hash) ->
+    deterministic per-stratum sampling cap -> per-(lang, source) funnel
+    counts for every stage. Catalyst sees the whole pipeline, so
+    filters push below the dedup aggregation and the stages share one
+    scan."""
+    h_text = _hash60("text", dialect)
+    h_id = _hash60("doc_id", dialect)
+    return f"""
+WITH raw AS (
+  SELECT doc_id, text, lang, source FROM documents WHERE length(text) > 0
+),
+quality AS (
+  SELECT * FROM raw
+  WHERE length(text) >= 64
+    AND cast(length(text) - length(replace(text, ' ', '')) AS double)
+        / length(text) BETWEEN 0.05 AND 0.4
+),
+uniq AS (
+  SELECT {h_text} AS content_hash, min(doc_id) AS doc_id
+  FROM quality GROUP BY 1
+),
+kept AS (
+  SELECT q.doc_id, q.lang, q.source
+  FROM quality q JOIN uniq u ON q.doc_id = u.doc_id
+),
+ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source ORDER BY {h_id}, doc_id
+         ) AS rk
+  FROM kept
+),
+sampled AS (SELECT * FROM ranked WHERE rk <= 5),
+s_raw AS (SELECT lang, source, count(*) AS n_raw FROM raw GROUP BY 1, 2),
+s_q AS (SELECT lang, source, count(*) AS n_quality FROM quality GROUP BY 1, 2),
+s_u AS (SELECT lang, source, count(*) AS n_unique FROM kept GROUP BY 1, 2),
+s_s AS (
+  SELECT lang, source, count(*) AS n_sampled, min(doc_id) AS min_sampled
+  FROM sampled GROUP BY 1, 2
+)
+SELECT r.lang, r.source,
+       cast(r.n_raw AS bigint) AS n_raw,
+       cast(coalesce(q.n_quality, 0) AS bigint) AS n_quality,
+       cast(coalesce(u.n_unique, 0) AS bigint) AS n_unique,
+       cast(coalesce(s.n_sampled, 0) AS bigint) AS n_sampled,
+       s.min_sampled
+FROM s_raw r
+LEFT JOIN s_q q ON r.lang = q.lang AND r.source = q.source
+LEFT JOIN s_u u ON r.lang = u.lang AND r.source = u.source
+LEFT JOIN s_s s ON r.lang = s.lang AND r.source = s.source
+"""
+
+
 def q_minhash_band(dialect: str) -> str:
     """MinHash(4 permutations)-style signature per doc from whitespace
     shingles, via portable md5-derived hashes; band key groups candidate
@@ -530,6 +586,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_quality": q_text_quality,
     "lang_profile": q_lang_profile,
     "stratified_sample": q_stratified_sample,
+    "curation_funnel": q_curation_funnel,
     "minhash_band": q_minhash_band,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash": q_simhash,
