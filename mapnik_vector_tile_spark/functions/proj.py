@@ -198,6 +198,18 @@ def parse_proj4(s: str) -> dict:
             "a": a, "e2": e2,
             "towgs84": _towgs84(params),
         }
+    if proj == "eqc":
+        a, e2 = _ellipsoid(params)
+        return {
+            "proj": "eqc",
+            "lat_ts": float(str(params.get("lat_ts", 0.0))),
+            "lat_0": float(str(params.get("lat_0", 0.0))),
+            "lon_0": float(str(params.get("lon_0", 0.0))),
+            "x_0": float(str(params.get("x_0", 0.0))),
+            "y_0": float(str(params.get("y_0", 0.0))),
+            "a": a, "e2": e2,
+            "towgs84": _towgs84(params),
+        }
     if proj == "cass":
         a, e2 = _ellipsoid(params)
         return {
@@ -661,6 +673,35 @@ def _vincenty_direct(phi1: float, lam1: float, alpha1, s, a: float, e2: float):
     return phi2, lam1 + L
 
 
+# --- eqc (equirectangular / equidistant cylindrical — Snyder eq. 12-1..12-6,
+# the proj4 spherical formulation with the ellipsoid's semi-major axis:
+# x = a (lam - lam0) cos(lat_ts), y = a (phi - lat_0). EPSG:32662 /
+# EPSG:4087 Plate Carrée family.) ---------------------------------------------
+
+def _eqc_fwd(crs: dict, lon, lat):
+    a = crs["a"]
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - crs["lon_0"])
+    lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    c = math.cos(math.radians(crs["lat_ts"]))
+    return (
+        crs["x_0"] + a * lam * c,
+        crs["y_0"] + a * (phi - math.radians(crs["lat_0"])),
+    )
+
+
+def _eqc_inv(crs: dict, x, y):
+    a = crs["a"]
+    c = math.cos(math.radians(crs["lat_ts"]))
+    lon = crs["lon_0"] + np.degrees(
+        (np.asarray(x, dtype=np.float64) - crs["x_0"]) / (a * c)
+    )
+    lat = crs["lat_0"] + np.degrees(
+        (np.asarray(y, dtype=np.float64) - crs["y_0"]) / a
+    )
+    return (lon + 180.0) % 360.0 - 180.0, lat
+
+
 # --- cass (Cassini-Soldner, ellipsoidal series — Snyder eq. 13-7/13-8
 # forward, 13-9..13-12 inverse; the historic national cadastral grids,
 # e.g. older UK county series / Malaysia cassini states). Valid within a
@@ -840,6 +881,8 @@ def forward(crs: dict, lon, lat):
         return _aeqd_fwd(crs, lon, lat)
     if p == "cass":
         return _cass_fwd(crs, lon, lat)
+    if p == "eqc":
+        return _eqc_fwd(crs, lon, lat)
     raise NotImplementedError(p)
 
 
@@ -884,6 +927,8 @@ def inverse(crs: dict, x, y):
         return _aeqd_inv(crs, x, y)
     if p == "cass":
         return _cass_inv(crs, x, y)
+    if p == "eqc":
+        return _eqc_inv(crs, x, y)
     raise NotImplementedError(p)
 
 

@@ -812,3 +812,33 @@ def test_cass_roundtrip_and_offsets():
     x0, y0 = P.forward(crs, np.asarray([102.0]), np.asarray([4.0]))
     assert abs(float(x0[0]) - 40000.0) < 1e-6
     assert abs(float(y0[0]) + 10000.0) < 1e-6
+
+
+def test_eqc_closed_form_and_roundtrip():
+    """Equirectangular (Snyder 12-1..12-6): exact closed form — one
+    published-grade pin needs no memory: at lat_ts=0 on the WGS84
+    sphere radius, x is exactly a*radians(lon)."""
+    import math
+
+    crs = P.parse_proj4("+proj=eqc +lat_ts=30 +lat_0=5 +lon_0=10 "
+                        "+x_0=100 +y_0=-50 +ellps=WGS84")
+    rng = np.random.default_rng(8)
+    lons = rng.uniform(-170.0, 170.0, 40)
+    lats = rng.uniform(-85.0, 85.0, 40)
+    x, y = P.forward(crs, lons, lats)
+    a = crs["a"]
+    c = math.cos(math.radians(30.0))
+    for i in range(len(lons)):
+        dl = (math.radians(float(lons[i]) - 10.0) + math.pi) % (2 * math.pi) - math.pi
+        assert abs(float(x[i]) - (100 + a * dl * c)) < 1e-6
+        assert abs(
+            float(y[i]) - (-50 + a * (math.radians(float(lats[i])) - math.radians(5.0)))
+        ) < 1e-6
+    lon2, lat2 = P.inverse(crs, x, y)
+    np.testing.assert_allclose(lon2, lons, atol=1e-10)
+    np.testing.assert_allclose(lat2, lats, atol=1e-10)
+    # Plate Carrée: x = a*radians(lon) exactly
+    pc = P.parse_proj4("+proj=eqc +ellps=WGS84")
+    x0, y0 = P.forward(pc, np.asarray([90.0]), np.asarray([45.0]))
+    assert abs(float(x0[0]) - a * math.pi / 2.0) < 1e-6
+    assert abs(float(y0[0]) - a * math.pi / 4.0) < 1e-6
