@@ -25,6 +25,7 @@ directly in numpy):
                  geodesics (Snyder ch. 25 — r5)
 * ``cass``     — Cassini-Soldner, ellipsoidal series (Snyder ch. 13 —
                  r5; historic cadastral grids)
+* ``eqc``      — equirectangular / Plate Carrée (Snyder ch. 12 — r5)
 
 Ellipsoids come from +ellps/+a/+b/+rf (WGS84, GRS80, intl, clrk66,
 bessel, krass, airy); ``+towgs84`` 3/7-parameter Helmert datum shifts
