@@ -111,6 +111,12 @@ def parse_proj4(s: str) -> dict:
             return {"proj": "merc", "spherical": True}
         if epsg in ("epsg:3395",):
             return {"proj": "merc", "spherical": False}
+        if epsg in ("epsg:4087", "epsg:32662"):  # World Equidistant Cyl /
+            return {  # Plate Carrée on the WGS84 semi-major axis
+                "proj": "eqc", "lat_ts": 0.0, "lat_0": 0.0, "lon_0": 0.0,
+                "x_0": 0.0, "y_0": 0.0, "a": WGS84_A, "e2": WGS84_E2,
+                "towgs84": None,
+            }
         if epsg.startswith("epsg:326") or epsg.startswith("epsg:327"):
             zone = int(epsg[8:])
             return {"proj": "utm", "zone": zone, "south": epsg.startswith("epsg:327")}

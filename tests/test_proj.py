@@ -842,3 +842,13 @@ def test_eqc_closed_form_and_roundtrip():
     x0, y0 = P.forward(pc, np.asarray([90.0]), np.asarray([45.0]))
     assert abs(float(x0[0]) - a * math.pi / 2.0) < 1e-6
     assert abs(float(y0[0]) - a * math.pi / 4.0) < 1e-6
+
+
+def test_eqc_epsg_aliases():
+    import math
+
+    for code in ("+init=epsg:4087", "+init=epsg:32662"):
+        crs = P.parse_proj4(code)
+        x, y = P.forward(crs, np.asarray([90.0]), np.asarray([-90.0]))
+        assert abs(float(x[0]) - P.WGS84_A * math.pi / 2.0) < 1e-6
+        assert abs(float(y[0]) + P.WGS84_A * math.pi / 2.0) < 1e-6
