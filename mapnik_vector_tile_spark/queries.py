@@ -344,7 +344,7 @@ ranked AS (
          ) AS rk
   FROM documents
 )
-SELECT r.doc_id, r.lang, r.source,
+SELECT cast(r.doc_id AS bigint) AS doc_id, r.lang, r.source,
        cast(r.rk AS bigint) AS rk,
        cast(s.stratum_n AS bigint) AS stratum_n
 FROM ranked r
@@ -401,7 +401,7 @@ SELECT r.lang, r.source,
        cast(coalesce(q.n_quality, 0) AS bigint) AS n_quality,
        cast(coalesce(u.n_unique, 0) AS bigint) AS n_unique,
        cast(coalesce(s.n_sampled, 0) AS bigint) AS n_sampled,
-       s.min_sampled
+       cast(s.min_sampled AS bigint) AS min_sampled
 FROM s_raw r
 LEFT JOIN s_q q ON r.lang = q.lang AND r.source = q.source
 LEFT JOIN s_u u ON r.lang = u.lang AND r.source = u.source
