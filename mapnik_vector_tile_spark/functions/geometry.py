@@ -415,12 +415,35 @@ def from_wkt_batch(wkts, return_flat: bool = False):
         else:
             raise ValueError(f"unsupported WKT type {tag}")
 
+    # expected point count from the recorded ring structure — detects
+    # XYZ/XYM tokens (ADVICE r5: scalar from_wkt drops extra ordinates;
+    # the batch path must not reject them)
+    expected = 0
+    for _i, kind, st in metas:
+        if kind == "point":
+            expected += 1
+        elif kind in ("multipoint", "linestring"):
+            expected += st
+        elif kind in ("multilinestring", "polygon"):
+            expected += sum(st)
+        else:
+            expected += sum(sum(p) for p in st)
+
     if ring_txt:
         toks = " ".join(ring_txt).replace(",", " ").split()
         flat = np.array(toks, dtype=np.float64)
-        if len(flat) % 2:
-            raise ValueError("odd coordinate count in WKT batch")
-        coords = flat.reshape(-1, 2)
+        if len(flat) == 2 * expected:
+            coords = flat.reshape(-1, 2)
+        elif expected and len(flat) % expected == 0 and len(flat) // expected in (3, 4):
+            # uniform XYZ / XYZM batch: keep x,y per coordinate group,
+            # matching _parse_seq; contiguous copy keeps reduceat lanes fast
+            coords = np.ascontiguousarray(
+                flat.reshape(-1, len(flat) // expected)[:, :2]
+            )
+        else:
+            # mixed-dimension batch: rebuild through the scalar parser so
+            # one 3D row doesn't fail the whole partition
+            return _from_wkt_batch_scalar(wkts, return_flat)
     else:
         coords = np.empty((0, 2), dtype=np.float64)
 
@@ -450,6 +473,61 @@ def from_wkt_batch(wkts, return_flat: bool = False):
     if return_flat:
         return out, coords, spans
     return out
+
+
+def _from_wkt_batch_scalar(wkts, return_flat: bool):
+    """Slow-lane from_wkt_batch: per-row scalar parse, then (for
+    return_flat) rebuild the (flat, spans) contract with every tuple's
+    coordinates re-wrapped as VIEWS into one contiguous array, so the
+    in-place reprojection lane works identically to the fast path."""
+    n = len(wkts)
+    geoms = [from_wkt(w) for w in wkts]
+    if not return_flat:
+        return geoms
+    chunks: list[np.ndarray] = []
+    sizes: list = []
+    for kind, val in geoms:
+        if kind in ("empty", "geometrycollection"):
+            sizes.append(None)
+            continue
+        rings, _ = _gp_simple_parts(kind, val)
+        sizes.append([len(r) for r in rings])
+        chunks.extend(rings)
+    flat = (
+        np.concatenate(chunks).reshape(-1, 2)
+        if chunks else np.empty((0, 2), dtype=np.float64)
+    )
+    spans = np.full((n, 2), -1, dtype=np.int64)
+    pos = 0
+    for i, (kind, val) in enumerate(geoms):
+        if sizes[i] is None:
+            continue
+        start = pos
+        if kind == "point":
+            geoms[i] = ("point", flat[pos])
+            pos += 1
+        elif kind in ("multipoint", "linestring"):
+            c = sizes[i][0]
+            geoms[i] = (kind, flat[pos : pos + c])
+            pos += c
+        elif kind in ("multilinestring", "polygon"):
+            rings = []
+            for c in sizes[i]:
+                rings.append(flat[pos : pos + c])
+                pos += c
+            geoms[i] = (kind, rings)
+        else:  # multipolygon
+            polys = []
+            for poly in val:
+                rebuilt = []
+                for r in poly:
+                    c = len(r)
+                    rebuilt.append(flat[pos : pos + c])
+                    pos += c
+                polys.append(rebuilt)
+            geoms[i] = (kind, polys)
+        spans[i] = (start, pos)
+    return geoms, flat, spans
 
 
 # ---------------------------------------------------------------------------

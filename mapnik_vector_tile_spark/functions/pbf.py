@@ -1052,7 +1052,13 @@ def split_tile_chunks(tile_data: bytes, chunk_bytes: int) -> list[bytes]:
         if len(layer_bytes) <= chunk_bytes:
             parts = [layer_bytes]
         else:
-            parts = split_layer_chunks(layer_bytes, chunk_bytes)
+            try:
+                parts = split_layer_chunks(layer_bytes, chunk_bytes)
+            except (IndexError, ValueError):
+                # hostile/truncated framing (ADVICE r5): ship the layer
+                # whole — the decode stage owns the error semantics, same
+                # as split_tile_chunks_smart's fallback
+                parts = [layer_bytes]
         for p in parts:
             buf = bytearray()
             add_len_field(buf, 3, p)

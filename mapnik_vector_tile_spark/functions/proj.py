@@ -101,6 +101,10 @@ def parse_proj4(s: str) -> dict:
         if "=" in tok:
             k, v = tok.split("=", 1)
             params[k] = v
+        elif tok.lower().startswith("epsg:"):
+            # ADVICE r5: bare 'epsg:NNNN' (no '+init=') must not fall
+            # through to the longlat default as a silent no-op.
+            params["init"] = tok.lower()
         else:
             params[tok] = True
     if "init" in params:

@@ -286,4 +286,7 @@ def connected_components(
         old.unpersist()
         if changed == 0:
             break
+    # ADVICE r5: release the edge checkpoint once converged — only the
+    # returned labels stay materialized
+    edges.unpersist()
     return labels.select("id", F.col("lbl").alias("component"))

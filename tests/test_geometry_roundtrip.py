@@ -903,6 +903,47 @@ def test_from_wkt_batch_matches_scalar():
         assert bytes(G.gpack(got)) == bytes(G.gpack(G.from_wkt(w))), w
 
 
+def test_from_wkt_batch_extra_ordinates():
+    """ADVICE r5: XYZ/XYM WKT that scalar from_wkt accepts (extra
+    ordinates dropped) must not fail the whole batch — uniform-Z batches
+    ride the fast lane, mixed-dimension batches rebuild via the scalar
+    parser, and return_flat still hands back in-place-writable views."""
+    from mapnik_vector_tile_spark.functions import geometry as G
+
+    xyz = [
+        "POINT(1 2 3)",
+        "LINESTRING(0 0 1,10 10 2,20 0 3)",
+        "POLYGON((0 0 9,10 0 9,10 10 9,0 0 9))",
+    ]
+    for w, got in zip(xyz, G.from_wkt_batch(xyz)):
+        assert G.to_wkt(got) == G.to_wkt(G.from_wkt(w)), w
+
+    mixed = ["POINT(1 2)", "POINT(3 4 5)", "LINESTRING(0 0,1 1 7,2 2 8)"]
+    # (that linestring is itself mixed-dim; scalar from_wkt takes x,y per
+    # comma group, so the batch must match it)
+    for w, got in zip(mixed, G.from_wkt_batch(mixed)):
+        assert G.to_wkt(got) == G.to_wkt(G.from_wkt(w)), w
+
+    # return_flat contract on the scalar-rebuild lane: views write back
+    geoms, flat, spans = G.from_wkt_batch(mixed, return_flat=True)
+    flat += 100.0
+    assert G.to_wkt(geoms[0]) == "POINT(101 102)"
+    assert spans[0].tolist() == [0, 1] and spans[2][1] == spans[2][0] + 3
+
+
+def test_bare_epsg_string_parses():
+    """ADVICE r5: a bare 'epsg:NNNN' (no '+init=') must resolve like the
+    init spelling — never silently parse as longlat."""
+    import pytest as _pytest
+    from mapnik_vector_tile_spark.functions import proj as P
+
+    assert P.parse_proj4("epsg:32662")["proj"] == "eqc"
+    assert P.parse_proj4("EPSG:3857")["proj"] == "merc"
+    assert P.parse_proj4("epsg:32610")["proj"] == "utm"
+    with _pytest.raises(NotImplementedError):
+        P.parse_proj4("epsg:99999")  # unrecognized: loud, not longlat
+
+
 # --- test/system/encode_and_decode.cpp (r5 explicit port) -------------------
 # Raw-geometry encode -> command stream -> decode under BOTH spec
 # versions; the reference pins the cursor event sequence, which for

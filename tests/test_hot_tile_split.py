@@ -109,6 +109,19 @@ def test_split_tile_chunks_multi_layer():
     assert set(names) == {"pts"}
 
 
+def test_split_tile_chunks_hostile_framing_passthrough():
+    """ADVICE r5: truncated/hostile feature framing inside an oversized
+    layer must ship the layer whole (decode owns error semantics), not
+    raise out of pbf.split_tile_chunks."""
+    layer = bytearray(_dense_point_layer(400, seed=3))
+    # truncate mid-feature: the frame walk would overrun the region end
+    layer = bytes(layer[:-7])
+    tile = pbf.encode_tile([layer])
+    chunks = pbf.split_tile_chunks(tile, 1024)
+    assert len(chunks) == 1
+    assert pbf.decode_tile(chunks[0]) == [layer]
+
+
 def _sorted_packed(df) -> pd.DataFrame:
     pdf = df.toPandas()
     # full-coordinate key: quantized first vertices can collide at
