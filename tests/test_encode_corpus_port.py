@@ -29,7 +29,15 @@ _DECL = re.compile(
     r"mapbox::geometry::(point|multi_point|line_string|multi_line_string|"
     r"linear_ring|polygon|multi_polygon|geometry)<[^>]+>\s+(\w+)\s*(?:\(([^)]*)\))?\s*;"
 )
-_APPEND_PT = re.compile(r"(\w+)\.(?:emplace_back|push_back)\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)\s*;")
+_APPEND_PT = re.compile(
+    r"(\w+)\.(?:emplace_back|push_back)\(\s*(-?\d+|\w+)\s*,\s*(-?\d+|\w+)\s*\)\s*;"
+)
+# int constant decls, incl. the numeric_limits flow of the
+# 'incredibly large segments' case (linestring_pbf.cpp:205-238)
+_CONST = re.compile(
+    r"(?:std::)?u?int\d+_t\s+(\w+)\s*=\s*"
+    r"(?:std::numeric_limits<[^>]+>::(max|min)\(\)|(-?\d+))\s*;"
+)
 _APPEND_OBJ = re.compile(
     r"(\w+)\.(?:emplace_back|push_back)\(\s*(?:std::move\()?\s*(\w+)\s*\)?\s*\)\s*;"
 )
@@ -62,11 +70,28 @@ def _parse_cases(path: str):
     for m in re.finditer(r'TEST_CASE\("([^"]+)"\)\s*\{(.*?)\n\}', src, re.S):
         name, body = m.group(1), m.group(2)
         objs: dict[str, tuple] = {}
+        consts: dict[str, int] = {}
         ok = True
         enc_var = expect_ok = None
+
+        def _num(tok: str):
+            if tok.lstrip("-").isdigit():
+                return int(tok)
+            return consts.get(tok)
+
         for line in body.splitlines():
             line = line.strip()
             if not line or line.startswith("//"):
+                continue
+            cm = _CONST.match(line)
+            if cm:
+                var, lim, lit = cm.group(1), cm.group(2), cm.group(3)
+                if lit is not None:
+                    consts[var] = int(lit)
+                else:
+                    # the corpus only uses int64 limits; the encoder's
+                    # int32-zigzag wrap is what the case pins
+                    consts[var] = 2**63 - 1 if lim == "max" else -(2**63)
                 continue
             dm = _DECL.match(line)
             if dm:
@@ -92,7 +117,11 @@ def _parse_cases(path: str):
                 continue
             pm = _APPEND_PT.match(line)
             if pm and pm.group(1) in objs:
-                objs[pm.group(1)][1].append((int(pm.group(2)), int(pm.group(3))))
+                px, py = _num(pm.group(2)), _num(pm.group(3))
+                if px is None or py is None:
+                    ok = False
+                    break
+                objs[pm.group(1)][1].append((px, py))
                 continue
             om = _APPEND_OBJ.match(line)
             if om and om.group(1) in objs and om.group(2) in objs:
@@ -163,7 +192,7 @@ def _load_all():
     if not os.path.isdir(REF):
         pytest.skip("reference checkout not mounted")
     out = []
-    for fname, min_cases in (("point_pbf.cpp", 6), ("linestring_pbf.cpp", 10),
+    for fname, min_cases in (("point_pbf.cpp", 7), ("linestring_pbf.cpp", 11),
                              ("polygon_pbf.cpp", 11)):
         cases, skipped = _parse_cases(os.path.join(REF, fname))
         assert len(cases) >= min_cases, (fname, len(cases), skipped)
@@ -195,8 +224,8 @@ def test_reference_encode_corpus(fname, name, obj, expect_ok, gt_name, gsize, wo
 def test_encode_corpus_coverage():
     if not _ALL:
         pytest.skip("reference checkout not mounted")
-    # 29 TEST_CASEs in the three geometry files; the 'incredibly large
-    # segments' numeric_limits case is hand-ported in
-    # test_geometry_roundtrip.py (it exceeds the static scrape)
-    assert len(_ALL) >= 27
+    # 29 TEST_CASEs in the three geometry files, ALL scraped (r6: the
+    # 'incredibly large segments' numeric_limits flow now parses; it is
+    # also hand-ported in test_geometry_roundtrip.py)
+    assert len(_ALL) >= 29
     assert any(not c[3] for c in _ALL)  # REQUIRE_FALSE cases present
