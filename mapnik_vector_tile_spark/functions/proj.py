@@ -57,6 +57,7 @@ _ELLPS = {
     "bessel": (6377397.155, 299.1528128),
     "krass": (6378245.0, 298.3),
     "airy": (6377563.396, 299.3249646),
+    "evrstSS": (6377298.556, 300.8017),  # Everest 1830 (Sabah/Sarawak)
 }
 
 
@@ -124,6 +125,13 @@ def parse_proj4(s: str) -> dict:
         if epsg.startswith("epsg:326") or epsg.startswith("epsg:327"):
             zone = int(epsg[8:])
             return {"proj": "utm", "zone": zone, "south": epsg.startswith("epsg:327")}
+        if epsg == "epsg:27200":  # NZGD49 / New Zealand Map Grid
+            return parse_proj4("+proj=nzmg")
+        if epsg == "epsg:2193":  # NZGD2000 / NZTM2000
+            return parse_proj4(
+                "+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996"
+                " +x_0=1600000 +y_0=10000000 +ellps=GRS80"
+            )
         raise NotImplementedError(f"unsupported +init {epsg}")
     proj = str(params.get("proj", "longlat"))
     if proj in ("longlat", "latlong", "lonlat"):
@@ -241,6 +249,36 @@ def parse_proj4(s: str) -> dict:
             "x_0": float(str(params.get("x_0", 0.0))),
             "y_0": float(str(params.get("y_0", 0.0))),
             "a": a, "e2": e2,
+            "towgs84": _towgs84(params),
+        }
+    if proj == "omerc":
+        if "lon_1" in params or "lat_1" in params:
+            raise NotImplementedError("omerc two-point form not supported")
+        a, e2 = _ellipsoid(params)
+        alpha = float(str(params.get("alpha", 90.0)))
+        return {
+            "proj": "omerc",
+            "lat_0": float(str(params.get("lat_0", 0.0))),
+            "lonc": float(str(params.get("lonc", 0.0))),
+            "alpha": alpha,
+            "gamma": float(str(params.get("gamma", alpha))),
+            "k": float(str(params.get("k", params.get("k_0", 1.0)))),
+            "x_0": float(str(params.get("x_0", 0.0))),
+            "y_0": float(str(params.get("y_0", 0.0))),
+            "no_off": bool(params.get("no_off", params.get("no_uoff", False))),
+            "a": a, "e2": e2,
+            "towgs84": _towgs84(params),
+        }
+    if proj == "nzmg":
+        # fixed definition (LINZS25002): International 1924, origin
+        # 41°S 173°E, FE 2 510 000 / FN 6 023 150
+        a, rf = _ELLPS["intl"]
+        f = 1.0 / rf
+        return {
+            "proj": "nzmg",
+            "x_0": float(str(params.get("x_0", 2510000.0))),
+            "y_0": float(str(params.get("y_0", 6023150.0))),
+            "a": a, "e2": f * (2.0 - f),
             "towgs84": _towgs84(params),
         }
     raise NotImplementedError(f"unsupported +proj {proj}")
@@ -819,6 +857,134 @@ def _aeqd_inv(crs: dict, x, y):
     return (np.degrees(lam) + 180.0) % 360.0 - 180.0, np.degrees(phi)
 
 
+# --- omerc (Hotine oblique Mercator, azimuth form — Snyder ch. 9 /
+# EPSG Guidance Note 7-2 variants A (+no_off) and B; the Malaysian RSO
+# and Alaska panhandle grids) --------------------------------------------------
+
+def _omerc_consts(crs: dict):
+    a, e2 = crs["a"], crs["e2"]
+    e = math.sqrt(e2)
+    phi0 = math.radians(crs["lat_0"])
+    alpha = math.radians(crs["alpha"])
+    sphi0, cphi0 = math.sin(phi0), math.cos(phi0)
+    B = math.sqrt(1.0 + e2 * cphi0**4 / (1.0 - e2))
+    A = a * B * crs["k"] * math.sqrt(1.0 - e2) / (1.0 - e2 * sphi0**2)
+    t0 = float(_t_arr(np.asarray([phi0]), e)[0])
+    D = B * math.sqrt(1.0 - e2) / (cphi0 * math.sqrt(1.0 - e2 * sphi0**2))
+    D2 = max(D * D, 1.0)
+    sign = 1.0 if phi0 >= 0.0 else -1.0
+    F = D + math.sqrt(D2 - 1.0) * sign
+    H = F * t0**B
+    G = (F - 1.0 / F) / 2.0
+    gamma0 = math.asin(math.sin(alpha) / D)
+    lam0 = math.radians(crs["lonc"]) - math.asin(G * math.tan(gamma0)) / B
+    if crs.get("no_off"):
+        uc = 0.0
+    elif abs(crs["alpha"]) == 90.0:
+        uc = A * (math.radians(crs["lonc"]) - lam0)
+    else:
+        uc = (A / B) * math.atan2(math.sqrt(D2 - 1.0), math.cos(alpha)) * sign
+    return A, B, H, gamma0, lam0, uc, e
+
+
+def _omerc_fwd(crs: dict, lon, lat):
+    A, B, H, gamma0, lam0, uc, e = _omerc_consts(crs)
+    lam = np.radians(np.asarray(lon, dtype=np.float64)) - lam0
+    lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
+    phi = np.radians(np.clip(np.asarray(lat, dtype=np.float64), -89.999, 89.999))
+    t = _t_arr(phi, e)
+    Q = H / np.power(t, B)
+    S = (Q - 1.0 / Q) / 2.0
+    T = (Q + 1.0 / Q) / 2.0
+    V = np.sin(B * lam)
+    U = (-V * math.cos(gamma0) + S * math.sin(gamma0)) / T
+    v = A * np.log((1.0 - U) / (1.0 + U)) / (2.0 * B)
+    u = (
+        A / B * np.arctan2(
+            S * math.cos(gamma0) + V * math.sin(gamma0), np.cos(B * lam)
+        )
+        - uc
+    )
+    g = math.radians(crs["gamma"])
+    return (
+        v * math.cos(g) + u * math.sin(g) + crs["x_0"],
+        u * math.cos(g) - v * math.sin(g) + crs["y_0"],
+    )
+
+
+def _omerc_inv(crs: dict, x, y):
+    A, B, H, gamma0, lam0, uc, e = _omerc_consts(crs)
+    g = math.radians(crs["gamma"])
+    dx = np.asarray(x, dtype=np.float64) - crs["x_0"]
+    dy = np.asarray(y, dtype=np.float64) - crs["y_0"]
+    v = dx * math.cos(g) - dy * math.sin(g)
+    u = dy * math.cos(g) + dx * math.sin(g) + uc
+    Q = np.exp(-B * v / A)
+    S = (Q - 1.0 / Q) / 2.0
+    T = (Q + 1.0 / Q) / 2.0
+    V = np.sin(B * u / A)
+    U = (V * math.cos(gamma0) + S * math.sin(gamma0)) / T
+    t = np.power(H / np.sqrt((1.0 + U) / (1.0 - U)), 1.0 / B)
+    phi = _phi_from_t(t, e)
+    lam = lam0 - np.arctan2(
+        S * math.cos(gamma0) - V * math.sin(gamma0), np.cos(B * u / A)
+    ) / B
+    return np.degrees(lam), np.degrees(phi)
+
+
+# --- nzmg (New Zealand Map Grid — the LINZS25002 sixth-order complex
+# conformal polynomial on International 1924; EPSG:27200) ----------------------
+
+_NZMG_LAT0, _NZMG_LON0 = -41.0, 173.0
+# Δφ -> Δψ (isometric) series and its published inverse, Δφ in units of
+# 1e-5 arc-seconds of latitude difference (LINZS25002 table coefficients)
+_NZMG_TPSI = np.array([
+    0.6399175073, -0.1358797613, 0.063294409, -0.02526853, 0.0117879,
+    -0.0055161, 0.0026906, -0.001333, 0.00067, -0.00034,
+])
+_NZMG_TPHI = np.array([
+    1.5627014243, 0.5185406398, -0.03333098, -0.1052906, -0.0368594,
+    0.007317, 0.01220, 0.00394, -0.0013,
+])
+_NZMG_BF = np.array([
+    0.7557853228 + 0.0j, 0.249204646 + 0.003371507j,
+    -0.001541739 + 0.041058560j, -0.10162907 + 0.01727609j,
+    -0.26623489 - 0.36249218j, -0.6870983 - 1.1651967j,
+])
+# highest-power-first with a zero constant term, for np.polyval Horner
+_NZMG_TPSI_PV = np.append(_NZMG_TPSI[::-1], 0.0)
+_NZMG_TPHI_PV = np.append(_NZMG_TPHI[::-1], 0.0)
+_NZMG_BF_PV = np.append(_NZMG_BF[::-1], 0.0 + 0.0j)
+_NZMG_BFD_PV = np.polyder(_NZMG_BF_PV)
+
+
+def _nzmg_fwd(crs: dict, lon, lat):
+    a = crs["a"]
+    dphi = (np.asarray(lat, dtype=np.float64) - _NZMG_LAT0) * 3600.0e-5
+    psi = np.polyval(_NZMG_TPSI_PV, dphi)
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - _NZMG_LON0)
+    z = psi + 1j * lam
+    w = np.polyval(_NZMG_BF_PV, z)
+    return crs["x_0"] + a * w.imag, crs["y_0"] + a * w.real
+
+
+def _nzmg_inv(crs: dict, x, y):
+    a = crs["a"]
+    w = (
+        (np.asarray(y, dtype=np.float64) - crs["y_0"])
+        + 1j * (np.asarray(x, dtype=np.float64) - crs["x_0"])
+    ) / a
+    z = w / _NZMG_BF[0]
+    for _ in range(12):  # complex Newton on the forward polynomial
+        z = z - (np.polyval(_NZMG_BF_PV, z) - w) / np.polyval(_NZMG_BFD_PV, z)
+    psi = z.real
+    dphi = np.polyval(_NZMG_TPHI_PV, psi)
+    return (
+        _NZMG_LON0 + np.degrees(z.imag),
+        _NZMG_LAT0 + dphi / 3600.0e-5,
+    )
+
+
 # --- datum shift (+towgs84: 3/7-parameter Helmert via geocentric XYZ,
 # position-vector convention — what proj4/mapnik apply between datums) ---------
 
@@ -894,6 +1060,10 @@ def forward(crs: dict, lon, lat):
         return _cass_fwd(crs, lon, lat)
     if p == "eqc":
         return _eqc_fwd(crs, lon, lat)
+    if p == "omerc":
+        return _omerc_fwd(crs, lon, lat)
+    if p == "nzmg":
+        return _nzmg_fwd(crs, lon, lat)
     raise NotImplementedError(p)
 
 
@@ -940,6 +1110,10 @@ def inverse(crs: dict, x, y):
         return _cass_inv(crs, x, y)
     if p == "eqc":
         return _eqc_inv(crs, x, y)
+    if p == "omerc":
+        return _omerc_inv(crs, x, y)
+    if p == "nzmg":
+        return _nzmg_inv(crs, x, y)
     raise NotImplementedError(p)
 
 

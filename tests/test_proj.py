@@ -852,3 +852,215 @@ def test_eqc_epsg_aliases():
         x, y = P.forward(crs, np.asarray([90.0]), np.asarray([-90.0]))
         assert abs(float(x[0]) - P.WGS84_A * math.pi / 2.0) < 1e-6
         assert abs(float(y[0]) + P.WGS84_A * math.pi / 2.0) < 1e-6
+
+
+# --- omerc (Hotine oblique Mercator — Snyder ch. 9 / EPSG GN7-2) ------------
+
+def test_omerc_epsg_worked_example():
+    """EPSG Guidance Note 7-2 §Hotine Oblique Mercator (variant B)
+    worked example: Timbalai 1948 / RSO Borneo (m), Everest (Sabah &
+    Sarawak), center 4°N 115°E, alpha_c 53°18'56.9537", gamma_c
+    53°07'48.3685", k_c 0.99984, FE 590476.87, FN 442857.65. Test point
+    5°23'14.1129"N 115°48'19.8196"E -> E 679245.73, N 596562.78."""
+    crs = P.parse_proj4(
+        "+proj=omerc +lat_0=4 +lonc=115"
+        " +alpha=" + repr(53 + 18 / 60 + 56.9537 / 3600)
+        + " +gamma=" + repr(53 + 7 / 60 + 48.3685 / 3600)
+        + " +k=0.99984 +x_0=590476.87 +y_0=442857.65 +ellps=evrstSS"
+    )
+    lat = 5 + 23 / 60 + 14.1129 / 3600
+    lon = 115 + 48 / 60 + 19.8196 / 3600
+    x, y = P.forward(crs, np.asarray([lon]), np.asarray([lat]))
+    assert abs(float(x[0]) - 679245.73) < 0.02
+    assert abs(float(y[0]) - 596562.78) < 0.02
+    # variant B: the projection CENTER maps to (FE, FN)
+    xc, yc = P.forward(crs, np.asarray([115.0]), np.asarray([4.0]))
+    assert abs(float(xc[0]) - 590476.87) < 1e-5
+    assert abs(float(yc[0]) - 442857.65) < 1e-5
+
+
+def test_omerc_roundtrip():
+    crs = P.parse_proj4(
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.316 +k=0.99984"
+        " +x_0=590476.87 +y_0=442857.65 +ellps=evrstSS"
+    )
+    rng = np.random.default_rng(11)
+    lons = 115.0 + rng.uniform(-6.0, 6.0, 60)
+    lats = rng.uniform(-4.0, 12.0, 60)
+    x, y = P.forward(crs, lons, lats)
+    lon2, lat2 = P.inverse(crs, x, y)
+    np.testing.assert_allclose(lon2, lons, atol=1e-9)
+    np.testing.assert_allclose(lat2, lats, atol=1e-9)
+    # southern-hemisphere aspect + no_off variant round-trips too
+    s = P.parse_proj4(
+        "+proj=omerc +lat_0=-36 +lonc=143 +alpha=-54 +k=1 +no_off +ellps=WGS84"
+    )
+    xs, ys = P.forward(s, lons + 28.0, -lats - 25.0)
+    lon3, lat3 = P.inverse(s, xs, ys)
+    np.testing.assert_allclose(lon3, lons + 28.0, atol=1e-9)
+    np.testing.assert_allclose(lat3, -lats - 25.0, atol=1e-9)
+
+
+def test_omerc_sphere_center_line_oracle():
+    """Independent spherical oracle (no memorized numbers): on a sphere
+    the omerc initial line is the great circle through the center at
+    azimuth alpha. Points generated along that great circle by an
+    INDEPENDENT spherical direct-geodesic formula must project onto ONE
+    straight line, with spacing k0 * R * dsigma (true scale along the
+    center line)."""
+    import math
+
+    R = 6370997.0
+    lat0, lonc, alpha, k0 = 30.0, 20.0, 50.0, 0.9996
+    crs = P.parse_proj4(
+        f"+proj=omerc +lat_0={lat0} +lonc={lonc} +alpha={alpha}"
+        f" +k={k0} +a={R} +no_off"
+    )
+    assert crs["e2"] == 0.0
+    phi1, lam1, az = map(math.radians, (lat0, lonc, alpha))
+    pts = []
+    sigmas = np.linspace(-0.5, 0.5, 21)  # ±~3200 km along the line
+    for sig in sigmas:
+        # spherical direct geodesic (standard nav closed form)
+        phi2 = math.asin(
+            math.sin(phi1) * math.cos(sig)
+            + math.cos(phi1) * math.sin(sig) * math.cos(az)
+        )
+        lam2 = lam1 + math.atan2(
+            math.sin(az) * math.sin(sig) * math.cos(phi1),
+            math.cos(sig) - math.sin(phi1) * math.sin(phi2),
+        )
+        pts.append((math.degrees(lam2), math.degrees(phi2)))
+    lons = np.asarray([p[0] for p in pts])
+    lats = np.asarray([p[1] for p in pts])
+    x, y = P.forward(crs, lons, lats)
+    # collinear: regress (x, y) on arc length, residuals ~0
+    dx, dy = x[-1] - x[0], y[-1] - y[0]
+    L = math.hypot(dx, dy)
+    # perpendicular distance of every point from the chord
+    d = np.abs((x - x[0]) * dy - (y - y[0]) * dx) / L
+    assert d.max() < 1e-4, d.max()
+    # true scale: consecutive spacing == k0 * R * dsigma
+    spacing = np.hypot(np.diff(x), np.diff(y))
+    want = k0 * R * (sigmas[1] - sigmas[0])
+    np.testing.assert_allclose(spacing, want, rtol=1e-9)
+
+
+def test_omerc_conformality():
+    """Finite-difference Jacobian is a scaled rotation (conformal) at
+    scattered points on the ellipsoid."""
+    crs = P.parse_proj4(
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.316 +k=0.99984 +ellps=evrstSS"
+    )
+    rng = np.random.default_rng(12)
+    lons = 115.0 + rng.uniform(-5.0, 5.0, 25)
+    lats = rng.uniform(-2.0, 10.0, 25)
+    h = 1e-6
+    x0, y0 = P.forward(crs, lons, lats)
+    xl, yl = P.forward(crs, lons + h, lats)
+    xp, yp = P.forward(crs, lons, lats + h)
+    # columns scaled to common ground units: dλ column / cosφ·(M/N-ish)
+    # — conformality on (λ, ψ) isometric coords: dψ = dφ·(1-e2)/((1-e2sin²φ)cosφ)
+    import math as m
+    e2 = crs["e2"]
+    phi = np.radians(lats)
+    dpsi_dphi = (1 - e2) / ((1 - e2 * np.sin(phi) ** 2) * np.cos(phi))
+    # J in (λ, ψ): [dx/dλ, dx/dψ; dy/dλ, dy/dψ]
+    a11 = (xl - x0) / h
+    a21 = (yl - y0) / h
+    a12 = (xp - x0) / h / dpsi_dphi
+    a22 = (yp - y0) / h / dpsi_dphi
+    # Cauchy-Riemann: a11 == a22, a12 == -a21 (up to FD error)
+    scale = np.hypot(a11, a21)
+    np.testing.assert_allclose(a11, a22, atol=scale.max() * 2e-5)
+    np.testing.assert_allclose(a12, -a21, atol=scale.max() * 2e-5)
+
+
+# --- nzmg (New Zealand Map Grid — LINZS25002 complex polynomial) ------------
+
+def test_nzmg_series_vs_isometric_latitude():
+    """INDEPENDENT oracle for the published Δφ→Δψ series: ψ must be the
+    isometric-latitude difference on International 1924, computed here
+    in closed form (arctanh), nothing shared with the series."""
+    import math
+
+    a, rf = 6378388.0, 297.0
+    f = 1.0 / rf
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    lat = np.linspace(-50.0, -33.0, 401)
+    phi = np.radians(lat)
+    phi0 = math.radians(-41.0)
+
+    def q(p):
+        return np.arctanh(np.sin(p)) - e * np.arctanh(e * np.sin(p))
+
+    want = q(phi) - q(phi0)
+    units = (lat - (-41.0)) * 3600.0e-5
+    psi = np.polyval(P._NZMG_TPSI_PV, units)
+    np.testing.assert_allclose(psi, want, atol=2e-9)
+    # the published inverse table really is the inverse
+    back = np.polyval(P._NZMG_TPHI_PV, psi)
+    np.testing.assert_allclose(back, units, atol=5e-9)
+
+
+def test_nzmg_origin_orientation_scale():
+    crs = P.parse_proj4("+proj=nzmg")
+    # true origin -> false origin exactly
+    x, y = P.forward(crs, np.asarray([173.0]), np.asarray([-41.0]))
+    assert abs(float(x[0]) - 2510000.0) < 1e-6
+    assert abs(float(y[0]) - 6023150.0) < 1e-6
+    # axes: east responds to +lon, north to +lat; conformal scale ~1
+    import math
+
+    a, e2 = crs["a"], crs["e2"]
+    lats = np.linspace(-46.5, -34.5, 9)
+    lons = np.linspace(167.5, 178.0, 9)
+    LO, LA = np.meshgrid(lons, lats)
+    lo, la = LO.ravel(), LA.ravel()
+    x, y = P.forward(crs, lo, la)
+    xe, ye = P.forward(crs, lo + 1e-3, la)
+    xn, yn = P.forward(crs, lo, la + 1e-3)
+    assert ((xe - x) > 0).all() and ((yn - y) > 0).all()
+    de = np.hypot(xe - x, ye - y)
+    dn = np.hypot(xn - x, yn - y)
+    for i in range(0, len(lo), 7):
+        se = P._vincenty_inverse(
+            math.radians(la[i]), math.radians(lo[i]),
+            np.radians(np.asarray([la[i]])),
+            np.radians(np.asarray([lo[i] + 1e-3])), a, e2,
+        )[0][0]
+        sn = P._vincenty_inverse(
+            math.radians(la[i]), math.radians(lo[i]),
+            np.radians(np.asarray([la[i] + 1e-3])),
+            np.radians(np.asarray([lo[i]])), a, e2,
+        )[0][0]
+        ke, kn = de[i] / se, dn[i] / sn
+        assert 0.9995 < ke < 1.012 and 0.9995 < kn < 1.012
+        assert abs(ke - kn) < 1e-5  # conformal: isotropic scale
+
+
+def test_nzmg_roundtrip_and_epsg_alias():
+    crs = P.parse_proj4("+init=epsg:27200")
+    assert crs["proj"] == "nzmg"
+    rng = np.random.default_rng(13)
+    lons = rng.uniform(166.0, 179.5, 80)
+    lats = rng.uniform(-47.5, -34.0, 80)
+    x, y = P.forward(crs, lons, lats)
+    lon2, lat2 = P.inverse(crs, x, y)
+    np.testing.assert_allclose(lon2, lons, atol=1e-9)
+    np.testing.assert_allclose(lat2, lats, atol=1e-9)
+    # metro sanity: Auckland lands in its NZMG 10 km box
+    xa, ya = P.forward(crs, np.asarray([174.7633]), np.asarray([-36.8485]))
+    assert abs(float(xa[0]) - 2667700.0) < 1e4
+    assert abs(float(ya[0]) - 6482400.0) < 1e4
+
+
+def test_nztm2000_epsg_alias():
+    """EPSG:2193 (NZTM2000) routes to tmerc on GRS80 with the LINZ
+    parameters; origin check: (173E, 0) -> (1600000, 10000000)."""
+    crs = P.parse_proj4("epsg:2193")
+    assert crs["proj"] == "tmerc"
+    x, y = P.forward(crs, np.asarray([173.0]), np.asarray([0.0]))
+    assert abs(float(x[0]) - 1600000.0) < 1e-6
+    assert abs(float(y[0]) - 10000000.0) < 1e-6
