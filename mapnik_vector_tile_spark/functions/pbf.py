@@ -846,6 +846,12 @@ def encode_string_value_fields(strings) -> tuple[np.ndarray, np.ndarray, np.ndar
     return out, out_start.astype(np.int64), total_len.astype(np.int64)
 
 
+# value of a k-byte varint = 28-bit window & ((1 << 7k) - 1)
+_VARINT_MASK_LUT = np.array(
+    [0, 0x7F, 0x3FFF, 0x1FFFFF, 0x0FFFFFFF], dtype=np.uint32
+)
+
+
 def decode_varints_vec(data: bytes, return_lengths: bool = False):
     """Decode a pure varint stream to uint64 values, fully vectorized
     (<= 10 masked passes over byte positions — no per-value Python).
@@ -866,17 +872,29 @@ def decode_varints_vec(data: bytes, return_lengths: bool = False):
     max_len = int(lengths.max())
     if max_len > 10:
         raise ValueError("varint too long")
-    # backward accumulation: after pass m, acc[i] holds the value of a
-    # varint starting at i with length <= m+1. Full-array passes replace
-    # the per-pass fancy-index gathers (2x faster on the wide tile-delta
-    # streams, which are overwhelmingly 1-2 byte varints -> one pass).
-    # Varints of <= 4 bytes fit 28 payload bits: run the lane in uint32
-    # for half the memory traffic.
-    lane = np.uint32 if max_len <= 4 else np.uint64
-    payload = (buf & 0x7F).astype(lane)
+    if max_len <= 4:
+        # fast lane (the overwhelmingly common <=28-bit case): build
+        # arr[i] = 28-bit little-endian-7 window starting at byte i with
+        # max_len-1 shift-or passes, gather at starts, then mask each
+        # value down to its true length via a 5-entry LUT gather — no
+        # np.where pass, half the memory traffic of the generic lane.
+        payload = (buf & 0x7F).astype(np.uint32)
+        arr = payload.copy()
+        tmp = np.empty(len(payload), dtype=np.uint32)
+        for m in range(1, max_len):
+            t = tmp[: len(payload) - m]
+            np.left_shift(payload[m:], np.uint32(7 * m), out=t)
+            np.bitwise_or(arr[:-m], t, out=arr[:-m])
+        vals32 = arr[starts]
+        vals32 &= _VARINT_MASK_LUT[lengths]
+        vals = vals32.astype(np.uint64)
+        if return_lengths:
+            return vals, lengths.astype(np.int64)
+        return vals
+    payload = (buf & 0x7F).astype(np.uint64)
     acc = payload
     sh = np.empty_like(payload)
-    seven = lane(7)
+    seven = np.uint64(7)
     for _ in range(max_len - 1):
         sh[:-1] = acc[1:]
         sh[-1] = 0

@@ -262,6 +262,78 @@ def _layer_sections(data: bytes):
     return bytes(misc), n_keys, (vstart if v_contig else None), vend, runs
 
 
+def _layer_sections_fast(data: bytes):
+    """Fast lane of `_layer_sections` for this engine's own layer layout
+    (pbf.encode_layer_packed: name, keys, values run, extent, version,
+    features as the pure suffix). The only per-frame loop left is a
+    minimal value-frame hop (two byte reads per value); feature frames
+    are NOT walked at all — the caller's vectorized varint decode +
+    `_packed_rows_ok` structural check validates the suffix, so a layer
+    that merely looks right cannot slip through. Returns None whenever
+    the layout assumptions break (caller falls back to the generic
+    walk)."""
+    n = len(data)
+    pos = 0
+    misc = bytearray()
+    n_keys = 0
+    read_varint = pbf.read_varint
+    # header fields before the values run
+    while pos < n and data[pos] != 0x22:
+        start = pos
+        b = data[pos]
+        if b == 0x12:
+            return None  # features before values: not our layout
+        t, pos = read_varint(data, pos)
+        field, wire = t >> 3, t & 0x7
+        if wire == 2:
+            ln, pos = read_varint(data, pos)
+            pos += ln
+        else:
+            pos = pbf.skip_field(data, pos, wire)
+        if field == 3 and wire == 2:
+            n_keys += 1
+        misc += data[start:start + (pos - start)]
+    if pos >= n:
+        return None
+    # values run: tight hop (lengths <= 2 varint bytes, else bail)
+    vstart: list[int] = []
+    append_v = vstart.append
+    while pos < n and data[pos] == 0x22:
+        append_v(pos)
+        b0 = data[pos + 1]
+        if b0 < 0x80:
+            pos = pos + 2 + b0
+        else:
+            b1 = data[pos + 2]
+            if b1 >= 0x80:
+                return None
+            pos = pos + 3 + ((b0 & 0x7F) | (b1 << 7))
+    if pos > n:
+        return None
+    vend = pos
+    # trailing scalar fields (extent, version) before the feature suffix
+    while pos < n and data[pos] != 0x12:
+        start = pos
+        b = data[pos]
+        if b == 0x22:
+            return None  # second value run: generic walk owns this
+        t, pos = read_varint(data, pos)
+        field, wire = t >> 3, t & 0x7
+        if wire == 2:
+            ln, pos = read_varint(data, pos)
+            pos += ln
+        else:
+            pos = pbf.skip_field(data, pos, wire)
+        if field == 3 and wire == 2:
+            n_keys += 1
+        misc += data[start:start + (pos - start)]
+    if pos >= n:
+        return None
+    # everything from the first feature frame on is taken as the feature
+    # run; the caller's % w + _packed_rows_ok checks reject impostors
+    return bytes(misc), n_keys, vstart, vend, [(pos, n)]
+
+
 def _split_uniform_point_layer(layer_bytes: bytes, chunk_bytes: int):
     """Dictionary-slicing split for this engine's uniform point framing
     (the salted encoder's output — operators/encode.py — whose
@@ -273,9 +345,24 @@ def _split_uniform_point_layer(layer_bytes: bytes, chunk_bytes: int):
     (caller falls back to the generic full-header split)."""
     data = bytes(layer_bytes)
     try:
-        misc, c, vstart, vend, runs = _layer_sections(data)
+        sec = _layer_sections_fast(data)
+    except (IndexError, ValueError):
+        sec = None
+    if sec is not None:
+        out = _split_uniform_from_sections(data, chunk_bytes, sec)
+        if out is not None:
+            return out
+        # the fast lane's unwalked feature suffix failed verification:
+        # one layer in a thousand has trailing fields — re-walk generically
+    try:
+        sec = _layer_sections(data)
     except (IndexError, ValueError):
         return None
+    return _split_uniform_from_sections(data, chunk_bytes, sec)
+
+
+def _split_uniform_from_sections(data: bytes, chunk_bytes: int, sec):
+    misc, c, vstart, vend, runs = sec
     if c == 0 or not vstart or not runs:
         return None
     region = (
