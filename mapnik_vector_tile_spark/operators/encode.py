@@ -760,9 +760,19 @@ def build_point_tiles(
     compress_tiles: bool = True,
     order_col: str | None = None,
     hot_threshold: int = 120_000,
+    prechunk_hot: bool = False,
 ) -> DataFrame:
     """assigned: DataFrame with z,x,y + lon/lat + prop columns.
     One output row per tile: zlib'd Tile pbf + painted stats (A4).
+
+    prechunk_hot=True stores each hot tile as MULTIPLE rows (one valid
+    standalone tile per salt bucket) instead of one monolithic blob —
+    the 100x-scale storage contract: no single row ever holds a
+    city-hotspot tile, the salted path loses its only serial stage
+    (per-tile concat + one zlib stream), and the decode side gets
+    hot-tile parallelism for free (no explode_hot_tiles split pass).
+    Decoded feature multiset is identical; sinks that need one blob per
+    (z,x,y) merge rows via operators.composite.merge_tiles.
 
     Skew handling (north rule): tiles with more than ``hot_threshold``
     rows take the *salted* two-phase path — contiguous row-number chunks
@@ -894,7 +904,7 @@ def build_point_tiles(
     hot = slim.join(hot_list, ["z", "x", "y"], "left_semi")
     hot_tiles = _build_hot_tiles(
         hot, prop_cols, layer_name, extent, buffer_px, compress_tiles, npart,
-        sort_col=sort_col,
+        sort_col=sort_col, prechunk=prechunk_hot,
     )
     return cold_tiles.unionByName(hot_tiles)
 
@@ -909,6 +919,7 @@ def _build_hot_tiles(
     npart: int,
     sort_col: str | None = None,
     salt_buckets: int = 64,
+    prechunk: bool = False,
 ) -> DataFrame:
     """Salted two-phase encode for skewed tiles (north rule).
 
@@ -927,6 +938,14 @@ def _build_hot_tiles(
     Phase 2 (per tile, #buckets rows): concatenate bucket blobs in salt
     order -> layer -> tile pbf -> zlib. Feature order = (salt, sort
     key): deterministic, though not globally sorted by the sort key.
+
+    prechunk=True is the store-time pre-chunking mode: every salt
+    bucket ships as its OWN standalone single-layer tile row (local
+    per-occurrence dictionary slots need no bucket offsets), so phase 2
+    — the per-tile byte concat + single zlib stream, the only serial
+    stage of this path — disappears entirely, and the decode side never
+    sees a monolithic hot tile to split. Multiple rows per hot (z,x,y);
+    decoded feature multiset identical to the monolithic tile.
     """
     from pyspark.sql import Window, functions as F
 
@@ -934,21 +953,25 @@ def _build_hot_tiles(
     prefix, suffix = _layer_prefix_suffix(layer_name, prop_cols, extent, 2)
     salt_src = sort_col if sort_col else "mx"
     hot = hot.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(salt_buckets)))
-    # bucket offsets: one narrow map-side-combined agg + a window over
-    # the tiny per-bucket count table (broadcast back) — no window over
-    # the data itself; row numbers are assigned inside the pack kernel
-    bucket_counts = hot.groupBy("z", "x", "y", "_salt").agg(F.count("*").alias("_bcnt"))
-    woff = (
-        Window.partitionBy("z", "x", "y")
-        .orderBy("_salt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = bucket_counts.withColumn(
-        "_boff", F.coalesce(F.sum("_bcnt").over(woff), F.lit(0))
-    ).select("z", "x", "y", "_salt", "_boff")
-    hot = hot.join(F.broadcast(offsets), ["z", "x", "y", "_salt"], "inner").withColumn(
-        "_chunk", F.col("_salt")
-    )
+    if prechunk:
+        # bucket-local dictionary slots: no offset table, no broadcast
+        hot = hot.withColumn("_boff", F.lit(0)).withColumn("_chunk", F.col("_salt"))
+    else:
+        # bucket offsets: one narrow map-side-combined agg + a window over
+        # the tiny per-bucket count table (broadcast back) — no window over
+        # the data itself; row numbers are assigned inside the pack kernel
+        bucket_counts = hot.groupBy("z", "x", "y", "_salt").agg(F.count("*").alias("_bcnt"))
+        woff = (
+            Window.partitionBy("z", "x", "y")
+            .orderBy("_salt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = bucket_counts.withColumn(
+            "_boff", F.coalesce(F.sum("_bcnt").over(woff), F.lit(0))
+        ).select("z", "x", "y", "_salt", "_boff")
+        hot = hot.join(F.broadcast(offsets), ["z", "x", "y", "_salt"], "inner").withColumn(
+            "_chunk", F.col("_salt")
+        )
     part_schema = (
         "z int, x long, y long, chunk long, seq long, n long, "
         "fblob binary, vblob binary"
@@ -967,9 +990,14 @@ def _build_hot_tiles(
                 gkey = (gz, gx, gy, gchunk)
                 start = seen.get(gkey, 0)
                 seen[gkey] = start + len(grp)
-                grp = grp.assign(
-                    _rn=grp["_boff"].to_numpy(dtype=np.int64) + start + np.arange(len(grp))
-                )
+                if prechunk:
+                    # each emitted piece is a self-contained mini-tile:
+                    # slots are local to THIS group (a bucket straddling
+                    # Arrow batches just ships as two mini-tiles)
+                    rn_base = np.int64(0)
+                else:
+                    rn_base = grp["_boff"].to_numpy(dtype=np.int64) + start
+                grp = grp.assign(_rn=rn_base + np.arange(len(grp)))
                 px, py, ok = _quantize_batch(grp, extent, buffer_px)
                 kept = grp.loc[ok].reset_index(drop=True)
                 rn = kept["_rn"].to_numpy(dtype=np.int64)
@@ -1010,14 +1038,30 @@ def _build_hot_tiles(
                 vlen = np.concatenate(lens)
                 order = (np.arange(n_all * c) % c) * n_all + (np.arange(n_all * c) // c)
                 gathered, _ = pbf.ragged_gather(vbuf, voff, vlen, order)
-                out.append(
-                    (int(gz), int(gx), int(gy), int(gchunk), start, n,
-                     fblob, gathered.tobytes())
-                )
+                if prechunk:
+                    if n == 0:
+                        continue  # sibling buckets carry the tile's rows
+                    layer = prefix + gathered.tobytes() + suffix + fblob
+                    head = bytearray()
+                    pbf.write_varint(head, pbf.tag(3, pbf.WT_LEN))
+                    pbf.write_varint(head, len(layer))
+                    tile = bytes(head) + layer
+                    if compress_tiles:
+                        tile = Z.compress(tile)
+                    out.append((int(gz), int(gx), int(gy), tile, n, 1, True))
+                else:
+                    out.append(
+                        (int(gz), int(gx), int(gy), int(gchunk), start, n,
+                         fblob, gathered.tobytes())
+                    )
             if out:
                 yield pd.DataFrame(
                     out,
-                    columns=["z", "x", "y", "chunk", "seq", "n", "fblob", "vblob"],
+                    columns=(
+                        ["z", "x", "y", "tile", "n_features", "n_layers", "painted"]
+                        if prechunk
+                        else ["z", "x", "y", "chunk", "seq", "n", "fblob", "vblob"]
+                    ),
                 )
 
     packed = (
@@ -1025,8 +1069,10 @@ def _build_hot_tiles(
         .sortWithinPartitions(
             "z", "x", "y", "_chunk", *([sort_col] if sort_col else ["mx"])
         )
-        .mapInPandas(pack_chunk, schema=part_schema)
+        .mapInPandas(pack_chunk, schema=TILE_SCHEMA if prechunk else part_schema)
     )
+    if prechunk:
+        return packed
 
     def assemble(key, pdf):
         z, x, y = int(key[0]), int(key[1]), int(key[2])
