@@ -212,6 +212,7 @@ def _ring_expansion(
     query_id: str,
     cand_id: str,
     metric: str,
+    query_count: int | None = None,
 ) -> DataFrame:
     dist_name = "d2" if metric == "euclid" else "dist_m"
     # density-adaptive hierarchical grid: coarse base zoom z, plus two
@@ -264,9 +265,16 @@ def _ring_expansion(
         queries.select(F.col(query_id).alias("query_id"), "lon", "lat")
         .withColumn("fx", qfx)
         .withColumn("fy", qfy)
-        .persist()
     )
-    qn = pend0.count()
+    if query_count is not None:
+        # caller-supplied cardinality: no materializing job; pend0 is a
+        # narrow projection re-evaluated per use (cheap by construction)
+        qn = int(query_count)
+        pend0_cached = False
+    else:
+        pend0 = pend0.persist()
+        qn = pend0.count()
+        pend0_cached = True
 
     if qn <= 50_000:
         # one-shot path for modest query sets: probe ALL ladder levels in
@@ -281,11 +289,13 @@ def _ring_expansion(
         out = out.select(
             "query_id", "neighbor_id", "rank",
             F.round(dist_name, 12 if metric == "euclid" else 6).alias(dist_name),
-        # the result is small (<= qn*k rows); materializing it here lets
-        # pend0 release its executor storage instead of pinning it for
-        # the application lifetime (r4 advisor finding)
-        ).localCheckpoint(eager=True)
-        pend0.unpersist()
+        )
+        if pend0_cached:
+            # the result is small (<= qn*k rows); materializing it here
+            # lets pend0 release its executor storage instead of pinning
+            # it for the application lifetime (r4 advisor finding)
+            out = out.localCheckpoint(eager=True)
+            pend0.unpersist()
         return out
 
     base = base.persist()
@@ -354,7 +364,8 @@ def _ring_expansion(
     pend_n = pend.count()
     # the checkpoint above cut pend's lineage from pend0 — nothing
     # downstream reads it, so release its storage now
-    pend0.unpersist()
+    if pend0_cached:
+        pend0.unpersist()
 
     w = Window.partitionBy("query_id").orderBy(dist_name, "neighbor_id")
 
@@ -469,12 +480,19 @@ def knn_ring_expansion(
     max_ring: int = 32,
     query_id: str = "image_id",
     cand_id: str = "image_id",
+    query_count: int | None = None,
 ) -> DataFrame:
     """-> (query_id, neighbor_id, rank, d2). Exact (tests pin equality
-    with brute force) with join cost bounded by ring locality."""
+    with brute force) with join cost bounded by ring locality.
+
+    query_count: caller-known query-set cardinality. When given, the
+    strategy-choice materialization (persist + count of the projected
+    query set) is skipped — on the one-shot path that also removes the
+    result checkpoint whose only purpose was releasing that cache, so
+    a latency-sensitive caller pays two fewer Spark jobs."""
     return _ring_expansion(
         candidates, queries, k, z, initial_ring, max_iters, max_ring,
-        query_id, cand_id, "euclid",
+        query_id, cand_id, "euclid", query_count=query_count,
     )
 
 
