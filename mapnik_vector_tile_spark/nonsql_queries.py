@@ -852,6 +852,183 @@ GROUP BY 1, 2
 """
 
 
+# Quality predicate shared verbatim by the Spark plan (F.expr) and the
+# DuckDB oracle — one string, zero dialect drift.
+_NEARDUP_QUALITY = (
+    "length(text) >= 64 AND cast(length(text) - length(replace(text, ' ', ''))"
+    " as double) / length(text) BETWEEN 0.05 AND 0.4"
+)
+
+
+def q_curation_funnel_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END near-dup curation pipeline a web-scale training-
+    data job runs, composed as ONE Spark plan: quality filter ->
+    MinHash-LSH candidate generation (banded equi-join, all-pairs never
+    materializes) -> n-gram-Jaccard verification (filter-and-refine) ->
+    distributed connected components (min-label propagation + pointer
+    jumping) -> keep one representative doc per cluster -> deterministic
+    per-(lang, source) stratified sample, with per-stage funnel counts.
+
+    Every stage is the production operator from operators/dedup.py; the
+    DuckDB oracle independently replays the whole funnel (recursive CTE
+    for the graph step). Scale: the only non-equi work is the CC loop,
+    O(log diameter) join rounds; nothing gathers to the driver."""
+    from pyspark.sql import Window
+
+    from mapnik_vector_tile_spark.operators import dedup
+    from mapnik_vector_tile_spark.operators.dedup import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    quality = docs.where(F.expr(_NEARDUP_QUALITY)).select(
+        "doc_id", "text", "lang", "source"
+    )
+    cands = dedup.minhash_lsh_candidates(quality, n_perm=8, bands=4)
+    verified = dedup.ngram_jaccard(quality, candidates=cands, threshold=0.5)
+    comp = connected_components(
+        verified.select("doc_a", "doc_b"), "doc_a", "doc_b"
+    ).withColumnRenamed("id", "doc_id")
+    labeled = quality.select("doc_id", "lang", "source").join(comp, "doc_id", "left")
+    kept = labeled.where(
+        F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
+    )
+    rk_hash = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+    )
+    w = Window.partitionBy("lang", "source").orderBy(rk_hash, F.col("doc_id"))
+    sampled = kept.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+
+    grp = ["lang", "source"]
+    s_q = quality.groupBy(*grp).agg(F.count("*").alias("n_quality"))
+    s_c = (
+        labeled.where(F.col("component").isNotNull())
+        .groupBy(*grp)
+        .agg(F.count("*").alias("n_clustered"))
+    )
+    s_u = kept.groupBy(*grp).agg(F.count("*").alias("n_unique"))
+    s_s = sampled.groupBy(*grp).agg(
+        F.count("*").alias("n_sampled"), F.min("doc_id").alias("min_sampled")
+    )
+    return (
+        s_q.join(s_c, grp, "left")
+        .join(s_u, grp, "left")
+        .join(s_s, grp, "left")
+        .select(
+            "lang",
+            "source",
+            F.col("n_quality").cast("long").alias("n_quality"),
+            F.coalesce("n_clustered", F.lit(0)).cast("long").alias("n_clustered"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.col("min_sampled").cast("long").alias("min_sampled"),
+        )
+    )
+
+
+def o_curation_funnel_neardup() -> str:
+    """Full-funnel DuckDB replay: same quality predicate string, same
+    md5 token hashes / 8 minhash minima / 4 bands, same Jaccard
+    threshold on distinct-token intersection, recursive-CTE connected
+    components (independent of the Spark label-propagation operator),
+    same md5-rank sampling."""
+    h = "cast(concat('0x', substr(md5(cast(tok.word as varchar)), 1, 15)) as bigint)"
+    h_id = "cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 15)) as bigint)"
+    mins = ",\n         ".join(
+        f"min(((th % 2147483647) * {40503 + 2026 * i} + {17 + 29 * i}) % 2147483647) AS h{i}"
+        for i in range(8)
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, h{2 * b} AS k1, h{2 * b + 1} AS k2 FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH RECURSIVE quality AS (
+  SELECT doc_id, text, lang, source FROM documents
+  WHERE {_NEARDUP_QUALITY}
+),
+tok_hashes AS (
+  SELECT doc_id, {h} AS th
+  FROM quality, unnest(string_split(text, ' ')) AS tok(word)
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM tok_hashes GROUP BY doc_id
+),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.k1 = b.k1 AND a.k2 = b.k2
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+toks AS (SELECT DISTINCT doc_id, th FROM tok_hashes),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN toks a ON a.doc_id = c.doc_a
+  JOIN toks b ON b.doc_id = c.doc_b AND b.th = a.th
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE cast(i.i AS double) / (sa.sz + sb.sz - i.i) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM verified
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM verified
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+),
+comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id),
+labeled AS (
+  SELECT q.doc_id, q.lang, q.source, c.component
+  FROM quality q LEFT JOIN comp c ON q.doc_id = c.id
+),
+kept AS (
+  SELECT doc_id, lang, source FROM labeled
+  WHERE component IS NULL OR component = doc_id
+),
+ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source ORDER BY {h_id}, doc_id) AS rk
+  FROM kept
+),
+sampled AS (SELECT * FROM ranked WHERE rk <= 5),
+s_q AS (SELECT lang, source, count(*) AS n_quality FROM quality GROUP BY 1, 2),
+s_c AS (
+  SELECT lang, source, count(*) AS n_clustered FROM labeled
+  WHERE component IS NOT NULL GROUP BY 1, 2
+),
+s_u AS (SELECT lang, source, count(*) AS n_unique FROM kept GROUP BY 1, 2),
+s_s AS (
+  SELECT lang, source, count(*) AS n_sampled, min(doc_id) AS min_sampled
+  FROM sampled GROUP BY 1, 2
+)
+SELECT q.lang, q.source,
+       cast(q.n_quality AS bigint) AS n_quality,
+       cast(coalesce(c.n_clustered, 0) AS bigint) AS n_clustered,
+       cast(coalesce(u.n_unique, 0) AS bigint) AS n_unique,
+       cast(coalesce(s.n_sampled, 0) AS bigint) AS n_sampled,
+       cast(s.min_sampled AS bigint) AS min_sampled
+FROM s_q q
+LEFT JOIN s_c c ON q.lang = c.lang AND q.source = c.source
+LEFT JOIN s_u u ON q.lang = u.lang AND q.source = u.source
+LEFT JOIN s_s s ON q.lang = s.lang AND q.source = s.source
+"""
+
+
 def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (four 16-bit chunks) via the Column
     operator; the oracle replays the bit votes with integer-modulo bit
@@ -1137,6 +1314,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf,
     "embedding_near_dups": q_embedding_near_dups,
     "dedup_lsh_candidates": q_dedup_lsh_candidates,
+    "curation_funnel_neardup": q_curation_funnel_neardup,
     "text_features": q_text_features,
     "simhash64": q_simhash64,
     "build_lineage": q_build_lineage,
@@ -1162,6 +1340,7 @@ _ORACLE_BUILDERS: dict[str, Callable[[], str]] = {
     "ann_ivf_topk": o_ann_ivf,
     "embedding_near_dups": o_embedding_near_dups,
     "dedup_lsh_candidates": o_dedup_lsh_candidates,
+    "curation_funnel_neardup": o_curation_funnel_neardup,
     "text_features": o_text_features,
     "simhash64": o_simhash64,
     "build_lineage": o_build_lineage,

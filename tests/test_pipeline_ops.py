@@ -397,3 +397,46 @@ def test_connected_components_string_ids(spark):
     )
     got = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_curation_funnel_neardup_end_to_end(spark, tmp_path_factory):
+    """The composed LSH->Jaccard->connected-components->sample funnel on
+    a hand-computable corpus: exact dups collide in every LSH band and
+    verify at jaccard=1.0, so cluster membership is deterministic; a
+    cross-stratum dup's representative lands in the OTHER stratum,
+    leaving this one empty (n_unique=0, min_sampled null)."""
+    from mapnik_vector_tile_spark.nonsql_queries import q_curation_funnel_neardup
+
+    base = "the quick brown fox jumps over the lazy sleeping dog tonight again"
+    other = "completely different content about spark pipelines and shuffle joins"
+    cross = "shared duplicated body of text that lives in two strata at once yes"
+    assert len(base) >= 64 and len(other) >= 64 and len(cross) >= 64
+    rows = [
+        (0, base, "en", "web"),     # cluster {0,1}, rep 0
+        (1, base, "en", "web"),
+        (2, other, "en", "web"),    # singleton
+        (3, "les chats dorment paisiblement pendant que la pluie tombe sur paris", "fr", "web"),  # singleton
+        (10, cross, "en", "web"),   # cross-stratum dup, rep (10 < 11)
+        (11, cross, "fr", "book"),  # loses its only doc to en/web
+        (12, "short", "en", "web"),  # fails quality filter
+    ]
+    d = tmp_path_factory.mktemp("funnel")
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"]).to_parquet(
+        f"{d}/documents.parquet"
+    )
+    out = {
+        (r["lang"], r["source"]): r
+        for r in q_curation_funnel_neardup(spark, str(d)).collect()
+    }
+    en_web = out[("en", "web")]
+    assert en_web["n_quality"] == 4
+    assert en_web["n_clustered"] == 3      # 0, 1, 10
+    assert en_web["n_unique"] == 3         # 0 (rep), 2, 10 (rep)
+    assert en_web["n_sampled"] == 3
+    fr_web = out[("fr", "web")]
+    assert (fr_web["n_quality"], fr_web["n_clustered"], fr_web["n_unique"]) == (1, 0, 1)
+    fr_book = out[("fr", "book")]
+    assert fr_book["n_quality"] == 1 and fr_book["n_clustered"] == 1
+    assert fr_book["n_unique"] == 0 and fr_book["n_sampled"] == 0
+    assert fr_book["min_sampled"] is None
+    assert ("en", "short") not in out and len(out) == 3
