@@ -274,12 +274,15 @@ def test_corruption_fuzz_batch_vs_strict():
 @pytest.mark.skipif(
     not os.path.isdir("/root/reference/bench"), reason="reference not mounted"
 )
-def test_mutation_fuzz_real_tiles_total():
+@pytest.mark.parametrize("seed", [20260817, 41221303])
+def test_mutation_fuzz_real_tiles_total(seed):
     """Byte-mutation fuzz over REAL foreign tiles (the reference's own
     bench/test fixtures): every mutated buffer must either decode or
     fail with a clean ValueError/DecodeError — per-layer totality, no
     hangs, no unexpected exception types, for both the row scan and the
-    batched layer parser."""
+    batched layer parser. Two independent seeds; the corpus covers the
+    Mapbox water tile, both 0.0.0 merge fixtures, the v2 raster-feature
+    tile, and the 1M-value bench tile."""
     import numpy as np
 
     from mapnik_vector_tile_spark.functions import commands as Cmd
@@ -287,12 +290,14 @@ def test_mutation_fuzz_real_tiles_total():
     from mapnik_vector_tile_spark.operators import decode as D
 
     fixtures = [
-        ("/root/reference/test/data/0.0.0.vector.mvt", 120),
+        ("/root/reference/test/data/0.0.0.vector.mvt", 60),
+        ("/root/reference/test/data/0.0.0.vector-b.mvt", 30),
+        ("/root/reference/test/data/image.mvt", 30),  # Feature.raster path
         # the 1M-value tile decodes ~150ms even when mutated mid-stream;
         # fewer trials keep the fuzz pass under ~30s
-        ("/root/reference/bench/multi_line_13_1310_3166.vector.mvt", 24),
+        ("/root/reference/bench/multi_line_13_1310_3166.vector.mvt", 12),
     ]
-    rng = np.random.default_rng(20260817)
+    rng = np.random.default_rng(seed)
     for path, n_trials in fixtures:
         raw = Z2.decompress(open(path, "rb").read())
         buf = np.frombuffer(raw, dtype=np.uint8).copy()

@@ -266,3 +266,66 @@ def test_visual_corpus_strictly_simple(spark, corpus):
     assert cells(t_strict) == cells(t_plain)
     gids = lambda d: {r["props"]["gid"] for _, r in d.iterrows()}  # noqa: E731
     assert gids(d_strict) == gids(d_plain)
+
+
+def test_invalid_interior_ring_polygon(spark):
+    """invalid-interior-ring.json (vendored real-world invalid input):
+    exterior + one valid hole + one interior ring carrying a 1.8e19-
+    degree longitude. The P10 coordinate-validity guard must drop the
+    garbage vertices without failing the job; the exterior and the
+    valid hole survive build->decode->validity with zero findings on
+    BOTH the fast path and the strictly_simple union path."""
+    d = json.load(open(f"{DATA}/invalid-interior-ring.json"))
+    rings = []
+    for ring in d["coordinates"]:
+        a = np.asarray(ring, dtype=np.float64)
+        lat = np.clip(a[:, 1], -85.0511, 85.0511)
+        mx, my = tilemath.mercator_np(a[:, 0], lat)
+        rings.append(
+            "(" + ",".join(f"{float(x)!r} {float(y)!r}" for x, y in zip(mx, my)) + ")"
+        )
+    wkt = "POLYGON(" + ",".join(rings) + ")"
+    df = spark.createDataFrame([("iir_0", wkt)], "gid string, geom_wkt string")
+    for kw in ({}, {"strictly_simple": True, "fill_type": "positive"}):
+        tiles = geom_tiles.build_geom_tiles(
+            df, prop_cols=["gid"], z=2, id_col="gid", **kw
+        )
+        pdf = tiles.toPandas()
+        assert pdf["painted"].any(), kw
+        findings, _ = validity.validate_tiles(spark.createDataFrame(pdf[pdf["painted"]]))
+        assert findings.count() == 0, kw
+        dec = decode.decode_tiles(tiles).toPandas()
+        assert set(dec["geom_type"]) == {3}, kw
+        # the valid hole must survive in at least one tile
+        assert max(r["geom_wkt"].count("(") - 1 for _, r in dec.iterrows()) >= 2, kw
+
+
+def test_reef_full_polygon_with_181_holes(spark):
+    """poly.geojson as ONE feature: a single real-world polygon with
+    181 interior rings (max ring 3,251 points) through build -> decode
+    -> validity at its natural zoom, fast and strict paths. Exercises
+    hole containment and many-ring clipping in one feature — the
+    per-ring corpus entries never cover ring interaction."""
+    d = json.load(open(f"{DATA}/poly.geojson"))
+
+    def ring_wkt(a):
+        a = np.asarray(a, dtype=np.float64)
+        mx, my = tilemath.mercator_np(a[:, 0], a[:, 1])
+        return "(" + ",".join(f"{float(x)!r} {float(y)!r}" for x, y in zip(mx, my)) + ")"
+
+    poly = d["coordinates"][0]
+    assert len(poly) == 182
+    wkt = "POLYGON(" + ",".join(ring_wkt(r) for r in poly) + ")"
+    df = spark.createDataFrame([("reef_full", wkt)], "gid string, geom_wkt string")
+    for kw in ({}, {"strictly_simple": True, "fill_type": "positive"}):
+        tiles = geom_tiles.build_geom_tiles(
+            df, prop_cols=["gid"], z=8, id_col="gid", **kw
+        )
+        pdf = tiles.toPandas()
+        assert int(pdf["painted"].sum()) == 4, kw
+        findings, _ = validity.validate_tiles(spark.createDataFrame(pdf[pdf["painted"]]))
+        assert findings.count() == 0, kw
+        dec = decode.decode_tiles(tiles).toPandas()
+        assert set(dec["geom_type"]) == {3} and len(dec) == 4, kw
+        # dozens of holes must survive clipping into each tile
+        assert max(r["geom_wkt"].count("(") - 1 for _, r in dec.iterrows()) >= 50, kw
