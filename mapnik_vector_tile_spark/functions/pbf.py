@@ -1123,6 +1123,110 @@ def read_varints_at(buf: np.ndarray, pos: np.ndarray):
     return vals, lens
 
 
+def decode_varints_known(buf: np.ndarray, pos: np.ndarray, ln: np.ndarray):
+    """Decode varints at ``pos`` whose byte lengths ``ln`` are already
+    known (terminator-mask boundary parsing hands them out for free):
+    length-class masked gathers, no continuation scanning — each extra
+    byte class touches only the values that actually have one.
+    Returns (values uint64, ok bool); lengths > 10 (not a valid 64-bit
+    varint) decode to 0 with ok=False."""
+    n = len(pos)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=bool)
+    maxl = int(ln.max())
+    if maxl <= 4:  # fits uint32 intermediates: half the memory traffic
+        v = (buf[pos] & np.uint8(0x7F)).astype(np.uint32)
+        for k in range(1, maxl):
+            mk = ln > k
+            v[mk] |= (buf[pos[mk] + k].astype(np.uint32) & np.uint32(0x7F)) << np.uint32(7 * k)
+        return v.astype(np.uint64), np.ones(n, dtype=bool)
+    ok = ln <= 10
+    v = np.where(ok, buf[pos] & np.uint8(0x7F), 0).astype(np.uint64)
+    for k in range(1, min(maxl, 10)):
+        mk = (ln > k) & ok
+        v[mk] |= (buf[pos[mk] + k].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * k)
+    return v, ok
+
+
+def uniform_point_columns(data, c: int):
+    """Targeted decode of an exactly-uniform packed point-frame stream
+    (the layout encode_point_features_packed writes): per feature
+
+        [0x12 flen 0x12 tlen (key value)*c 0x18 0x01 0x22 glen 0x09 zzx zzy]
+
+    i.e. w = 11 + 2c varints. The split/decode hot loops are memory
+    bound, and ~two-thirds of that stream is constant bytes — so instead
+    of decoding all w columns (decode_varints_vec over the whole region,
+    ~8 full-buffer passes), this finds varint boundaries once from the
+    continuation mask and decodes ONLY the columns consumers need, with
+    position-gather reads (read_varints_at): the three declared lengths
+    for verification, the c value indices, and the two zigzag coords.
+    The remaining 6 + c columns are verified as constant single bytes by
+    direct gather (a byte < 0x80 at a varint start IS that single-byte
+    varint, so equality alone pins both value and length), and every
+    declared length is checked against varint-boundary arithmetic — the
+    verification is exactly _packed_rows_ok's, column for column.
+
+    Returns (vidx (n,c) uint64, zz (n,2) uint32, row_ok (n,) bool) or
+    None when the stream does not even frame as n*w varints (caller
+    falls back to the generic walk). row_ok flags rows whose constant
+    bytes or declared lengths fail — callers keep their per-layer
+    fallback semantics for concatenated multi-layer regions."""
+    buf = data if isinstance(data, np.ndarray) else np.frombuffer(data, dtype=np.uint8)
+    if len(buf) == 0 or c < 0 or c > 127:
+        return None
+    cont = (buf & 0x80) != 0
+    if cont[-1]:
+        return None  # ends mid-varint
+    end_pos = np.flatnonzero(~cont)
+    w = 11 + 2 * c
+    nv = len(end_pos)
+    if nv == 0 or nv % w:
+        return None
+    n = nv // w
+    starts = np.empty(nv, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = end_pos[:-1] + 1
+    vlens = end_pos - starts + 1  # exact per-varint byte lengths, free
+    sm = starts.reshape(n, w)  # view — no copy
+    lm = vlens.reshape(n, w)
+    row_ok = np.ones(n, dtype=bool)
+    for k, v in (
+        (0, 0x12), (2, 0x12), (4 + 2 * c, 0x18), (5 + 2 * c, 0x01),
+        (6 + 2 * c, 0x22), (8 + 2 * c, 0x09),
+    ):
+        row_ok &= buf[sm[:, k]] == v
+    for j in range(c):
+        row_ok &= buf[sm[:, 4 + 2 * j]] == j
+    frame_end = np.empty(n, dtype=np.int64)
+    frame_end[:-1] = sm[1:, 0]
+    frame_end[-1] = len(buf)
+    def col(k):
+        # >10-byte varints decode to 0 with ok=False (where
+        # decode_varints_vec raised for the whole region) — folded
+        # into row_ok so hostile frames still fall back per row
+        return decode_varints_known(buf, sm[:, k], lm[:, k])
+
+    flen, ok1 = col(1)
+    tlen, ok3 = col(3)
+    glen, ok7 = col(7 + 2 * c)
+    row_ok &= ok1 & ok3 & ok7
+    row_ok &= flen.astype(np.int64) == frame_end - sm[:, 2]
+    row_ok &= tlen.astype(np.int64) == sm[:, 4 + 2 * c] - sm[:, 4]
+    row_ok &= glen.astype(np.int64) == frame_end - sm[:, 8 + 2 * c]
+    vidx = np.empty((n, c), dtype=np.uint64)
+    for j in range(c):
+        v, okj = col(5 + 2 * j)
+        vidx[:, j] = v
+        row_ok &= okj
+    zz = np.empty((n, 2), dtype=np.uint32)
+    for i, k in enumerate((9 + 2 * c, 10 + 2 * c)):
+        v, okk = col(k)
+        zz[:, i] = v.astype(np.uint32)
+        row_ok &= okk
+    return vidx, zz, row_ok
+
+
 def _chain_finish(buf, starts, ends, pos, straggler_idx,
                   name_s, name_l, extent, version, seen_ext, seen_ver,
                   feat_start, ok, rec_layer, rec_field, rec_ps, rec_pl):

@@ -370,19 +370,13 @@ def _split_uniform_from_sections(data: bytes, chunk_bytes: int, sec):
         if len(runs) == 1
         else b"".join(data[a:b] for a, b in runs)
     )
-    try:
-        vals, vlens = pbf.decode_varints_vec(region, return_lengths=True)
-    except ValueError:
+    res = pbf.uniform_point_columns(region, c)
+    if res is None:
         return None
-    w = 11 + 2 * c
-    if len(vals) == 0 or len(vals) % w != 0:
+    vidx, zz, row_ok = res
+    if not row_ok.all():
         return None
-    m = vals.reshape(-1, w)
-    ml = vlens.reshape(-1, w)
-    if not _packed_rows_ok(m, ml, c).all():
-        return None
-    n = len(m)
-    vidx = m[:, [4 + 2 * j + 1 for j in range(c)]]  # uint64, no copy cast
+    n = len(vidx)
     # value spans: starts + one shared end (the walk proved the run is
     # contiguous, so each frame ends where the next begins)
     vs = np.empty(len(vstart) + 1, dtype=np.int64)
@@ -395,7 +389,6 @@ def _split_uniform_from_sections(data: bytes, chunk_bytes: int, sec):
         return None
     rows_per = -(-n // n_chunks)
     buf = np.frombuffer(data, dtype=np.uint8)
-    zz = m[:, 9 + 2 * c : 11 + 2 * c].astype(np.uint32)
     # exact referenced-value gather + compact index remap per chunk: a
     # chunk carries ONLY the dictionary entries its features use (a
     # range slice degenerates when a shared value sits at the far end of
@@ -404,7 +397,8 @@ def _split_uniform_from_sections(data: bytes, chunk_bytes: int, sec):
     # is then cut at per-feature frame boundaries.
     bounds = list(range(0, n, rows_per)) + [n]
     dicts: list[bytes] = []
-    new_tags = m[:, 4 : 4 + 2 * c].copy()
+    new_tags = np.empty((n, 2 * c), dtype=np.int64)
+    new_tags[:, 0::2] = np.arange(c, dtype=np.int64)  # key ordinals (verified)
     for r0, r1 in zip(bounds, bounds[1:]):
         uniq, inv = np.unique(vidx[r0:r1], return_inverse=True)
         big, _offs = pbf.ragged_gather(
@@ -915,19 +909,16 @@ def decode_point_layer_vec(layer: dict, region: bytes):
     c = len(layer["keys"])
     if c == 0 or region is None:
         return None
-    try:
-        vals, vlens = pbf.decode_varints_vec(region, return_lengths=True)
-    except ValueError:
+    res = pbf.uniform_point_columns(region, c)
+    if res is None:
         return None
-    w = 11 + 2 * c
-    if len(vals) == 0 or len(vals) % w != 0:
+    vidx, zz, row_ok = res
+    if not row_ok.all():
         return None
-    m = vals.reshape(-1, w)
-    ml = vlens.reshape(-1, w)
-    if not _packed_rows_ok(m, ml, c).all():
-        return None
-    tags = m[:, 4 : 4 + 2 * c].astype(np.int64)
-    zz = m[:, 9 + 2 * c : 11 + 2 * c].astype(np.uint32)
+    n = len(vidx)
+    tags = np.empty((n, 2 * c), dtype=np.int64)
+    tags[:, 0::2] = np.arange(c, dtype=np.int64)
+    tags[:, 1::2] = vidx.astype(np.int64)
     px = Cmd.unzigzag32(zz[:, 0]).astype(np.int64)
     py = Cmd.unzigzag32(zz[:, 1]).astype(np.int64)
     return tags, px, py
@@ -1039,12 +1030,21 @@ def columnar_kernel(prop_keys: list[str]):
                 big, _offs = pbf.ragged_gather(
                     buf, meta["feat_start"][cand], flen, np.arange(len(cand))
                 )
-                vals, vlens = pbf.decode_varints_vec(big, return_lengths=True)
-                m = vals.reshape(-1, w)
-                ml = vlens.reshape(-1, w)
+                # targeted-column decode: boundaries once, then only the
+                # value-index + coord columns gather-decode; constants
+                # and declared lengths verify per row (the full-stream
+                # decode_varints_vec was ~8 whole-buffer passes)
+                res = pbf.uniform_point_columns(big, c_expected)
                 feat_counts = nvals // w
                 rep = np.repeat(np.arange(len(cand)), feat_counts)
-                row_ok = _packed_rows_ok(m, ml, c_expected)
+                if res is None:
+                    # stream does not frame at all (hostile): per-layer
+                    # strict fallback for every candidate layer
+                    vidx_m = np.empty((0, c_expected), dtype=np.uint64)
+                    zz_m = np.empty((0, 2), dtype=np.uint32)
+                    row_ok = np.zeros(len(rep), dtype=bool)
+                else:
+                    vidx_m, zz_m, row_ok = res
                 if not row_ok.all():
                     # exotic framing: fall back ONLY the offending layers
                     bad_meta = np.zeros(len(cand), dtype=bool)
@@ -1056,8 +1056,10 @@ def columnar_kernel(prop_keys: list[str]):
                             decode_layer_rows(int(zs[t]), int(xs[t]), int(ys[t]), blobs[i])
                         )
                     keep = ~bad_meta[rep]
-                    m, rep = m[keep], rep[keep]
-                if len(m):
+                    if res is not None:
+                        vidx_m, zz_m = vidx_m[keep], zz_m[keep]
+                    rep = rep[keep]
+                if len(rep):
                     tz = zs[ltile[cand]][rep]
                     tx = xs[ltile[cand]][rep]
                     ty = ys[ltile[cand]][rep]
@@ -1065,9 +1067,8 @@ def columnar_kernel(prop_keys: list[str]):
                     extents = meta["extent"][cand].astype(np.float64)[rep]
                     minx, miny, maxx, maxy = tilemath.tile_mercator_bbox_np(tx, ty, tz)
                     scale = extents / (maxx - minx)
-                    zz = m[:, 9 + 2 * c_expected : 11 + 2 * c_expected].astype(np.uint32)
-                    px = Cmd.unzigzag32(zz[:, 0]).astype(np.float64)
-                    py = Cmd.unzigzag32(zz[:, 1]).astype(np.float64)
+                    px = Cmd.unzigzag32(zz_m[:, 0]).astype(np.float64)
+                    py = Cmd.unzigzag32(zz_m[:, 1]).astype(np.float64)
                     mx = minx + px / scale
                     my = maxy - py / scale
                     # global value dictionary: concat per-layer dicts (flat
@@ -1087,7 +1088,7 @@ def columnar_kernel(prop_keys: list[str]):
                     shift = local_off[rep]
                     cols = {}
                     for j, k in enumerate(prop_keys):
-                        idx = m[:, 4 + 2 * j + 1].astype(np.int64) + shift
+                        idx = vidx_m[:, j].astype(np.int64) + shift
                         cols[k] = all_vals[idx] if len(all_vals) else np.array([], dtype=object)
                     frames.append(
                         pd.DataFrame(

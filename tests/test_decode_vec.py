@@ -551,3 +551,81 @@ def test_gpack_from_packed_roundtrip():
             float(pk["xs"].min()), float(pk["ys"].min()),
             float(pk["xs"].max()), float(pk["ys"].max()),
         )
+
+
+def _packed_region(n, c, seed=11, feature_ids=None):
+    from mapnik_vector_tile_spark.functions import commands as Cmd
+    from mapnik_vector_tile_spark.functions import pbf as P
+
+    rng = np.random.default_rng(seed)
+    pxy = rng.integers(0, 4096, size=(n, 2)).astype(np.int64)
+    zz = np.column_stack(
+        [Cmd.zigzag32(pxy[:, 0]), Cmd.zigzag32(pxy[:, 1])]
+    ).astype(np.uint32)
+    tags = np.empty((n, 2 * c), dtype=np.int64)
+    for j in range(c):
+        tags[:, 2 * j] = j
+        tags[:, 2 * j + 1] = rng.integers(0, 3 * n, size=n)
+    blob = P.encode_point_features_packed(tags, zz, feature_ids)
+    return bytes(blob), tags, zz
+
+
+def test_uniform_point_columns_matches_full_decode():
+    """The targeted-column lane must return exactly the columns the full
+    decode_varints_vec + _packed_rows_ok path produced (it replaced that
+    path in the splitter, the columnar kernel, and decode_point_layer_vec)."""
+    from mapnik_vector_tile_spark.functions import pbf as P
+    from mapnik_vector_tile_spark.operators.decode import _packed_rows_ok
+
+    for c in (1, 3, 7):
+        region, tags, zz = _packed_region(257, c, seed=c)
+        res = P.uniform_point_columns(region, c)
+        assert res is not None
+        vidx, zz_out, row_ok = res
+        assert row_ok.all()
+        assert np.array_equal(vidx.astype(np.int64), tags[:, 1::2])
+        assert np.array_equal(zz_out, zz)
+        # reference implementation agrees row for row
+        vals, vlens = P.decode_varints_vec(region, return_lengths=True)
+        w = 11 + 2 * c
+        m, ml = vals.reshape(-1, w), vlens.reshape(-1, w)
+        assert np.array_equal(row_ok, _packed_rows_ok(m, ml, c))
+
+
+def test_uniform_point_columns_rejects_mutations():
+    """Byte mutations must be flagged per row (or the region rejected),
+    exactly like the full-decode verification: no silent garbage rows."""
+    from mapnik_vector_tile_spark.functions import pbf as P
+    from mapnik_vector_tile_spark.operators.decode import _packed_rows_ok
+
+    c = 3
+    region, _tags, _zz = _packed_region(64, c, seed=9)
+    w = 11 + 2 * c
+    rng = np.random.default_rng(41)
+    n_checked = 0
+    for _ in range(200):
+        buf = bytearray(region)
+        i = int(rng.integers(0, len(buf)))
+        buf[i] ^= int(rng.integers(1, 256))
+        mut = bytes(buf)
+        res = P.uniform_point_columns(mut, c)
+        try:
+            vals, vlens = P.decode_varints_vec(mut, return_lengths=True)
+            full_frames = None
+            if len(vals) and len(vals) % w == 0:
+                full_frames = _packed_rows_ok(
+                    vals.reshape(-1, w), vlens.reshape(-1, w), c
+                )
+        except ValueError:
+            full_frames = None
+        if res is None:
+            # the targeted lane rejects exactly when the stream cannot
+            # frame (truncated varint / count not divisible by w) — the
+            # same conditions that make the full path bail
+            assert full_frames is None
+            continue
+        vidx, zz_out, row_ok = res
+        if full_frames is not None:
+            assert np.array_equal(row_ok, full_frames)
+            n_checked += 1
+    assert n_checked > 50  # most single-byte flips keep the frame count
