@@ -400,7 +400,13 @@ def hot_tile_sf1_anchor(spark, n: int = 3_000_000, trials: int = 1) -> dict:
     a 10M-row build produces). At this size the decode kernel dominates
     the per-job floor, so the serial-vs-split gap is the architecture,
     not the harness. zlib level 1 matches the salted encoder's
-    huge-layer setting (operators/encode.py assemble)."""
+    huge-layer setting (operators/encode.py assemble). The prechunk leg
+    is the store-time design (build_point_tiles(prechunk_hot=True)):
+    hot tiles land on disk already cut, so at read time there is no
+    serial split pass at all — the leg whose advantage WIDENS with
+    tile size while the read-time split's serial pre-stage caps it."""
+    import zlib
+
     from mapnik_vector_tile_spark.operators import decode as D
 
     tile = _build_hot_point_tile(n, zlib_level=1)
@@ -408,10 +414,25 @@ def hot_tile_sf1_anchor(spark, n: int = 3_000_000, trials: int = 1) -> dict:
         [(13, 1000, 2000, bytearray(tile))], "z int, x long, y long, tile binary"
     ).persist()
     df.count()
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    chunks = [
+        bytearray(c)
+        for c in D.split_tile_chunks_smart(zlib.decompress(tile), 1 << 20)
+    ]
+    pre = (
+        spark.createDataFrame(
+            [(13, 1000, 2000, c) for c in chunks],
+            "z int, x long, y long, tile binary",
+        )
+        .repartition(min(npart, len(chunks)))
+        .persist()
+    )
+    pre.count()
     keys = ["image_id", "caption", "fmt"]
     legs = {
         "serial": lambda: D.decode_tiles_columnar(df, keys),
         "split": lambda: D.decode_tiles_columnar(D.explode_hot_tiles(df), keys),
+        "prechunk": lambda: D.decode_tiles_columnar(pre, keys),
     }
     best = {k: float("inf") for k in legs}
     for t in range(trials + 1):  # first interleaved pass doubles as warmup
@@ -422,10 +443,13 @@ def hot_tile_sf1_anchor(spark, n: int = 3_000_000, trials: int = 1) -> dict:
                 best[label] = min(best[label], time.perf_counter() - t0)
             assert got == n, (got, n)
     df.unpersist()
+    pre.unpersist()
     return {
         "hot_tile_sf1_serial_ms": round(best["serial"] * 1e3, 1),
         "hot_tile_sf1_split_ms": round(best["split"] * 1e3, 1),
         "hot_tile_sf1_split_speedup": round(best["serial"] / best["split"], 2),
+        "hot_tile_sf1_prechunk_ms": round(best["prechunk"] * 1e3, 1),
+        "hot_tile_sf1_prechunk_speedup": round(best["serial"] / best["prechunk"], 2),
     }
 
 
