@@ -63,6 +63,8 @@ _ELLPS = {
 
 def _ellipsoid(params: dict) -> tuple[float, float]:
     """proj4 ellipsoid params -> (a, e2). Defaults to WGS84."""
+    if "R" in params:  # explicit sphere radius
+        return float(str(params["R"])), 0.0
     if "a" in params:
         a = float(str(params["a"]))
         if "b" in params:
@@ -127,6 +129,8 @@ def parse_proj4(s: str) -> dict:
             return {"proj": "utm", "zone": zone, "south": epsg.startswith("epsg:327")}
         if epsg == "epsg:27200":  # NZGD49 / New Zealand Map Grid
             return parse_proj4("+proj=nzmg")
+        if epsg == "epsg:5514":  # S-JTSK / Krovak East North
+            return parse_proj4("+proj=krovak +towgs84=589,76,480")
         if epsg == "epsg:2193":  # NZGD2000 / NZTM2000
             return parse_proj4(
                 "+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996"
@@ -267,6 +271,53 @@ def parse_proj4(s: str) -> dict:
             "y_0": float(str(params.get("y_0", 0.0))),
             "no_off": bool(params.get("no_off", params.get("no_uoff", False))),
             "a": a, "e2": e2,
+            "towgs84": _towgs84(params),
+        }
+    if proj == "krovak":
+        # EPSG method 9819 (S-JTSK). proj4's krovak hard-wired Bessel
+        # 1841; honor an explicit ellipsoid but default to bessel.
+        if not any(k in params for k in ("ellps", "a", "b", "rf", "R")):
+            a_, rf_ = _ELLPS["bessel"]
+            f_ = 1.0 / rf_
+            a, e2 = a_, f_ * (2.0 - f_)
+        else:
+            a, e2 = _ellipsoid(params)
+        return {
+            "proj": "krovak",
+            # latitude of projection centre and longitude of origin
+            # (42d30' East of Ferro == 24d50' East of Greenwich)
+            "lat_0": float(str(params.get("lat_0", 49.5))),
+            "lon_0": float(str(params.get("lon_0", 24.833333333333332))),
+            # azimuth of the oblique cone axis at the centre
+            "alpha": float(str(params.get("alpha", 30.28813972222222))),
+            # scale on the pseudo-standard parallel (78d30'N)
+            "k": float(str(params.get("k", params.get("k_0", 0.9999)))),
+            "lat_ts": float(str(params.get("lat_ts", 78.5))),
+            "x_0": float(str(params.get("x_0", 0.0))),
+            "y_0": float(str(params.get("y_0", 0.0))),
+            "a": a, "e2": e2,
+            "towgs84": _towgs84(params),
+        }
+    if proj == "sinu":
+        a, e2 = _ellipsoid(params)
+        return {
+            "proj": "sinu",
+            "lon_0": float(str(params.get("lon_0", 0.0))),
+            "x_0": float(str(params.get("x_0", 0.0))),
+            "y_0": float(str(params.get("y_0", 0.0))),
+            "a": a, "e2": e2,
+            "towgs84": _towgs84(params),
+        }
+    if proj == "moll":
+        # classic proj4 mollweide is spherical: the ellipsoid's
+        # semi-major axis is used as the sphere radius (es forced 0)
+        a, _e2 = _ellipsoid(params)
+        return {
+            "proj": "moll",
+            "lon_0": float(str(params.get("lon_0", 0.0))),
+            "x_0": float(str(params.get("x_0", 0.0))),
+            "y_0": float(str(params.get("y_0", 0.0))),
+            "a": a, "e2": 0.0,
             "towgs84": _towgs84(params),
         }
     if proj == "nzmg":
@@ -988,6 +1039,152 @@ def _nzmg_inv(crs: dict, x, y):
 # --- datum shift (+towgs84: 3/7-parameter Helmert via geocentric XYZ,
 # position-vector convention — what proj4/mapnik apply between datums) ---------
 
+# --- krovak (EPSG method 9819: the S-JTSK oblique conformal conic on a
+# Gaussian sphere — Czech/Slovak national CRS, EPSG:5514) ----------------------
+
+def _krovak_consts(crs: dict):
+    a, e2 = crs["a"], crs["e2"]
+    e = math.sqrt(e2)
+    phic = math.radians(crs["lat_0"])
+    A_ = a * math.sqrt(1.0 - e2) / (1.0 - e2 * math.sin(phic) ** 2)
+    B = math.sqrt(1.0 + e2 * math.cos(phic) ** 4 / (1.0 - e2))
+    g0 = math.asin(math.sin(phic) / B)
+    t0 = (
+        math.tan(math.pi / 4 + g0 / 2)
+        * ((1.0 + e * math.sin(phic)) / (1.0 - e * math.sin(phic))) ** (e * B / 2)
+        / math.tan(math.pi / 4 + phic / 2) ** B
+    )
+    phip = math.radians(crs["lat_ts"])
+    n = math.sin(phip)
+    r0 = crs["k"] * A_ / math.tan(phip)
+    alpha = math.radians(crs["alpha"])
+    lam0 = math.radians(crs["lon_0"])
+    return e, B, g0, t0, n, r0, alpha, phip, lam0
+
+
+def _krovak_fwd(crs: dict, lon, lat):
+    """proj4 sign convention: (x, y) = (-Westing, -Southing) — the
+    EPSG:5514 'Krovak East North' axes (coordinates in Czechia are both
+    negative); the classic Southing/Westing pair is (-y, -x)."""
+    e, B, g0, t0, n, r0, alpha, phip, lam0 = _krovak_consts(crs)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    sphi = np.sin(phi)
+    t = t0 * np.power(np.tan(phi / 2 + math.pi / 4), B) / np.power(
+        (1.0 + e * sphi) / (1.0 - e * sphi), e * B / 2
+    )
+    U = 2.0 * (np.arctan(t) - math.pi / 4)
+    V = B * (lam0 - lam)
+    T = np.arcsin(np.cos(alpha) * np.sin(U) + np.sin(alpha) * np.cos(U) * np.cos(V))
+    D = np.arcsin(np.cos(U) * np.sin(V) / np.cos(T))
+    theta = n * D
+    r = (
+        r0
+        * math.tan(math.pi / 4 + phip / 2) ** n
+        / np.power(np.tan(T / 2 + math.pi / 4), n)
+    )
+    southing = r * np.cos(theta)
+    westing = r * np.sin(theta)
+    return -westing + crs["x_0"], -southing + crs["y_0"]
+
+
+def _krovak_inv(crs: dict, x, y):
+    e, B, g0, t0, n, r0, alpha, phip, lam0 = _krovak_consts(crs)
+    westing = -(np.asarray(x, dtype=np.float64) - crs["x_0"])
+    southing = -(np.asarray(y, dtype=np.float64) - crs["y_0"])
+    r = np.hypot(westing, southing)
+    theta = np.arctan2(westing, southing)
+    D = theta / n
+    T = 2.0 * (
+        np.arctan(
+            np.power(r0 / r, 1.0 / n) * math.tan(math.pi / 4 + phip / 2)
+        )
+        - math.pi / 4
+    )
+    U = np.arcsin(np.cos(alpha) * np.sin(T) - np.sin(alpha) * np.cos(T) * np.cos(D))
+    V = np.arcsin(np.cos(T) * np.sin(D) / np.cos(U))
+    lam = lam0 - V / B
+    # latitude by fixed-point iteration on the Gaussian-sphere relation
+    phi = U.copy()
+    base = np.power(np.tan(U / 2 + math.pi / 4) / t0, 1.0 / B)
+    for _ in range(12):
+        sphi = np.sin(phi)
+        phi = 2.0 * (
+            np.arctan(
+                base * np.power((1.0 + e * sphi) / (1.0 - e * sphi), e / 2)
+            )
+            - math.pi / 4
+        )
+    return np.degrees(lam), np.degrees(phi)
+
+
+# --- sinu (ellipsoidal sinusoidal: equal-area, Snyder ch. 30) -----------------
+
+def _sinu_fwd(crs: dict, lon, lat):
+    a, e2 = crs["a"], crs["e2"]
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    dlam = np.radians(np.asarray(lon, dtype=np.float64) - crs["lon_0"])
+    x = a * dlam * np.cos(phi) / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+    y = _merid_arc(phi, a, e2)
+    return x + crs["x_0"], y + crs["y_0"]
+
+
+def _sinu_inv(crs: dict, x, y):
+    a, e2 = crs["a"], crs["e2"]
+    dx = np.asarray(x, dtype=np.float64) - crs["x_0"]
+    dy = np.asarray(y, dtype=np.float64) - crs["y_0"]
+    phi = _inv_merid_arc(dy, a, e2)
+    cphi = np.cos(phi)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dlam = dx * np.sqrt(1.0 - e2 * np.sin(phi) ** 2) / (a * cphi)
+    dlam = np.where(np.abs(cphi) < 1e-12, 0.0, dlam)  # poles: lon = lon_0
+    return crs["lon_0"] + np.degrees(dlam), np.degrees(phi)
+
+
+# --- moll (spherical Mollweide: equal-area, Snyder ch. 31) --------------------
+
+_MOLL_RT2 = math.sqrt(2.0)
+
+
+def _moll_theta(phi: np.ndarray) -> np.ndarray:
+    """Solve 2*theta + sin(2*theta) = pi * sin(phi) (Newton)."""
+    rhs = math.pi * np.sin(phi)
+    theta = phi.copy()
+    for _ in range(15):
+        f = 2.0 * theta + np.sin(2.0 * theta) - rhs
+        fp = 2.0 + 2.0 * np.cos(2.0 * theta)
+        step = np.where(np.abs(fp) > 1e-12, f / np.maximum(fp, 1e-12), 0.0)
+        theta = theta - step
+    # at the poles the Newton denominator vanishes; the solution is exact
+    theta = np.where(np.abs(phi) >= math.pi / 2 - 1e-12,
+                     np.sign(phi) * (math.pi / 2), theta)
+    return theta
+
+
+def _moll_fwd(crs: dict, lon, lat):
+    R = crs["a"]
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    dlam = np.radians(np.asarray(lon, dtype=np.float64) - crs["lon_0"])
+    theta = _moll_theta(phi)
+    x = 2.0 * _MOLL_RT2 / math.pi * R * dlam * np.cos(theta)
+    y = _MOLL_RT2 * R * np.sin(theta)
+    return x + crs["x_0"], y + crs["y_0"]
+
+
+def _moll_inv(crs: dict, x, y):
+    R = crs["a"]
+    dx = np.asarray(x, dtype=np.float64) - crs["x_0"]
+    dy = np.asarray(y, dtype=np.float64) - crs["y_0"]
+    st = np.clip(dy / (_MOLL_RT2 * R), -1.0, 1.0)
+    theta = np.arcsin(st)
+    phi = np.arcsin(np.clip((2.0 * theta + np.sin(2.0 * theta)) / math.pi, -1.0, 1.0))
+    ct = np.cos(theta)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dlam = math.pi * dx / (2.0 * _MOLL_RT2 * R * ct)
+    dlam = np.where(ct < 1e-12, 0.0, dlam)
+    return crs["lon_0"] + np.degrees(dlam), np.degrees(phi)
+
+
 def _geodetic_to_geocentric(lon, lat, a: float, e2: float):
     phi = np.radians(np.asarray(lat, dtype=np.float64))
     lam = np.radians(np.asarray(lon, dtype=np.float64))
@@ -1064,6 +1261,12 @@ def forward(crs: dict, lon, lat):
         return _omerc_fwd(crs, lon, lat)
     if p == "nzmg":
         return _nzmg_fwd(crs, lon, lat)
+    if p == "krovak":
+        return _krovak_fwd(crs, lon, lat)
+    if p == "sinu":
+        return _sinu_fwd(crs, lon, lat)
+    if p == "moll":
+        return _moll_fwd(crs, lon, lat)
     raise NotImplementedError(p)
 
 
@@ -1114,6 +1317,12 @@ def inverse(crs: dict, x, y):
         return _omerc_inv(crs, x, y)
     if p == "nzmg":
         return _nzmg_inv(crs, x, y)
+    if p == "krovak":
+        return _krovak_inv(crs, x, y)
+    if p == "sinu":
+        return _sinu_inv(crs, x, y)
+    if p == "moll":
+        return _moll_inv(crs, x, y)
     raise NotImplementedError(p)
 
 

@@ -1064,3 +1064,134 @@ def test_nztm2000_epsg_alias():
     x, y = P.forward(crs, np.asarray([173.0]), np.asarray([0.0]))
     assert abs(float(x[0]) - 1600000.0) < 1e-6
     assert abs(float(y[0]) - 10000000.0) < 1e-6
+
+
+# --- krovak / sinu / moll (round 6 tail: rarer proj4 codes) -------------------
+
+
+def test_krovak_epsg_worked_example():
+    """EPSG Guidance Note 7-2, method 9819 worked example (S-JTSK):
+    50d12'32.4416\"N 16d50'59.1790\"E -> Southing 1050538.63, Westing
+    568990.97 on Bessel 1841 (proj4 axes: x=-Westing, y=-Southing)."""
+    crs = P.parse_proj4("+proj=krovak")
+    lat = 50 + 12 / 60 + 32.4416 / 3600
+    lon = 16 + 50 / 60 + 59.1790 / 3600
+    x, y = P.forward(crs, np.array([lon]), np.array([lat]))
+    assert abs(float(x[0]) - (-568990.97)) < 0.05
+    assert abs(float(y[0]) - (-1050538.63)) < 0.05
+    lo, la = P.inverse(crs, x, y)
+    assert abs(float(lo[0]) - lon) < 1e-9 and abs(float(la[0]) - lat) < 1e-9
+
+
+def test_krovak_conformal_jacobian():
+    """Independent oracle: Krovak is CONFORMAL, so the finite-difference
+    Jacobian in locally-isometric coordinates (dlam*cos(phi), dphi on the
+    ellipsoid's local radii) must be a scaled rotation everywhere:
+    equal singular values / zero shear, checked without any constant
+    shared with the implementation."""
+    import math
+
+    crs = P.parse_proj4("+proj=krovak")
+    a, e2 = crs["a"], crs["e2"]
+    rng = np.random.default_rng(8)
+    lons = rng.uniform(12.0, 22.0, 25)
+    lats = rng.uniform(47.5, 51.5, 25)
+    h = 1e-6  # degrees
+    for lon, lat in zip(lons, lats):
+        x0, y0 = P.forward(crs, np.array([lon - h, lon + h, lon, lon]),
+                           np.array([lat, lat, lat - h, lat + h]))
+        dxdl = (x0[1] - x0[0]) / (2 * h)
+        dydl = (y0[1] - y0[0]) / (2 * h)
+        dxdp = (x0[3] - x0[2]) / (2 * h)
+        dydp = (y0[3] - y0[2]) / (2 * h)
+        phi = math.radians(lat)
+        s2 = 1 - e2 * math.sin(phi) ** 2
+        nu = a / math.sqrt(s2)          # prime-vertical radius
+        rho = a * (1 - e2) / s2 ** 1.5  # meridian radius
+        # per-radian ground distances: east = nu*cos(phi), north = rho
+        J = np.array([
+            [dxdl / (nu * math.cos(phi)), dxdp / rho],
+            [dydl / (nu * math.cos(phi)), dydp / rho],
+        ]) * (180.0 / math.pi)
+        sv = np.linalg.svd(J, compute_uv=False)
+        assert sv[0] / sv[1] - 1 < 1e-5, (lon, lat, sv)
+        # scale near the pseudo-standard parallel's k
+        assert 0.999 < sv[0] < 1.001
+
+
+def test_krovak_epsg_5514_alias_and_datum():
+    crs = P.parse_proj4("epsg:5514")
+    assert crs["proj"] == "krovak" and crs["towgs84"][:3] == (589.0, 76.0, 480.0)
+    # S-JTSK -> WGS84 via the Helmert shift: Prague stays in Czechia
+    lon, lat = P.transform("epsg:5514", "+proj=longlat +ellps=WGS84",
+                           np.array([-743000.0]), np.array([-1043000.0]))
+    assert 14.0 < float(lon[0]) < 15.0 and 49.9 < float(lat[0]) < 50.4
+
+
+def test_sinu_snyder_examples_and_equal_area():
+    """Snyder (PP 1395) ch. 30: spherical worked example p. 365 and the
+    ellipsoidal Clarke-1866 example; equal-area pinned by a
+    finite-difference Jacobian == true area element (independent)."""
+    crs = P.parse_proj4("+proj=sinu +lon_0=-90 +R=1")
+    x, y = P.forward(crs, np.array([-75.0]), np.array([-50.0]))
+    assert abs(float(x[0]) - 0.1682814) < 1e-7
+    assert abs(float(y[0]) - (-0.8726646)) < 1e-7
+    crs2 = P.parse_proj4("+proj=sinu +lon_0=-90 +ellps=clrk66")
+    x2, y2 = P.forward(crs2, np.array([-75.0]), np.array([-50.0]))
+    assert abs(float(x2[0]) - 1075471.5) < 0.2
+    assert abs(float(y2[0]) - (-5540628.0)) < 0.2
+    _assert_equal_area(crs2, lon_lo=-120, lon_hi=-60, lat_lo=-70, lat_hi=70)
+    rng = np.random.default_rng(3)
+    lons, lats = rng.uniform(-170, -10, 40), rng.uniform(-85, 85, 40)
+    xx, yy = P.forward(crs2, lons, lats)
+    lo, la = P.inverse(crs2, xx, yy)
+    np.testing.assert_allclose(lo, lons, atol=2e-9)
+    np.testing.assert_allclose(la, lats, atol=2e-9)
+
+
+def test_moll_snyder_example_and_equal_area():
+    """Snyder ch. 31 worked example (R=1, lon_0=-90): (50N, 75W) ->
+    (0.1788845, 0.9208758); global equal-area + boundary invariants."""
+    import math
+
+    crs = P.parse_proj4("+proj=moll +lon_0=-90 +R=1")
+    x, y = P.forward(crs, np.array([-75.0]), np.array([50.0]))
+    assert abs(float(x[0]) - 0.1788845) < 1e-6
+    assert abs(float(y[0]) - 0.9208758) < 1e-6
+    # poles map to (0, +/-sqrt(2) R); equator edge to (+/-2 sqrt(2) R, 0)
+    xp, yp = P.forward(crs, np.array([-90.0, -90.0]), np.array([90.0, -90.0]))
+    np.testing.assert_allclose(xp, [0.0, 0.0], atol=1e-9)
+    np.testing.assert_allclose(yp, [math.sqrt(2), -math.sqrt(2)], atol=1e-9)
+    xe, _ = P.forward(crs, np.array([90.0]), np.array([0.0]))
+    assert abs(float(xe[0]) - 2 * math.sqrt(2)) < 1e-9
+    crs_m = P.parse_proj4("+proj=moll +ellps=WGS84")  # sphere on a
+    _assert_equal_area(crs_m, lon_lo=-150, lon_hi=150, lat_lo=-80, lat_hi=80)
+    rng = np.random.default_rng(5)
+    lons, lats = rng.uniform(-150, 150, 40), rng.uniform(-88, 88, 40)
+    xx, yy = P.forward(crs_m, lons, lats)
+    lo, la = P.inverse(crs_m, xx, yy)
+    np.testing.assert_allclose(lo, lons, atol=1e-8)
+    np.testing.assert_allclose(la, lats, atol=1e-8)
+
+
+def _assert_equal_area(crs, lon_lo, lon_hi, lat_lo, lat_hi, n=20):
+    """Finite-difference |det J| must equal the TRUE ellipsoidal area
+    element rho * nu * cos(phi) (sphere: R^2 cos phi) at every sample —
+    the defining equal-area property, no series shared with the code."""
+    import math
+
+    a, e2 = crs["a"], crs["e2"]
+    rng = np.random.default_rng(11)
+    lons = rng.uniform(lon_lo, lon_hi, n)
+    lats = rng.uniform(lat_lo, lat_hi, n)
+    h = 1e-6
+    for lon, lat in zip(lons, lats):
+        xs, ys = P.forward(crs, np.array([lon - h, lon + h, lon, lon]),
+                           np.array([lat, lat, lat - h, lat + h]))
+        det = abs(
+            (xs[1] - xs[0]) * (ys[3] - ys[2]) - (xs[3] - xs[2]) * (ys[1] - ys[0])
+        ) / (2 * h * math.pi / 180.0) ** 2
+        phi = math.radians(lat)
+        s2 = 1 - e2 * math.sin(phi) ** 2
+        true = (a / math.sqrt(s2)) * (a * (1 - e2) / s2 ** 1.5) * math.cos(phi)
+        assert abs(det / true - 1) < 1e-5, (lon, lat, det, true)
