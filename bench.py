@@ -42,30 +42,35 @@ def _ensure_fixture(spark, rows: int) -> str:
 
 def _expand_epochs(df, epochs: int):
     """Work multiplier: N disjoint copies with distinct image ids (same
-    locations -> realistic tile densities at higher row counts)."""
-    from functools import reduce
-
+    locations -> realistic tile densities at higher row counts: the
+    +e*10M id shift keeps row_idx%10 and phash, which fully determine
+    the location). Built as ONE scan branch crossJoined with a tiny
+    epoch range — the old 8-way unionByName re-scanned the parquet per
+    copy and its plan cost a driver-side constant that landed entirely
+    in the high-parallelism scaling leg's wall."""
     from pyspark.sql import functions as F
 
     if epochs <= 1:
         return df
-    parts = [
-        df.withColumn(
+    ep = df.sparkSession.range(epochs).select(F.col("id").alias("__epoch"))
+    return (
+        df.crossJoin(F.broadcast(ep))
+        .withColumn(
             "image_id",
             F.concat(
                 F.lit("img"),
                 F.lpad(
-                    (F.substring("image_id", 4, 12).cast("long") + F.lit(e * 10_000_000)).cast(
-                        "string"
-                    ),
+                    (
+                        F.substring("image_id", 4, 12).cast("long")
+                        + F.col("__epoch") * F.lit(10_000_000)
+                    ).cast("string"),
                     12,
                     "0",
                 ),
             ),
         )
-        for e in range(epochs)
-    ]
-    return reduce(lambda a, b: a.unionByName(b), parts)
+        .drop("__epoch")
+    )
 
 
 def run_benchmarks(
