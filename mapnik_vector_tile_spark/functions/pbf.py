@@ -1175,45 +1175,51 @@ def uniform_point_columns(data, c: int):
     buf = data if isinstance(data, np.ndarray) else np.frombuffer(data, dtype=np.uint8)
     if len(buf) == 0 or c < 0 or c > 127:
         return None
-    cont = (buf & 0x80) != 0
-    if cont[-1]:
+    if buf[-1] & 0x80:
         return None  # ends mid-varint
-    end_pos = np.flatnonzero(~cont)
+    end_pos = np.flatnonzero(buf < 0x80)  # one fused pass, one bool temp
     w = 11 + 2 * c
     nv = len(end_pos)
     if nv == 0 or nv % w:
         return None
     n = nv // w
-    starts = np.empty(nv, dtype=np.int64)
-    starts[0] = 0
-    starts[1:] = end_pos[:-1] + 1
-    vlens = end_pos - starts + 1  # exact per-varint byte lengths, free
-    sm = starts.reshape(n, w)  # view — no copy
-    lm = vlens.reshape(n, w)
+    # everything below derives from STRIDED VIEWS of end_pos — the full
+    # per-varint starts/lengths arrays (2 x 8 bytes x nv) were the
+    # dominant memory traffic at 10M-feature scale
+    em = end_pos.reshape(n, w)  # view — no copy
+
+    def col_start(k):
+        if k == 0:
+            s = np.empty(n, dtype=np.int64)
+            s[0] = 0
+            s[1:] = em[:-1, w - 1] + 1
+            return s
+        return em[:, k - 1] + 1
+
     row_ok = np.ones(n, dtype=bool)
     for k, v in (
         (0, 0x12), (2, 0x12), (4 + 2 * c, 0x18), (5 + 2 * c, 0x01),
         (6 + 2 * c, 0x22), (8 + 2 * c, 0x09),
     ):
-        row_ok &= buf[sm[:, k]] == v
+        row_ok &= buf[col_start(k)] == v
     for j in range(c):
-        row_ok &= buf[sm[:, 4 + 2 * j]] == j
-    frame_end = np.empty(n, dtype=np.int64)
-    frame_end[:-1] = sm[1:, 0]
-    frame_end[-1] = len(buf)
+        row_ok &= buf[col_start(4 + 2 * j)] == j
+    frame_end = em[:, w - 1] + 1
+
     def col(k):
         # >10-byte varints decode to 0 with ok=False (where
         # decode_varints_vec raised for the whole region) — folded
         # into row_ok so hostile frames still fall back per row
-        return decode_varints_known(buf, sm[:, k], lm[:, k])
+        s = col_start(k)
+        return decode_varints_known(buf, s, em[:, k] - s + 1)
 
     flen, ok1 = col(1)
     tlen, ok3 = col(3)
     glen, ok7 = col(7 + 2 * c)
     row_ok &= ok1 & ok3 & ok7
-    row_ok &= flen.astype(np.int64) == frame_end - sm[:, 2]
-    row_ok &= tlen.astype(np.int64) == sm[:, 4 + 2 * c] - sm[:, 4]
-    row_ok &= glen.astype(np.int64) == frame_end - sm[:, 8 + 2 * c]
+    row_ok &= flen.astype(np.int64) == frame_end - (em[:, 1] + 1)
+    row_ok &= tlen.astype(np.int64) == em[:, 3 + 2 * c] - em[:, 3]
+    row_ok &= glen.astype(np.int64) == frame_end - (em[:, 7 + 2 * c] + 1)
     vidx = np.empty((n, c), dtype=np.uint64)
     for j in range(c):
         v, okj = col(5 + 2 * j)
