@@ -629,3 +629,33 @@ def test_uniform_point_columns_rejects_mutations():
             assert np.array_equal(row_ok, full_frames)
             n_checked += 1
     assert n_checked > 50  # most single-byte flips keep the frame count
+
+
+def test_decode_varints_known_length_classes():
+    """Direct unit for the length-class decoder: every byte length 1-10
+    (uint32 fast lane and uint64 lane), plus the >10-byte hostile class
+    (ok=False), against values encoded by the scalar writer."""
+    from mapnik_vector_tile_spark.functions import pbf as P
+
+    vals = [0, 1, 127, 128, 300, 2**14 - 1, 2**21 - 1, 2**28 - 1,
+            2**28, 2**35 - 1, 2**42 + 5, 2**49 + 9, 2**56 + 3, 2**63,
+            2**64 - 1]
+    blob = bytearray()
+    pos, lns = [], []
+    for v in vals:
+        pos.append(len(blob))
+        before = len(blob)
+        P.write_varint(blob, v)
+        lns.append(len(blob) - before)
+    buf = np.frombuffer(bytes(blob), dtype=np.uint8)
+    out, ok = P.decode_varints_known(
+        buf, np.array(pos, dtype=np.int64), np.array(lns, dtype=np.int64)
+    )
+    assert ok.all()
+    assert [int(v) for v in out] == vals
+    # hostile: an 11-byte pseudo-varint must flag ok=False, decode 0
+    hostile = np.frombuffer(b"\x80" * 11 + b"\x01", dtype=np.uint8)
+    out2, ok2 = P.decode_varints_known(
+        hostile, np.array([0], dtype=np.int64), np.array([12], dtype=np.int64)
+    )
+    assert not ok2[0] and int(out2[0]) == 0
