@@ -1294,7 +1294,76 @@ cand AS (
 """
 
 
+def q_reproject_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 in the driver gate: deterministic lon/lat from customer keys ->
+    the engine's proj.transform() (numpy, Arrow-batched mapInPandas)
+    through three closed-form CRSs — spherical sinusoidal (+R +lon_0),
+    spherical equirectangular (+lat_ts +lon_0, incl. the antimeridian
+    wrap), spherical web mercator. DuckDB replays the closed forms in
+    SQL: an independent trig path through a different math library.
+    Outputs round to cm so a last-ulp libm-vs-numpy disagreement cannot
+    flip a rounding boundary. Mirrors mapnik's any-proj4 contract
+    (src/vector_tile_strategy.hpp:69-104)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey")
+    )
+
+    def kernel(it):
+        import numpy as np
+
+        from mapnik_vector_tile_spark.functions import proj as P
+
+        src = "+proj=longlat +ellps=WGS84"
+        sinu = "+proj=sinu +lon_0=10 +R=6371000"
+        eqc = "+proj=eqc +lat_ts=30 +lon_0=-20 +R=6371000"
+        merc = "+init=epsg:3857"
+        for pdf in it:
+            key = pdf["c_custkey"].to_numpy()
+            hx = (key * 2654435761) % 2**32
+            hy = (key * 2246822519 + 1013904223) % 2**32
+            lon = hx.astype(np.float64) / 2**32 * 360.0 - 180.0
+            lat = hy.astype(np.float64) / 2**32 * 170.0 - 85.0
+            sx, sy = P.transform(src, sinu, lon, lat)
+            ex, ey = P.transform(src, eqc, lon, lat)
+            mx, my = P.transform(src, merc, lon, lat)
+            yield pd.DataFrame({
+                "c_custkey": key,
+                "sinu_x": np.round(sx, 2), "sinu_y": np.round(sy, 2),
+                "eqc_x": np.round(ex, 2), "eqc_y": np.round(ey, 2),
+                "merc_x": np.round(mx, 2), "merc_y": np.round(my, 2),
+            })
+
+    return cust.mapInPandas(
+        kernel,
+        "c_custkey bigint, sinu_x double, sinu_y double, eqc_x double, "
+        "eqc_y double, merc_x double, merc_y double",
+    )
+
+
+def o_reproject_grid() -> str:
+    loc = tilemath.key_lonlat_sql("cast(c_custkey as bigint)")
+    return f"""
+WITH pts AS (
+  SELECT cast(c_custkey as bigint) AS c_custkey,
+         {loc['lon']} AS lon, {loc['lat']} AS lat
+  FROM customer
+)
+SELECT c_custkey,
+  round(6371000.0 * radians(lon - 10.0) * cos(radians(lat)), 2) AS sinu_x,
+  round(6371000.0 * radians(lat), 2) AS sinu_y,
+  -- eqc wraps dlam into [-pi, pi); lon_0=-20 keeps the dividend
+  -- positive so plain fmod matches the engine's wrap
+  round(6371000.0 * (((radians(lon + 20.0) + pi()) % (2*pi())) - pi())
+        * cos(radians(30.0)), 2) AS eqc_x,
+  round(6371000.0 * radians(lat), 2) AS eqc_y,
+  round(6378137.0 * radians(lon), 2) AS merc_x,
+  round(6378137.0 * ln(tan(pi()/4 + radians(lat)/2)), 2) AS merc_y
+FROM pts
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "reproject_grid": q_reproject_grid,
     "geom_tiles_roundtrip": q_geom_tiles,
     "geom_tiles_strict": q_geom_tiles_strict,
     "tile_validity_stats": q_tile_validity,
@@ -1321,6 +1390,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _ORACLE_BUILDERS: dict[str, Callable[[], str]] = {
+    "reproject_grid": o_reproject_grid,
     "geom_tiles_roundtrip": o_geom_tiles,
     "geom_tiles_strict": o_geom_tiles,  # identical golden by design
     "tile_validity_stats": o_tile_validity,
