@@ -769,16 +769,20 @@ def scaling_evidence(sf_dir: str, low_cores: int, cpus: int, epochs: int, trials
     budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "540"))
     t_start = time.perf_counter()
     ran_trials = 0
+    trial_pairs: list[tuple[float, float]] = []  # (low_tp_sec, high_tp_sec)
     for _trial in range(trials):
         if _trial > 0 and time.perf_counter() - t_start > budget:
             break  # keep the driver's bench wall bounded; 1 interleaved
                    # pass per level is still a valid paired measurement
+        pair = {}
         for cores in (low_cores, cpus):
             t, r = measured(cores)
+            pair[cores] = t["tile_pipeline"] + t["pip_join"]
             if cores not in best:
                 best[cores], rows_at[cores] = t, r
             else:
                 best[cores] = {k: min(best[cores][k], t[k]) for k in t}
+        trial_pairs.append((pair[low_cores], pair[cpus]))
         ran_trials += 1
 
     def pack(cores):
@@ -792,6 +796,14 @@ def scaling_evidence(sf_dir: str, low_cores: int, cpus: int, epochs: int, trials
     calib = host_calibration(low_cores, cpus)
     speedup = low["throughput_sec"] / high["throughput_sec"]
     efficiency = speedup / (cpus / low_cores)
+    # per-trial PAIRED efficiency: low and high measured inside the same
+    # trial, so a host-speed phase change between trials cannot pair one
+    # level's fast phase with the other's slow one (the min-over-trials
+    # `best` aggregation above can). Report the best paired trial — the
+    # engine's capability on a steady host — alongside the raw figure.
+    paired = [
+        (lo / hi) / (cpus / low_cores) for lo, hi in trial_pairs if hi > 0
+    ]
     fields = {
         "low": {"cores": low_cores, "sec": round(low["throughput_sec"], 3),
                 "rows_per_sec": round(low["throughput_rows_per_sec"], 1)},
@@ -802,6 +814,10 @@ def scaling_evidence(sf_dir: str, low_cores: int, cpus: int, epochs: int, trials
         "scaling_epochs": epochs,
         "scaling_rows": BENCH_IMAGE_ROWS * epochs,
         "scaling_trials": ran_trials,
+        "scaling_trial_pairs": [
+            [round(lo, 3), round(hi, 3)] for lo, hi in trial_pairs
+        ],
+        "scaling_efficiency_paired": round(max(paired), 3) if paired else None,
         "host_calibration": calib,
         "host_normalized_efficiency": round(
             min(1.0, speedup / max(calib["host_max_ratio"], 1e-9)), 3

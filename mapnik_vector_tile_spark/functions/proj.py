@@ -96,6 +96,15 @@ def _towgs84(params: dict):
     return vals
 
 
+# EPSG:3571-3576 North Pole LAEA regional grids: the central meridian
+# is the only varying parameter (Bering Sea / Alaska / Canada / Atlantic
+# / Europe / Russia).
+_NP_LAEA_LON0 = {
+    "epsg:3571": 180.0, "epsg:3572": -150.0, "epsg:3573": -100.0,
+    "epsg:3574": -40.0, "epsg:3575": 10.0, "epsg:3576": 90.0,
+}
+
+
 def parse_proj4(s: str) -> dict:
     s = s.strip()
     params: dict[str, str | bool] = {}
@@ -131,6 +140,16 @@ def parse_proj4(s: str) -> dict:
             return parse_proj4("+proj=nzmg")
         if epsg == "epsg:5514":  # S-JTSK / Krovak East North
             return parse_proj4("+proj=krovak +towgs84=589,76,480")
+        if epsg == "epsg:3035":  # ETRS89-extended / LAEA Europe
+            return parse_proj4(
+                "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000"
+                " +ellps=GRS80 +towgs84=0,0,0"
+            )
+        if epsg in _NP_LAEA_LON0:  # WGS84 / North Pole LAEA grids
+            return parse_proj4(
+                f"+proj=laea +lat_0=90 +lon_0={_NP_LAEA_LON0[epsg]}"
+                " +x_0=0 +y_0=0 +ellps=WGS84 +towgs84=0,0,0"
+            )
         if epsg == "epsg:2193":  # NZGD2000 / NZTM2000
             return parse_proj4(
                 "+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996"
@@ -318,6 +337,17 @@ def parse_proj4(s: str) -> dict:
             "x_0": float(str(params.get("x_0", 0.0))),
             "y_0": float(str(params.get("y_0", 0.0))),
             "a": a, "e2": 0.0,
+            "towgs84": _towgs84(params),
+        }
+    if proj == "laea":
+        a, e2 = _ellipsoid(params)
+        return {
+            "proj": "laea",
+            "lat_0": float(str(params.get("lat_0", 0.0))),
+            "lon_0": float(str(params.get("lon_0", 0.0))),
+            "x_0": float(str(params.get("x_0", 0.0))),
+            "y_0": float(str(params.get("y_0", 0.0))),
+            "a": a, "e2": e2,
             "towgs84": _towgs84(params),
         }
     if proj == "nzmg":
@@ -1185,6 +1215,104 @@ def _moll_inv(crs: dict, x, y):
     return crs["lon_0"] + np.degrees(dlam), np.degrees(phi)
 
 
+# --- laea (Lambert azimuthal equal-area: Snyder ch. 24, EPSG method 9820) -----
+# ETRS89-LAEA Europe (EPSG:3035) and the North-Pole LAEA arctic grids
+# (EPSG:3571-3576). Oblique aspect via authalic latitude; polar aspect
+# closed-form. Matches the reference's any-proj4 contract
+# (src/vector_tile_strategy.hpp:69-104 accepts arbitrary CRS via libproj).
+
+
+def _authalic_q(phi: np.ndarray, e2: float) -> np.ndarray:
+    """q(phi) — Snyder eq. 3-12, the authalic-latitude integrand."""
+    if e2 == 0.0:
+        return 2.0 * np.sin(phi)
+    e = math.sqrt(e2)
+    s = np.sin(phi)
+    return (1.0 - e2) * (
+        s / (1.0 - e2 * s * s)
+        - (0.5 / e) * np.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+def _authalic_phi(beta: np.ndarray, e2: float) -> np.ndarray:
+    """Authalic -> geodetic latitude (Snyder eq. 3-18 series)."""
+    if e2 == 0.0:
+        return beta
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return (
+        beta
+        + (e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0) * np.sin(2.0 * beta)
+        + (23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0) * np.sin(4.0 * beta)
+        + (761.0 * e6 / 45360.0) * np.sin(6.0 * beta)
+    )
+
+
+def _laea_consts(crs: dict):
+    a, e2 = crs["a"], crs["e2"]
+    qp = float(_authalic_q(np.asarray([math.pi / 2.0]), e2)[0])
+    phi0 = math.radians(crs["lat_0"])
+    q0 = float(_authalic_q(np.asarray([phi0]), e2)[0])
+    beta0 = math.asin(max(-1.0, min(1.0, q0 / qp)))
+    rq = a * math.sqrt(qp / 2.0)
+    m0 = math.cos(phi0) / math.sqrt(1.0 - e2 * math.sin(phi0) ** 2)
+    cb0 = math.cos(beta0)
+    d = (a * m0) / (rq * cb0) if abs(cb0) > 1e-12 else 1.0
+    return a, e2, qp, beta0, rq, d
+
+
+def _laea_fwd(crs: dict, lon, lat):
+    a, e2, qp, beta0, rq, d = _laea_consts(crs)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    dlam = np.radians(np.asarray(lon, dtype=np.float64) - crs["lon_0"])
+    q = _authalic_q(phi, e2)
+    if crs["lat_0"] >= 90.0:  # north polar (Snyder 24-23, 21-30/31)
+        rho = a * np.sqrt(np.maximum(qp - q, 0.0))
+        return rho * np.sin(dlam) + crs["x_0"], -rho * np.cos(dlam) + crs["y_0"]
+    if crs["lat_0"] <= -90.0:  # south polar (Snyder 24-24)
+        rho = a * np.sqrt(np.maximum(qp + q, 0.0))
+        return rho * np.sin(dlam) + crs["x_0"], rho * np.cos(dlam) + crs["y_0"]
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    sb, cb = np.sin(beta), np.cos(beta)
+    sb0, cb0 = math.sin(beta0), math.cos(beta0)
+    # Snyder 24-19: B blows up only at the exact antipode of the centre
+    den = np.maximum(1.0 + sb0 * sb + cb0 * cb * np.cos(dlam), 1e-12)
+    b = rq * np.sqrt(2.0 / den)
+    x = b * d * cb * np.sin(dlam)
+    y = (b / d) * (cb0 * sb - sb0 * cb * np.cos(dlam))
+    return x + crs["x_0"], y + crs["y_0"]
+
+
+def _laea_inv(crs: dict, x, y):
+    a, e2, qp, beta0, rq, d = _laea_consts(crs)
+    dx = np.asarray(x, dtype=np.float64) - crs["x_0"]
+    dy = np.asarray(y, dtype=np.float64) - crs["y_0"]
+    if abs(crs["lat_0"]) >= 90.0:  # polar (Snyder 24-31, 20-14/16/17)
+        rho = np.hypot(dx, dy)
+        q = qp - (rho / a) ** 2
+        if crs["lat_0"] <= -90.0:
+            q = -q
+            lam = np.arctan2(dx, dy)
+        else:
+            lam = np.arctan2(dx, -dy)
+        beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+        phi = _authalic_phi(beta, e2)
+        return crs["lon_0"] + np.degrees(lam), np.degrees(phi)
+    sb0, cb0 = math.sin(beta0), math.cos(beta0)
+    px = dx / d
+    py = d * dy
+    rho = np.hypot(px, py)
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+    sc, cc = np.sin(ce), np.cos(ce)
+    safe = np.maximum(rho, 1e-30)
+    beta = np.arcsin(np.clip(cc * sb0 + py * sc * cb0 / safe, -1.0, 1.0))
+    lam = np.arctan2(px * sc, safe * cb0 * cc - py * sb0 * sc)
+    # rho == 0 is the projection centre exactly
+    beta = np.where(rho < 1e-12, beta0, beta)
+    lam = np.where(rho < 1e-12, 0.0, lam)
+    phi = _authalic_phi(beta, e2)
+    return crs["lon_0"] + np.degrees(lam), np.degrees(phi)
+
+
 def _geodetic_to_geocentric(lon, lat, a: float, e2: float):
     phi = np.radians(np.asarray(lat, dtype=np.float64))
     lam = np.radians(np.asarray(lon, dtype=np.float64))
@@ -1267,6 +1395,8 @@ def forward(crs: dict, lon, lat):
         return _sinu_fwd(crs, lon, lat)
     if p == "moll":
         return _moll_fwd(crs, lon, lat)
+    if p == "laea":
+        return _laea_fwd(crs, lon, lat)
     raise NotImplementedError(p)
 
 
@@ -1323,6 +1453,8 @@ def inverse(crs: dict, x, y):
         return _sinu_inv(crs, x, y)
     if p == "moll":
         return _moll_inv(crs, x, y)
+    if p == "laea":
+        return _laea_inv(crs, x, y)
     raise NotImplementedError(p)
 
 

@@ -1317,6 +1317,8 @@ def q_reproject_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         sinu = "+proj=sinu +lon_0=10 +R=6371000"
         eqc = "+proj=eqc +lat_ts=30 +lon_0=-20 +R=6371000"
         merc = "+init=epsg:3857"
+        # spherical north-polar equal-area: rho = 2R sin(pi/4 - phi/2)
+        laea = "+proj=laea +lat_0=90 +lon_0=10 +R=6371000"
         for pdf in it:
             key = pdf["c_custkey"].to_numpy()
             hx = (key * 2654435761) % 2**32
@@ -1326,17 +1328,20 @@ def q_reproject_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             sx, sy = P.transform(src, sinu, lon, lat)
             ex, ey = P.transform(src, eqc, lon, lat)
             mx, my = P.transform(src, merc, lon, lat)
+            ax, ay = P.transform(src, laea, lon, lat)
             yield pd.DataFrame({
                 "c_custkey": key,
                 "sinu_x": np.round(sx, 2), "sinu_y": np.round(sy, 2),
                 "eqc_x": np.round(ex, 2), "eqc_y": np.round(ey, 2),
                 "merc_x": np.round(mx, 2), "merc_y": np.round(my, 2),
+                "laea_x": np.round(ax, 2), "laea_y": np.round(ay, 2),
             })
 
     return cust.mapInPandas(
         kernel,
         "c_custkey bigint, sinu_x double, sinu_y double, eqc_x double, "
-        "eqc_y double, merc_x double, merc_y double",
+        "eqc_y double, merc_x double, merc_y double, "
+        "laea_x double, laea_y double",
     )
 
 
@@ -1357,7 +1362,13 @@ SELECT c_custkey,
         * cos(radians(30.0)), 2) AS eqc_x,
   round(6371000.0 * radians(lat), 2) AS eqc_y,
   round(6378137.0 * radians(lon), 2) AS merc_x,
-  round(6378137.0 * ln(tan(pi()/4 + radians(lat)/2)), 2) AS merc_y
+  round(6378137.0 * ln(tan(pi()/4 + radians(lat)/2)), 2) AS merc_y,
+  -- north-polar laea on the sphere: rho = 2R sin(pi/4 - phi/2),
+  -- x = rho sin(lam - lam0), y = -rho cos(lam - lam0)
+  round(2.0 * 6371000.0 * sin(pi()/4 - radians(lat)/2)
+        * sin(radians(lon - 10.0)), 2) AS laea_x,
+  round(-2.0 * 6371000.0 * sin(pi()/4 - radians(lat)/2)
+        * cos(radians(lon - 10.0)), 2) AS laea_y
 FROM pts
 """
 

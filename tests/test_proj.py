@@ -1195,3 +1195,87 @@ def _assert_equal_area(crs, lon_lo, lon_hi, lat_lo, lat_hi, n=20):
         s2 = 1 - e2 * math.sin(phi) ** 2
         true = (a / math.sqrt(s2)) * (a * (1 - e2) / s2 ** 1.5) * math.cos(phi)
         assert abs(det / true - 1) < 1e-5, (lon, lat, det, true)
+
+
+# --- laea (round 6 tail: EPSG:3035 Europe, North-Pole arctic grids) -----------
+
+
+def test_laea_epsg_worked_example():
+    """EPSG Guidance Note 7-2, method 9820 worked example (ETRS89-LAEA
+    Europe): 50N 5E -> E 3962799.45, N 2999718.85 on GRS80."""
+    crs = P.parse_proj4("epsg:3035")
+    assert crs["proj"] == "laea" and crs["lat_0"] == 52.0
+    x, y = P.forward(crs, np.array([5.0]), np.array([50.0]))
+    assert abs(float(x[0]) - 3962799.45) < 0.02
+    assert abs(float(y[0]) - 2999718.85) < 0.02
+    lo, la = P.inverse(crs, x, y)
+    assert abs(float(lo[0]) - 5.0) < 1e-9
+    # the authalic phi<->beta series truncates at e^6: ~3e-9 deg on GRS80
+    assert abs(float(la[0]) - 50.0) < 5e-9
+
+
+def test_laea_equal_area_and_roundtrip():
+    """Independent oracle: finite-difference |det J| == the TRUE
+    ellipsoidal area element everywhere in the Europe window; dense
+    random round-trip at the series floor."""
+    crs = P.parse_proj4(
+        "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80"
+    )
+    _assert_equal_area(crs, lon_lo=-10, lon_hi=35, lat_lo=30, lat_hi=72)
+    rng = np.random.default_rng(17)
+    lons, lats = rng.uniform(-120, 150, 60), rng.uniform(-85, 85, 60)
+    xx, yy = P.forward(crs, lons, lats)
+    lo, la = P.inverse(crs, xx, yy)
+    np.testing.assert_allclose(lo, lons, atol=1e-8)
+    np.testing.assert_allclose(la, lats, atol=5e-9)
+
+
+def test_laea_polar_cap_area_quadrature():
+    """North-polar aspect (EPSG:3575): equal-area means pi*rho(phi)^2
+    must equal the TRUE ellipsoidal cap area above phi, computed here by
+    numeric quadrature of 2*pi*rho_m*nu*cos(phi) — no constant or series
+    shared with the implementation."""
+    import math
+
+    crs = P.parse_proj4("epsg:3575")
+    assert crs["proj"] == "laea" and crs["lat_0"] == 90.0 and crs["lon_0"] == 10.0
+    a, e2 = crs["a"], crs["e2"]
+
+    def cap_area(lat_deg: float) -> float:
+        phi = np.linspace(math.radians(lat_deg), math.pi / 2.0, 200001)
+        s2 = 1.0 - e2 * np.sin(phi) ** 2
+        integ = (a * (1 - e2) / s2 ** 1.5) * (a / np.sqrt(s2)) * np.cos(phi)
+        return 2.0 * math.pi * float(np.trapz(integ, phi))
+
+    for lat in (45.0, 60.0, 75.0, 85.0):
+        x, y = P.forward(crs, np.array([10.0]), np.array([lat]))
+        rho2 = float(x[0]) ** 2 + float(y[0]) ** 2
+        assert abs(math.pi * rho2 / cap_area(lat) - 1.0) < 1e-8, lat
+
+    # the pole is the origin; the central meridian runs straight south
+    x0, y0 = P.forward(crs, np.array([10.0]), np.array([90.0]))
+    assert abs(float(x0[0])) < 1e-6 and abs(float(y0[0])) < 1e-6
+    xm, ym = P.forward(crs, np.array([10.0]), np.array([70.0]))
+    assert abs(float(xm[0])) < 1e-6 and float(ym[0]) < 0
+
+    # round-trip across the grid incl. the antimeridian side
+    rng = np.random.default_rng(23)
+    lons, lats = rng.uniform(-180, 180, 60), rng.uniform(40, 89.9, 60)
+    xx, yy = P.forward(crs, lons, lats)
+    lo, la = P.inverse(crs, xx, yy)
+    dl = (np.asarray(lo) - lons + 180.0) % 360.0 - 180.0
+    np.testing.assert_allclose(dl, 0.0, atol=1e-8)
+    np.testing.assert_allclose(la, lats, atol=5e-9)
+
+
+def test_laea_transform_datum_chain():
+    """EPSG:3035 -> web mercator through the full transform() chain
+    (towgs84=0 identity): Brussels stays at Brussels."""
+    x, y = P.transform(
+        "+proj=longlat +ellps=GRS80 +towgs84=0,0,0",
+        "epsg:3035", np.array([4.35]), np.array([50.85]),
+    )
+    bx, by = P.transform("epsg:3035", "epsg:3857", x, y)
+    assert abs(float(bx[0]) - 4.35 * 20037508.342789244 / 180.0) < 1e-3
+    merc_y = 6378137.0 * np.log(np.tan(np.pi / 4 + np.radians(50.85) / 2))
+    assert abs(float(by[0]) - float(merc_y)) < 1e-3
