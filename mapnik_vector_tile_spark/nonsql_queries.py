@@ -1373,7 +1373,82 @@ FROM pts
 """
 
 
+def q_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-axis near-dup join: 64-bit perceptual-hash hamming pairs
+    through operators.imagehash.hamming_near_dups (pigeonhole banding on
+    four 16-bit chunks — the scale path: 2^16 buckets/band, never
+    all-pairs). Hashes are a closed-form function of customer keys with
+    planted <=3-bit flips (keys ending in 0 borrow the previous key's
+    hash and flip key%4 bits at key-derived positions), so DuckDB can
+    replay the construction and verify recall with a BRUTE-FORCE O(n^2)
+    join — an independent check of the banding's pigeonhole guarantee.
+    The pixel-DCT pHash itself is pinned in tests/test_imagehash.py
+    (images aren't decodable in SQL)."""
+    u = F.col("id")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("bigint").alias("id")
+    )
+    # key 0 must not borrow key -1 (negative base flips the % sign and
+    # the recentred product overflows int64 under ANSI)
+    is_dup = ((u % 10) == 0) & (u >= 10)
+    base = F.when(is_dup, u - 1).otherwise(u)
+    hi = (base * 2654435761) % F.lit(4294967296)
+    lo = (base * 2246822519 + 1013904223) % F.lit(4294967296)
+    # re-centre hi into int32 range so hi*2^32 + lo stays inside int64
+    # (Spark 4 ANSI mode errors on overflow instead of wrapping)
+    hi_s = F.when(hi >= 2147483648, hi - F.lit(4294967296)).otherwise(hi)
+    h = hi_s * F.lit(4294967296) + lo
+    for i, pr in enumerate((5, 17, 37)):
+        pos = (u * pr) % 48  # bits 0..47: the sign bit never flips
+        term = F.when(
+            is_dup & ((u % 4) > i),
+            F.pow(F.lit(2.0), pos.cast("double")).cast("long"),
+        ).otherwise(F.lit(0))
+        h = h.bitwiseXOR(term)
+    from mapnik_vector_tile_spark.operators.imagehash import hamming_near_dups
+
+    hashed = cust.select("id", h.alias("h"))
+    return hamming_near_dups(hashed, "id", "h", max_hamming=3).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+def o_phash_hamming_pairs() -> str:
+    flip_terms = []
+    for i, pr in enumerate((5, 17, 37)):
+        flip_terms.append(
+            f"CASE WHEN id % 10 = 0 AND id >= 10 AND id % 4 > {i} "
+            f"THEN cast(power(2, (id * {pr}) % 48) as bigint) ELSE 0 END"
+        )
+    mask = f"xor(xor({flip_terms[0]}, {flip_terms[1]}), {flip_terms[2]})"
+    return f"""
+WITH ids AS (SELECT cast(c_custkey as bigint) AS id FROM customer),
+hashes AS (
+  SELECT id,
+    xor(
+      (CASE WHEN ((CASE WHEN id % 10 = 0 AND id >= 10 THEN id - 1 ELSE id END)
+                  * 2654435761) % 4294967296 >= 2147483648
+            THEN ((CASE WHEN id % 10 = 0 AND id >= 10 THEN id - 1 ELSE id END)
+                  * 2654435761) % 4294967296 - 4294967296
+            ELSE ((CASE WHEN id % 10 = 0 AND id >= 10 THEN id - 1 ELSE id END)
+                  * 2654435761) % 4294967296 END) * 4294967296
+      + ((CASE WHEN id % 10 = 0 AND id >= 10 THEN id - 1 ELSE id END)
+         * 2246822519 + 1013904223) % 4294967296,
+      {mask}
+    ) AS h
+  FROM ids
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       cast(bit_count(xor(a.h, b.h)) as int) AS hamming
+FROM hashes a JOIN hashes b ON a.id < b.id
+WHERE bit_count(xor(a.h, b.h)) <= 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "phash_hamming_pairs": q_phash_hamming_pairs,
     "reproject_grid": q_reproject_grid,
     "geom_tiles_roundtrip": q_geom_tiles,
     "geom_tiles_strict": q_geom_tiles_strict,
@@ -1401,6 +1476,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _ORACLE_BUILDERS: dict[str, Callable[[], str]] = {
+    "phash_hamming_pairs": o_phash_hamming_pairs,
     "reproject_grid": o_reproject_grid,
     "geom_tiles_roundtrip": o_geom_tiles,
     "geom_tiles_strict": o_geom_tiles,  # identical golden by design
