@@ -140,6 +140,11 @@ def parse_proj4(s: str) -> dict:
             return parse_proj4("+proj=nzmg")
         if epsg == "epsg:5514":  # S-JTSK / Krovak East North
             return parse_proj4("+proj=krovak +towgs84=589,76,480")
+        if epsg == "epsg:6933":  # WGS 84 / NSIDC EASE-Grid 2.0 Global
+            return parse_proj4(
+                "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0"
+                " +ellps=WGS84 +towgs84=0,0,0"
+            )
         if epsg == "epsg:3035":  # ETRS89-extended / LAEA Europe
             return parse_proj4(
                 "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000"
@@ -337,6 +342,17 @@ def parse_proj4(s: str) -> dict:
             "x_0": float(str(params.get("x_0", 0.0))),
             "y_0": float(str(params.get("y_0", 0.0))),
             "a": a, "e2": 0.0,
+            "towgs84": _towgs84(params),
+        }
+    if proj == "cea":
+        a, e2 = _ellipsoid(params)
+        return {
+            "proj": "cea",
+            "lat_ts": float(str(params.get("lat_ts", 0.0))),
+            "lon_0": float(str(params.get("lon_0", 0.0))),
+            "x_0": float(str(params.get("x_0", 0.0))),
+            "y_0": float(str(params.get("y_0", 0.0))),
+            "a": a, "e2": e2,
             "towgs84": _towgs84(params),
         }
     if proj == "laea":
@@ -1313,6 +1329,36 @@ def _laea_inv(crs: dict, x, y):
     return crs["lon_0"] + np.degrees(lam), np.degrees(phi)
 
 
+# --- cea (cylindrical equal-area: Snyder ch. 10, EPSG method 9835) ------------
+# EASE-Grid 2.0 (EPSG:6933, lat_ts=30) and the Lambert/Behrmann family.
+
+
+def _cea_k0(crs: dict) -> float:
+    phi_ts = math.radians(crs["lat_ts"])
+    return math.cos(phi_ts) / math.sqrt(1.0 - crs["e2"] * math.sin(phi_ts) ** 2)
+
+
+def _cea_fwd(crs: dict, lon, lat):
+    a, e2 = crs["a"], crs["e2"]
+    k0 = _cea_k0(crs)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    dlam = np.radians(np.asarray(lon, dtype=np.float64) - crs["lon_0"])
+    x = a * k0 * dlam
+    y = a * _authalic_q(phi, e2) / (2.0 * k0)
+    return x + crs["x_0"], y + crs["y_0"]
+
+
+def _cea_inv(crs: dict, x, y):
+    a, e2 = crs["a"], crs["e2"]
+    k0 = _cea_k0(crs)
+    dx = np.asarray(x, dtype=np.float64) - crs["x_0"]
+    dy = np.asarray(y, dtype=np.float64) - crs["y_0"]
+    qp = float(_authalic_q(np.asarray([math.pi / 2.0]), e2)[0])
+    beta = np.arcsin(np.clip(2.0 * dy * k0 / (a * qp), -1.0, 1.0))
+    phi = _authalic_phi(beta, e2)
+    return crs["lon_0"] + np.degrees(dx / (a * k0)), np.degrees(phi)
+
+
 def _geodetic_to_geocentric(lon, lat, a: float, e2: float):
     phi = np.radians(np.asarray(lat, dtype=np.float64))
     lam = np.radians(np.asarray(lon, dtype=np.float64))
@@ -1397,6 +1443,8 @@ def forward(crs: dict, lon, lat):
         return _moll_fwd(crs, lon, lat)
     if p == "laea":
         return _laea_fwd(crs, lon, lat)
+    if p == "cea":
+        return _cea_fwd(crs, lon, lat)
     raise NotImplementedError(p)
 
 
@@ -1455,6 +1503,8 @@ def inverse(crs: dict, x, y):
         return _moll_inv(crs, x, y)
     if p == "laea":
         return _laea_inv(crs, x, y)
+    if p == "cea":
+        return _cea_inv(crs, x, y)
     raise NotImplementedError(p)
 
 

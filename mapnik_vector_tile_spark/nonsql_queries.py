@@ -1319,6 +1319,9 @@ def q_reproject_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         merc = "+init=epsg:3857"
         # spherical north-polar equal-area: rho = 2R sin(pi/4 - phi/2)
         laea = "+proj=laea +lat_0=90 +lon_0=10 +R=6371000"
+        # spherical cylindrical equal-area: x = R dlam cos(phi_ts),
+        # y = R sin(phi) / cos(phi_ts)
+        cea = "+proj=cea +lat_ts=30 +lon_0=0 +R=6371000"
         for pdf in it:
             key = pdf["c_custkey"].to_numpy()
             hx = (key * 2654435761) % 2**32
@@ -1329,19 +1332,21 @@ def q_reproject_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ex, ey = P.transform(src, eqc, lon, lat)
             mx, my = P.transform(src, merc, lon, lat)
             ax, ay = P.transform(src, laea, lon, lat)
+            cx, cy = P.transform(src, cea, lon, lat)
             yield pd.DataFrame({
                 "c_custkey": key,
                 "sinu_x": np.round(sx, 2), "sinu_y": np.round(sy, 2),
                 "eqc_x": np.round(ex, 2), "eqc_y": np.round(ey, 2),
                 "merc_x": np.round(mx, 2), "merc_y": np.round(my, 2),
                 "laea_x": np.round(ax, 2), "laea_y": np.round(ay, 2),
+                "cea_x": np.round(cx, 2), "cea_y": np.round(cy, 2),
             })
 
     return cust.mapInPandas(
         kernel,
         "c_custkey bigint, sinu_x double, sinu_y double, eqc_x double, "
         "eqc_y double, merc_x double, merc_y double, "
-        "laea_x double, laea_y double",
+        "laea_x double, laea_y double, cea_x double, cea_y double",
     )
 
 
@@ -1368,7 +1373,10 @@ SELECT c_custkey,
   round(2.0 * 6371000.0 * sin(pi()/4 - radians(lat)/2)
         * sin(radians(lon - 10.0)), 2) AS laea_x,
   round(-2.0 * 6371000.0 * sin(pi()/4 - radians(lat)/2)
-        * cos(radians(lon - 10.0)), 2) AS laea_y
+        * cos(radians(lon - 10.0)), 2) AS laea_y,
+  -- spherical cea, true at 30N: x = R dlam cos(30), y = R sin(phi)/cos(30)
+  round(6371000.0 * radians(lon) * cos(radians(30.0)), 2) AS cea_x,
+  round(6371000.0 * sin(radians(lat)) / cos(radians(30.0)), 2) AS cea_y
 FROM pts
 """
 

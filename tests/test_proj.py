@@ -1279,3 +1279,45 @@ def test_laea_transform_datum_chain():
     assert abs(float(bx[0]) - 4.35 * 20037508.342789244 / 180.0) < 1e-3
     merc_y = 6378137.0 * np.log(np.tan(np.pi / 4 + np.radians(50.85) / 2))
     assert abs(float(by[0]) - float(merc_y)) < 1e-3
+
+
+# --- cea (EASE-Grid 2.0: EPSG:6933) -------------------------------------------
+
+
+def test_cea_ease2_extent_and_area_conservation():
+    """EPSG:6933 (NSIDC EASE-Grid 2.0 Global): the published map width
+    constant x_max = 17367530.445161 m; and the whole map's rectangle
+    area must equal the TRUE ellipsoid surface area (independent
+    quadrature — the defining property of an equal-area cylindrical)."""
+    import math
+
+    crs = P.parse_proj4("epsg:6933")
+    assert crs["proj"] == "cea" and crs["lat_ts"] == 30.0
+    x, y = P.forward(crs, np.array([180.0]), np.array([90.0]))
+    assert abs(float(x[0]) - 17367530.445161) < 1e-3
+    # surface area of the WGS84 ellipsoid by quadrature
+    a, e2 = crs["a"], crs["e2"]
+    phi = np.linspace(0.0, math.pi / 2.0, 400001)
+    s2 = 1.0 - e2 * np.sin(phi) ** 2
+    integ = (a * (1 - e2) / s2 ** 1.5) * (a / np.sqrt(s2)) * np.cos(phi)
+    surface = 4.0 * math.pi * float(np.trapz(integ, phi))
+    map_area = (2.0 * float(x[0])) * (2.0 * float(y[0]))
+    assert abs(map_area / surface - 1.0) < 1e-9
+
+
+def test_cea_equal_area_and_roundtrip():
+    crs = P.parse_proj4("+proj=cea +lat_ts=30 +lon_0=-15 +ellps=WGS84")
+    _assert_equal_area(crs, lon_lo=-170, lon_hi=170, lat_lo=-85, lat_hi=85)
+    rng = np.random.default_rng(29)
+    lons, lats = rng.uniform(-180, 180, 60), rng.uniform(-89.9, 89.9, 60)
+    xx, yy = P.forward(crs, lons, lats)
+    lo, la = P.inverse(crs, xx, yy)
+    np.testing.assert_allclose(lo, lons, atol=1e-9)
+    np.testing.assert_allclose(la, lats, atol=5e-9)
+    # lat_ts is the true-scale parallel: a degree of longitude there
+    # must measure its true ellipsoidal length on the map
+    h = 1e-6
+    x2, _ = P.forward(crs, np.array([10.0 - h, 10.0 + h]), np.array([30.0, 30.0]))
+    per_rad = (float(x2[1]) - float(x2[0])) / np.radians(2 * h)
+    nu = crs["a"] / np.sqrt(1 - crs["e2"] * np.sin(np.radians(30.0)) ** 2)
+    assert abs(per_rad / (nu * np.cos(np.radians(30.0))) - 1.0) < 1e-8
