@@ -280,9 +280,34 @@ def parse_proj4(s: str) -> dict:
             "towgs84": _towgs84(params),
         }
     if proj == "omerc":
-        if "lon_1" in params or "lat_1" in params:
-            raise NotImplementedError("omerc two-point form not supported")
         a, e2 = _ellipsoid(params)
+        if "lon_1" in params or "lat_1" in params:
+            # two-point form (Snyder ch. 9 eqs. 9-16..9-24): reduce to
+            # the azimuth form at parse time — compute the central-line
+            # azimuth at the aposphere origin and the longitude of the
+            # projection centre, then reuse the same fwd/inv machinery.
+            lat_0 = float(str(params.get("lat_0", 0.0)))
+            lat_1 = float(str(params["lat_1"]))
+            lon_1 = float(str(params["lon_1"]))
+            lat_2 = float(str(params["lat_2"]))
+            lon_2 = float(str(params["lon_2"]))
+            k = float(str(params.get("k", params.get("k_0", 1.0))))
+            alpha_c, gamma0, lonc = _omerc_from_two_points(
+                a, e2, lat_0, lat_1, lon_1, lat_2, lon_2
+            )
+            return {
+                "proj": "omerc",
+                "lat_0": lat_0,
+                "lonc": lonc,
+                "alpha": alpha_c,
+                "gamma": gamma0,
+                "k": k,
+                "x_0": float(str(params.get("x_0", 0.0))),
+                "y_0": float(str(params.get("y_0", 0.0))),
+                "no_off": bool(params.get("no_off", params.get("no_uoff", False))),
+                "a": a, "e2": e2,
+                "towgs84": _towgs84(params),
+            }
         alpha = float(str(params.get("alpha", 90.0)))
         return {
             "proj": "omerc",
@@ -957,6 +982,51 @@ def _aeqd_inv(crs: dict, x, y):
 # --- omerc (Hotine oblique Mercator, azimuth form — Snyder ch. 9 /
 # EPSG Guidance Note 7-2 variants A (+no_off) and B; the Malaysian RSO
 # and Alaska panhandle grids) --------------------------------------------------
+
+def _omerc_from_two_points(
+    a: float, e2: float,
+    lat_0: float, lat_1: float, lon_1: float, lat_2: float, lon_2: float,
+) -> tuple[float, float, float]:
+    """Snyder eqs. 9-16..9-24: central line through two points ->
+    (alpha_c, gamma_0, lonc) in degrees, so the azimuth-form constants
+    reproduce the same line (lam0 and gamma0 round-trip exactly through
+    _omerc_consts' lonc -> lam0 relation)."""
+    e = math.sqrt(e2)
+    phi0 = math.radians(lat_0)
+    sphi0, cphi0 = math.sin(phi0), math.cos(phi0)
+    B = math.sqrt(1.0 + e2 * cphi0**4 / (1.0 - e2))
+    t0 = float(_t_arr(np.asarray([phi0]), e)[0])
+    D = B * math.sqrt(1.0 - e2) / (cphi0 * math.sqrt(1.0 - e2 * sphi0**2))
+    D2 = max(D * D, 1.0)
+    sign = 1.0 if phi0 >= 0.0 else -1.0
+    Fc = D + math.sqrt(D2 - 1.0) * sign
+    E = Fc * t0**B
+    t1 = float(_t_arr(np.asarray([math.radians(lat_1)]), e)[0])
+    t2 = float(_t_arr(np.asarray([math.radians(lat_2)]), e)[0])
+    H = t1**B
+    L = t2**B
+    F = E / H
+    G = (F - 1.0 / F) / 2.0
+    J = (E * E - L * H) / (E * E + L * H)
+    P = (L - H) / (L + H)
+    lam1, lam2 = math.radians(lon_1), math.radians(lon_2)
+    dlam = lam1 - lam2
+    dlam = (dlam + math.pi) % (2.0 * math.pi) - math.pi
+    # Snyder 9-23 takes the PRINCIPAL arctan branch
+    lam0 = (lam1 + lam2) / 2.0 - math.atan(
+        J * math.tan(B * dlam / 2.0) / P
+    ) / B
+    gamma0 = math.atan2(math.sin(B * ((lam1 - lam0 + math.pi) %
+                                      (2.0 * math.pi) - math.pi)), G)
+    alpha_c = math.asin(max(-1.0, min(1.0, D * math.sin(gamma0))))
+    # back-convert to the azimuth form's lonc with ITS G (from Fc, not
+    # the two-point E/H ratio) so _omerc_consts reproduces lam0 exactly
+    g_az = (Fc - 1.0 / Fc) / 2.0
+    lonc = lam0 + math.asin(
+        max(-1.0, min(1.0, g_az * math.tan(gamma0)))
+    ) / B
+    return math.degrees(alpha_c), math.degrees(gamma0), math.degrees(lonc)
+
 
 def _omerc_consts(crs: dict):
     a, e2 = crs["a"], crs["e2"]

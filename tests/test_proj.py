@@ -1321,3 +1321,56 @@ def test_cea_equal_area_and_roundtrip():
     per_rad = (float(x2[1]) - float(x2[0])) / np.radians(2 * h)
     nu = crs["a"] / np.sqrt(1 - crs["e2"] * np.sin(np.radians(30.0)) ** 2)
     assert abs(per_rad / (nu * np.cos(np.radians(30.0))) - 1.0) < 1e-8
+
+
+# --- omerc two-point form (round 6: the last omerc parse gap) -----------------
+
+
+def test_omerc_two_point_matches_azimuth_form():
+    """The two-point central line (Snyder eqs. 9-16..9-24) must be THE
+    SAME projection as the azimuth form it was sampled from: defining
+    points land on the central line (v == 0), and the unrotated (u, v)
+    charts agree to float noise everywhere (the rectified frames differ
+    only by the documented gamma convention: gamma_0 vs alpha)."""
+    import math
+
+    az = P.parse_proj4(
+        "+proj=omerc +lat_0=57 +lonc=-133.6666666 +alpha=-36.8698976"
+        " +k=0.9999 +ellps=GRS80"
+    )
+    # two points exactly on the azimuth form's central line: inverse of
+    # rotated (u, v=0)
+    g_a = math.radians(az["gamma"])
+
+    def on_line(u):
+        lo, la = P.inverse(
+            az, np.array([u * math.sin(g_a)]), np.array([u * math.cos(g_a)])
+        )
+        return float(lo[0]), float(la[0])
+
+    (lo1, la1), (lo2, la2) = on_line(-300000.0), on_line(400000.0)
+    tp = P.parse_proj4(
+        f"+proj=omerc +lat_0=57 +lat_1={la1} +lon_1={lo1}"
+        f" +lat_2={la2} +lon_2={lo2} +k=0.9999 +ellps=GRS80"
+    )
+    assert abs(tp["alpha"] - az["alpha"]) < 1e-9
+    assert abs(tp["lonc"] - az["lonc"]) < 1e-9
+    # defining points sit on the central line of the derived CRS
+    g_t = math.radians(tp["gamma"])
+    x, y = P.forward(tp, np.array([lo1, lo2]), np.array([la1, la2]))
+    v = x * math.cos(g_t) - y * math.sin(g_t)
+    np.testing.assert_allclose(v, 0.0, atol=1e-6)
+    # unrotated charts agree across the region; round-trip exact
+    rng = np.random.default_rng(1)
+    lons, lats = rng.uniform(-140, -128, 30), rng.uniform(54, 60, 30)
+    xa, ya = P.forward(az, lons, lats)
+    xt, yt = P.forward(tp, lons, lats)
+    u_t = xt * math.sin(g_t) + yt * math.cos(g_t)
+    v_t = xt * math.cos(g_t) - yt * math.sin(g_t)
+    u_a = xa * math.sin(g_a) + ya * math.cos(g_a)
+    v_a = xa * math.cos(g_a) - ya * math.sin(g_a)
+    np.testing.assert_allclose(u_t, u_a, atol=1e-6)
+    np.testing.assert_allclose(v_t, v_a, atol=1e-6)
+    lo, la = P.inverse(tp, xt, yt)
+    np.testing.assert_allclose(lo, lons, atol=1e-9)
+    np.testing.assert_allclose(la, lats, atol=1e-9)
