@@ -169,3 +169,48 @@ def test_add_phash_end_to_end_cross_format_dedup(spark):  # noqa: F811
     # dhash agrees on the planted pair too
     row = {r.image_id: r.dhash64 for r in hashed.collect()}
     assert row["dup_png"] == row["dup_webp"]
+
+
+def test_image_near_dup_pipeline_end_to_end(spark):  # noqa: F811
+    """The full image near-dup curation chain as one composition:
+    decode -> pHash -> banded hamming join -> connected components ->
+    one representative (min id) per cluster. Three planted clusters
+    (lossless re-encodes and a +4 brightness shift of the same pixels,
+    transitively linked) collapse to their min-id representative;
+    unrelated fixture images survive untouched."""
+    from mapnik_vector_tile_spark.operators import dedup as DD
+
+    base = generate_images_pandas(6)
+    rng = np.random.default_rng(31)
+
+    def img_of(seed):
+        return rng.integers(20, 230, (32, 32, 3), dtype=np.uint8)
+
+    rows = []
+    for cluster, seed in (("a", 1), ("b", 2)):
+        img = img_of(seed)
+        shifted = (np.clip(img, 0, 245).astype(np.int16) + 4).astype(np.uint8)
+        rows.append((f"{cluster}0", raster.encode_image(img, "png"), 32, 32,
+                     "png", "c", 0))
+        rows.append((f"{cluster}1", raster.encode_image(img, "webp"), 32, 32,
+                     "webp", "c", 0))
+        rows.append((f"{cluster}2", raster.encode_image(shifted, "png"), 32, 32,
+                     "png", "c", 0))
+    extra = pd.DataFrame(rows, columns=list(base.columns))
+    df = spark.createDataFrame(pd.concat([base, extra], ignore_index=True))
+
+    hashed = IH.add_phash(df)
+    pairs = IH.hamming_near_dups(hashed, "image_id", "phash64", max_hamming=3)
+    comp = DD.connected_components(pairs, a="id_a", b="id_b")
+    # representative = min image_id per component; unpaired images keep
+    # themselves — the kept set:
+    from pyspark.sql import functions as F
+
+    clustered = {r.id: r.component for r in comp.collect()}
+    all_ids = {r.image_id for r in hashed.select("image_id").collect()}
+    kept = {i for i in all_ids if i not in clustered} | set(clustered.values())
+    # clip at 245 keeps the +4 shift uniform, so each planted trio is
+    # one cluster with the min id as its representative
+    assert {"a0", "b0"} <= kept
+    assert not ({"a1", "a2", "b1", "b2"} & kept)
+    assert {f"img{i:012d}" for i in range(6)} <= kept
