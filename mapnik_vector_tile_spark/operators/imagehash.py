@@ -140,31 +140,45 @@ def hamming_near_dups(
     """
     if max_hamming > 3:
         raise ValueError("16-bit x4 banding guarantees recall only to hamming 3")
-    h = df.select(
+    # ONE banded self-equi-join on (band index, band value) — the same
+    # shape as the MinHash LSH candidate join. A per-band union of four
+    # self-joins would rescan (and re-DECODE, if fed from add_phash) the
+    # source eight times; exploding to (id, hash, band, value) rows
+    # scans it once per side and shuffles only 4 rows of 20 bytes per
+    # input row.
+    bands = df.select(
         F.col(id_col).alias("_id"),
         F.col(hash_col).cast("long").alias("_h"),
-        *[
-            F.shiftrightunsigned(F.col(hash_col).cast("long"), 16 * b)
-            .bitwiseAND(F.lit(65535))
-            .alias(f"_c{b}")
-            for b in range(4)
-        ],
-    )
-    pairs = None
-    for b in range(4):
-        a, bb = h.alias("a"), h.alias("b")
-        p = a.join(
-            bb,
-            (F.col(f"a._c{b}") == F.col(f"b._c{b}"))
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col(hash_col).cast("long"), 16 * b)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_h", F.col("_b.band").alias("band"), F.col("_b.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
             & (F.col("a._id") < F.col("b._id")),
-        ).select(
+        )
+        .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             F.col("a._h").alias("h_a"),
             F.col("b._h").alias("h_b"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.distinct()
+        .distinct()
+    )
     return (
         pairs.withColumn(
             "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
