@@ -274,7 +274,7 @@ def test_corruption_fuzz_batch_vs_strict():
 @pytest.mark.skipif(
     not os.path.isdir("/root/reference/bench"), reason="reference not mounted"
 )
-@pytest.mark.parametrize("seed", [20260817, 41221303])
+@pytest.mark.parametrize("seed", [20260817, 41221303, 77130896])
 def test_mutation_fuzz_real_tiles_total(seed):
     """Byte-mutation fuzz over REAL foreign tiles (the reference's own
     bench/test fixtures): every mutated buffer must either decode or
@@ -296,6 +296,11 @@ def test_mutation_fuzz_real_tiles_total(seed):
         # the 1M-value tile decodes ~150ms even when mutated mid-stream;
         # fewer trials keep the fuzz pass under ~30s
         ("/root/reference/bench/multi_line_13_1310_3166.vector.mvt", 12),
+        # the ~676k-point enf z14 tile: the uniform-point fast lane's
+        # targeted-column decoder and its full-decode fallback both face
+        # the mutations (boundary-arithmetic length checks must reject,
+        # never mis-gather)
+        ("/root/reference/bench/enf.t5yd5cdi_14_13089_8506.vector.mvt", 8),
     ]
     rng = np.random.default_rng(seed)
     for path, n_trials in fixtures:
