@@ -1012,10 +1012,15 @@ def _omerc_from_two_points(
     lam1, lam2 = math.radians(lon_1), math.radians(lon_2)
     dlam = lam1 - lam2
     dlam = (dlam + math.pi) % (2.0 * math.pi) - math.pi
-    # Snyder 9-23 takes the PRINCIPAL arctan branch
-    lam0 = (lam1 + lam2) / 2.0 - math.atan(
-        J * math.tan(B * dlam / 2.0) / P
-    ) / B
+    # Snyder 9-23 takes the PRINCIPAL arctan branch. P -> 0 when the two
+    # points share a latitude (an east-west central line): the arctan's
+    # limit is +/- pi/2 with the numerator's sign.
+    num = J * math.tan(B * dlam / 2.0)
+    if abs(P) < 1e-14:
+        at = math.copysign(math.pi / 2.0, num) if num else 0.0
+    else:
+        at = math.atan(num / P)
+    lam0 = (lam1 + lam2) / 2.0 - at / B
     gamma0 = math.atan2(math.sin(B * ((lam1 - lam0 + math.pi) %
                                       (2.0 * math.pi) - math.pi)), G)
     alpha_c = math.asin(max(-1.0, min(1.0, D * math.sin(gamma0))))
@@ -1404,6 +1409,9 @@ def _laea_inv(crs: dict, x, y):
 
 
 def _cea_k0(crs: dict) -> float:
+    if abs(crs["lat_ts"]) >= 90.0:
+        # k0 = cos(lat_ts)/... -> 0: the cylinder degenerates to a line
+        raise ValueError("cea: |lat_ts| must be < 90")
     phi_ts = math.radians(crs["lat_ts"])
     return math.cos(phi_ts) / math.sqrt(1.0 - crs["e2"] * math.sin(phi_ts) ** 2)
 

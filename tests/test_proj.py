@@ -1374,3 +1374,27 @@ def test_omerc_two_point_matches_azimuth_form():
     lo, la = P.inverse(tp, xt, yt)
     np.testing.assert_allclose(lo, lons, atol=1e-9)
     np.testing.assert_allclose(la, lats, atol=1e-9)
+
+
+def test_omerc_two_point_equal_latitude_line():
+    """Two points at the SAME latitude define an east-west central line
+    (P == 0 in Snyder 9-22): the limit branch must produce a valid CRS
+    whose central line passes through both points."""
+    import math
+
+    tp = P.parse_proj4(
+        "+proj=omerc +lat_0=45 +lat_1=45 +lon_1=-10 +lat_2=45 +lon_2=10"
+        " +k=1 +ellps=WGS84"
+    )
+    g = math.radians(tp["gamma"])
+    x, y = P.forward(tp, np.array([-10.0, 10.0]), np.array([45.0, 45.0]))
+    v = x * math.cos(g) - y * math.sin(g)
+    np.testing.assert_allclose(v, 0.0, atol=1e-5)
+    lo, la = P.inverse(tp, x, y)
+    np.testing.assert_allclose(lo, [-10.0, 10.0], atol=1e-9)
+    np.testing.assert_allclose(la, [45.0, 45.0], atol=1e-9)
+
+
+def test_cea_degenerate_lat_ts_raises():
+    with pytest.raises(ValueError):
+        P.forward(P.parse_proj4("+proj=cea +lat_ts=90"), np.array([0.0]), np.array([0.0]))
