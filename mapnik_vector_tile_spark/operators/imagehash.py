@@ -96,10 +96,19 @@ def add_phash(
     bytes_col: str = "bytes",
     out_col: str = "phash64",
     with_dhash: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode each image where it is stored and emit (id, hash) only —
     the binary column never reaches a shuffle. Arrow-batched; the
-    per-image work is numpy (decode + one 32x32 DCT)."""
+    per-image work is numpy (decode + one 32x32 DCT).
+
+    on_error: "raise" fails the task on the first undecodable payload
+    (strict ingest); "null" emits a NULL hash for that row so one
+    corrupt image out of 10^12 doesn't kill the job — downstream joins
+    drop NULLs, and `WHERE hash IS NULL` IS the corrupt-row report.
+    """
+    if on_error not in ("raise", "null"):
+        raise ValueError("on_error must be 'raise' or 'null'")
     cols = f"{id_col} string, {out_col} long" + (
         ", dhash64 long" if with_dhash else ""
     )
@@ -111,13 +120,18 @@ def add_phash(
             ids = pdf[id_col].tolist()
             ph, dh = [], []
             for data in pdf[bytes_col]:
-                img = raster.decode_image(bytes(data))
-                ph.append(phash64_pixels(img))
-                if with_dhash:
-                    dh.append(dhash64_pixels(img))
-            out = {id_col: ids, out_col: pd.Series(ph, dtype="int64")}
+                try:
+                    img = raster.decode_image(bytes(data))
+                    ph.append(phash64_pixels(img))
+                    dh.append(dhash64_pixels(img) if with_dhash else 0)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    ph.append(None)
+                    dh.append(None)
+            out = {id_col: ids, out_col: pd.array(ph, dtype="Int64")}
             if with_dhash:
-                out["dhash64"] = pd.Series(dh, dtype="int64")
+                out["dhash64"] = pd.array(dh, dtype="Int64")
             yield pd.DataFrame(out)
 
     return df.select(id_col, bytes_col).mapInPandas(kernel, cols)

@@ -214,3 +214,26 @@ def test_image_near_dup_pipeline_end_to_end(spark):  # noqa: F811
     assert {"a0", "b0"} <= kept
     assert not ({"a1", "a2", "b1", "b2"} & kept)
     assert {f"img{i:012d}" for i in range(6)} <= kept
+
+
+def test_add_phash_on_error_null_vs_raise(spark):  # noqa: F811
+    """One corrupt payload out of many must not kill the lenient job:
+    on_error='null' emits NULL for the bad row (the corrupt-row report)
+    while every good row hashes identically to the strict path."""
+    pdf = generate_images_pandas(5)
+    bad = pd.DataFrame(
+        [("bad0", b"\x89PNG\r\n\x1a\nNOT-A-PNG", 32, 32, "png", "c", 9)],
+        columns=list(pdf.columns),
+    )
+    df = spark.createDataFrame(pd.concat([pdf, bad], ignore_index=True))
+    lenient = {r.image_id: r.phash64 for r in IH.add_phash(df, on_error="null").collect()}
+    assert lenient["bad0"] is None
+    strict_good = {
+        r.image_id: r.phash64
+        for r in IH.add_phash(spark.createDataFrame(pdf)).collect()
+    }
+    assert {k: v for k, v in lenient.items() if k != "bad0"} == strict_good
+    with pytest.raises(Exception):
+        IH.add_phash(df, on_error="raise").collect()
+    with pytest.raises(ValueError):
+        IH.add_phash(df, on_error="bogus")
