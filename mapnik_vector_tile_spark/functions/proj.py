@@ -369,6 +369,18 @@ def parse_proj4(s: str) -> dict:
             "a": a, "e2": 0.0,
             "towgs84": _towgs84(params),
         }
+    if proj in ("gnom", "ortho"):
+        # spherical (proj4-classic): the ellipsoid's a is the radius
+        a, _e2 = _ellipsoid(params)
+        return {
+            "proj": proj,
+            "lat_0": float(str(params.get("lat_0", 0.0))),
+            "lon_0": float(str(params.get("lon_0", 0.0))),
+            "x_0": float(str(params.get("x_0", 0.0))),
+            "y_0": float(str(params.get("y_0", 0.0))),
+            "a": a, "e2": 0.0,
+            "towgs84": _towgs84(params),
+        }
     if proj == "cea":
         a, e2 = _ellipsoid(params)
         return {
@@ -1404,6 +1416,83 @@ def _laea_inv(crs: dict, x, y):
     return crs["lon_0"] + np.degrees(lam), np.degrees(phi)
 
 
+# --- gnom / ortho (spherical azimuthal: Snyder ch. 22 / ch. 20) ---------------
+# proj4-classic semantics: both are spherical (the ellipsoid's a is the
+# sphere radius). Points on or behind the horizon project to NaN, the
+# vectorized analogue of proj's HUGE_VAL error coordinates.
+
+
+def _az_cosc(crs: dict, lon, lat):
+    phi0 = math.radians(crs["lat_0"])
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    dlam = np.radians(np.asarray(lon, dtype=np.float64) - crs["lon_0"])
+    cosc = (
+        math.sin(phi0) * np.sin(phi)
+        + math.cos(phi0) * np.cos(phi) * np.cos(dlam)
+    )
+    return phi0, phi, dlam, cosc
+
+
+def _gnom_fwd(crs: dict, lon, lat):
+    R = crs["a"]
+    phi0, phi, dlam, cosc = _az_cosc(crs, lon, lat)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        kp = np.where(cosc > 1e-10, 1.0 / cosc, np.nan)
+    x = R * kp * np.cos(phi) * np.sin(dlam)
+    y = R * kp * (
+        math.cos(phi0) * np.sin(phi) - math.sin(phi0) * np.cos(phi) * np.cos(dlam)
+    )
+    return x + crs["x_0"], y + crs["y_0"]
+
+
+def _ortho_fwd(crs: dict, lon, lat):
+    R = crs["a"]
+    phi0, phi, dlam, cosc = _az_cosc(crs, lon, lat)
+    x = np.where(cosc >= -1e-12, R * np.cos(phi) * np.sin(dlam), np.nan)
+    y = np.where(
+        cosc >= -1e-12,
+        R * (math.cos(phi0) * np.sin(phi)
+             - math.sin(phi0) * np.cos(phi) * np.cos(dlam)),
+        np.nan,
+    )
+    return x + crs["x_0"], y + crs["y_0"]
+
+
+def _az_inv(crs: dict, x, y, c: np.ndarray, rho: np.ndarray):
+    """Shared azimuthal inverse (Snyder 20-14/15): angular distance c
+    along the azimuth from the centre back to (lon, lat)."""
+    phi0 = math.radians(crs["lat_0"])
+    dx = np.asarray(x, dtype=np.float64) - crs["x_0"]
+    dy = np.asarray(y, dtype=np.float64) - crs["y_0"]
+    safe = np.where(rho == 0.0, 1.0, rho)
+    sc, cc = np.sin(c), np.cos(c)
+    phi = np.arcsin(
+        np.clip(cc * math.sin(phi0) + dy * sc * math.cos(phi0) / safe, -1.0, 1.0)
+    )
+    lam = np.arctan2(dx * sc, rho * math.cos(phi0) * cc - dy * math.sin(phi0) * sc)
+    phi = np.where(rho == 0.0, phi0, phi)
+    lam = np.where(rho == 0.0, 0.0, lam)
+    return crs["lon_0"] + np.degrees(lam), np.degrees(phi)
+
+
+def _gnom_inv(crs: dict, x, y):
+    R = crs["a"]
+    dx = np.asarray(x, dtype=np.float64) - crs["x_0"]
+    dy = np.asarray(y, dtype=np.float64) - crs["y_0"]
+    rho = np.hypot(dx, dy)
+    c = np.arctan2(rho, R)
+    return _az_inv(crs, x, y, c, rho)
+
+
+def _ortho_inv(crs: dict, x, y):
+    R = crs["a"]
+    dx = np.asarray(x, dtype=np.float64) - crs["x_0"]
+    dy = np.asarray(y, dtype=np.float64) - crs["y_0"]
+    rho = np.hypot(dx, dy)
+    c = np.arcsin(np.clip(rho / R, -1.0, 1.0))
+    return _az_inv(crs, x, y, c, rho)
+
+
 # --- cea (cylindrical equal-area: Snyder ch. 10, EPSG method 9835) ------------
 # EASE-Grid 2.0 (EPSG:6933, lat_ts=30) and the Lambert/Behrmann family.
 
@@ -1523,6 +1612,10 @@ def forward(crs: dict, lon, lat):
         return _laea_fwd(crs, lon, lat)
     if p == "cea":
         return _cea_fwd(crs, lon, lat)
+    if p == "gnom":
+        return _gnom_fwd(crs, lon, lat)
+    if p == "ortho":
+        return _ortho_fwd(crs, lon, lat)
     raise NotImplementedError(p)
 
 
@@ -1583,6 +1676,10 @@ def inverse(crs: dict, x, y):
         return _laea_inv(crs, x, y)
     if p == "cea":
         return _cea_inv(crs, x, y)
+    if p == "gnom":
+        return _gnom_inv(crs, x, y)
+    if p == "ortho":
+        return _ortho_inv(crs, x, y)
     raise NotImplementedError(p)
 
 

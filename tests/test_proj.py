@@ -1398,3 +1398,92 @@ def test_omerc_two_point_equal_latitude_line():
 def test_cea_degenerate_lat_ts_raises():
     with pytest.raises(ValueError):
         P.forward(P.parse_proj4("+proj=cea +lat_ts=90"), np.array([0.0]), np.array([0.0]))
+
+
+# --- gnom / ortho (spherical azimuthal tail) -----------------------------------
+
+
+def test_gnom_great_circles_are_straight_lines():
+    """The defining property of the gnomonic projection — every great
+    circle maps to a straight line — checked on great circles that do
+    NOT pass through the projection centre (an oracle no other azimuthal
+    satisfies), plus the Snyder ch. 22 spherical worked example."""
+    import math
+
+    crs = P.parse_proj4("+proj=gnom +lat_0=40 +lon_0=-100 +R=1")
+    # Snyder p. 320 example: (30N, 110W) -> x=-0.1542826, y=-0.1694739
+    x, y = P.forward(crs, np.array([-110.0]), np.array([30.0]))
+    assert abs(float(x[0]) - (-0.1542826)) < 1e-7
+    assert abs(float(y[0]) - (-0.1694739)) < 1e-7
+
+    rng = np.random.default_rng(41)
+    for _ in range(5):
+        # a random great circle near the centre: normal vector n, points
+        # p(t) = cos t * u + sin t * v with {u, v} orthonormal in n's plane
+        n = rng.normal(size=3)
+        n /= np.linalg.norm(n)
+        u = np.cross(n, [0.0, 0.0, 1.0])
+        if np.linalg.norm(u) < 1e-6:
+            u = np.cross(n, [0.0, 1.0, 0.0])
+        u /= np.linalg.norm(u)
+        v = np.cross(n, u)
+        # centre direction
+        c = np.array([
+            math.cos(math.radians(40)) * math.cos(math.radians(-100)),
+            math.cos(math.radians(40)) * math.sin(math.radians(-100)),
+            math.sin(math.radians(40)),
+        ])
+        ts = np.linspace(-0.4, 0.4, 9)
+        pts = np.outer(np.cos(ts), u) + np.outer(np.sin(ts), v)
+        # keep only samples on the visible hemisphere, need >= 3
+        vis = pts @ c > 0.3
+        if vis.sum() < 3:
+            continue
+        pts = pts[vis]
+        lat = np.degrees(np.arcsin(pts[:, 2]))
+        lon = np.degrees(np.arctan2(pts[:, 1], pts[:, 0]))
+        xs, ys = P.forward(crs, lon, lat)
+        # collinearity: every point's cross product with the end-to-end
+        # chord vanishes (relative to the chord's scale)
+        dx, dy = xs[-1] - xs[0], ys[-1] - ys[0]
+        cross = (xs - xs[0]) * dy - (ys - ys[0]) * dx
+        assert np.abs(cross).max() < 1e-9 * max(np.hypot(dx, dy), 1e-9)
+
+    # round-trip + horizon -> NaN
+    lons, lats = rng.uniform(-140, -60, 40), rng.uniform(5, 75, 40)
+    xx, yy = P.forward(crs, lons, lats)
+    lo, la = P.inverse(crs, xx, yy)
+    np.testing.assert_allclose(lo, lons, atol=1e-9)
+    np.testing.assert_allclose(la, lats, atol=1e-9)
+    xh, yh = P.forward(crs, np.array([80.0]), np.array([-40.0]))  # antipode
+    assert np.isnan(float(xh[0])) and np.isnan(float(yh[0]))
+
+
+def test_ortho_distance_law_and_roundtrip():
+    """Orthographic: the planar radius must equal R sin(c) with c the
+    TRUE spherical angular distance from the centre (independent
+    law-of-cosines computation), incl. the Snyder ch. 20 example."""
+    import math
+
+    crs = P.parse_proj4("+proj=ortho +lat_0=40 +lon_0=-100 +R=1")
+    # Snyder p. 311 example: (30N, 110W) -> x=-0.1503837, y=-0.1651911
+    x, y = P.forward(crs, np.array([-110.0]), np.array([30.0]))
+    assert abs(float(x[0]) - (-0.1503837)) < 1e-7
+    assert abs(float(y[0]) - (-0.1651911)) < 1e-7
+
+    rng = np.random.default_rng(43)
+    lons, lats = rng.uniform(-170, -30, 50), rng.uniform(-35, 85, 50)
+    xs, ys = P.forward(crs, lons, lats)
+    phi0, lam0 = math.radians(40.0), math.radians(-100.0)
+    phi, lam = np.radians(lats), np.radians(lons)
+    cosc = (
+        math.sin(phi0) * np.sin(phi)
+        + math.cos(phi0) * np.cos(phi) * np.cos(lam - lam0)
+    )
+    vis = cosc > 0.0
+    c = np.arccos(np.clip(cosc[vis], -1.0, 1.0))
+    np.testing.assert_allclose(np.hypot(xs[vis], ys[vis]), np.sin(c), atol=1e-12)
+    assert np.isnan(xs[~vis]).all()
+    lo, la = P.inverse(crs, xs[vis], ys[vis])
+    np.testing.assert_allclose(lo, lons[vis], atol=1e-8)
+    np.testing.assert_allclose(la, lats[vis], atol=1e-8)
