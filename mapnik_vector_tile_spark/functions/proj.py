@@ -369,6 +369,17 @@ def parse_proj4(s: str) -> dict:
             "a": a, "e2": 0.0,
             "towgs84": _towgs84(params),
         }
+    if proj == "eck4":
+        # spherical (proj4-classic): es forced 0, a as the radius
+        a, _e2 = _ellipsoid(params)
+        return {
+            "proj": "eck4",
+            "lon_0": float(str(params.get("lon_0", 0.0))),
+            "x_0": float(str(params.get("x_0", 0.0))),
+            "y_0": float(str(params.get("y_0", 0.0))),
+            "a": a, "e2": 0.0,
+            "towgs84": _towgs84(params),
+        }
     if proj in ("gnom", "ortho"):
         # spherical (proj4-classic): the ellipsoid's a is the radius
         a, _e2 = _ellipsoid(params)
@@ -1416,6 +1427,53 @@ def _laea_inv(crs: dict, x, y):
     return crs["lon_0"] + np.degrees(lam), np.degrees(phi)
 
 
+# --- eck4 (Eckert IV: spherical pseudocylindrical equal-area, Snyder ch. 32) --
+
+_ECK4_CX = 2.0 / math.sqrt(math.pi * (4.0 + math.pi))
+_ECK4_CY = 2.0 * math.sqrt(math.pi / (4.0 + math.pi))
+
+
+def _eck4_theta(phi: np.ndarray) -> np.ndarray:
+    """Solve theta + sin(theta)cos(theta) + 2 sin(theta) =
+    (2 + pi/2) sin(phi) (Newton; Snyder eq. 32-9)."""
+    rhs = (2.0 + math.pi / 2.0) * np.sin(phi)
+    theta = phi / 2.0
+    for _ in range(20):
+        st, ct = np.sin(theta), np.cos(theta)
+        f = theta + st * ct + 2.0 * st - rhs
+        fp = 1.0 + ct * ct - st * st + 2.0 * ct
+        step = np.where(np.abs(fp) > 1e-14, f / np.where(fp == 0, 1.0, fp), 0.0)
+        theta = theta - step
+    theta = np.where(np.abs(phi) >= math.pi / 2 - 1e-12,
+                     np.sign(phi) * (math.pi / 2), theta)
+    return theta
+
+
+def _eck4_fwd(crs: dict, lon, lat):
+    R = crs["a"]
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    dlam = np.radians(np.asarray(lon, dtype=np.float64) - crs["lon_0"])
+    theta = _eck4_theta(phi)
+    x = _ECK4_CX * R * dlam * (1.0 + np.cos(theta))
+    y = _ECK4_CY * R * np.sin(theta)
+    return x + crs["x_0"], y + crs["y_0"]
+
+
+def _eck4_inv(crs: dict, x, y):
+    R = crs["a"]
+    dx = np.asarray(x, dtype=np.float64) - crs["x_0"]
+    dy = np.asarray(y, dtype=np.float64) - crs["y_0"]
+    theta = np.arcsin(np.clip(dy / (_ECK4_CY * R), -1.0, 1.0))
+    st, ct = np.sin(theta), np.cos(theta)
+    phi = np.arcsin(
+        np.clip((theta + st * ct + 2.0 * st) / (2.0 + math.pi / 2.0), -1.0, 1.0)
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dlam = dx / (_ECK4_CX * R * (1.0 + ct))
+    dlam = np.where(1.0 + ct < 1e-12, 0.0, dlam)
+    return crs["lon_0"] + np.degrees(dlam), np.degrees(phi)
+
+
 # --- gnom / ortho (spherical azimuthal: Snyder ch. 22 / ch. 20) ---------------
 # proj4-classic semantics: both are spherical (the ellipsoid's a is the
 # sphere radius). Points on or behind the horizon project to NaN, the
@@ -1612,6 +1670,8 @@ def forward(crs: dict, lon, lat):
         return _laea_fwd(crs, lon, lat)
     if p == "cea":
         return _cea_fwd(crs, lon, lat)
+    if p == "eck4":
+        return _eck4_fwd(crs, lon, lat)
     if p == "gnom":
         return _gnom_fwd(crs, lon, lat)
     if p == "ortho":
@@ -1676,6 +1736,8 @@ def inverse(crs: dict, x, y):
         return _laea_inv(crs, x, y)
     if p == "cea":
         return _cea_inv(crs, x, y)
+    if p == "eck4":
+        return _eck4_inv(crs, x, y)
     if p == "gnom":
         return _gnom_inv(crs, x, y)
     if p == "ortho":

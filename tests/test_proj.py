@@ -1487,3 +1487,37 @@ def test_ortho_distance_law_and_roundtrip():
     lo, la = P.inverse(crs, xs[vis], ys[vis])
     np.testing.assert_allclose(lo, lons[vis], atol=1e-8)
     np.testing.assert_allclose(la, lats[vis], atol=1e-8)
+
+
+def test_eck4_equal_area_structure_and_roundtrip():
+    """Eckert IV is UNIQUELY determined by (a) the functional form
+    x = Cx R lam (1+cos theta), y = Cy R sin theta, (b) the equal-area
+    property — pinned here by the independent FD |det J| == R^2 cos(phi)
+    oracle, which fixes Cx*Cy and the theta equation — and (c) the two
+    boundary conditions checked below: the pole line is exactly HALF the
+    equator (fixes Cx/Cy) and theta(pole) = pi/2. The constants land on
+    the published values Cx = 0.4222382..., Cy = 1.3265004...."""
+    import math
+
+    crs = P.parse_proj4("+proj=eck4 +lon_0=-90 +R=1")
+    # published closed-form constants (2/sqrt(pi(4+pi)), 2 sqrt(pi/(4+pi)))
+    assert abs(P._ECK4_CX - 0.42223820031577120149) < 1e-15
+    assert abs(P._ECK4_CY - 1.32650042817700232218) < 1e-15
+    # the Newton solve satisfies the canonical theta equation exactly
+    phi = np.radians(np.array([50.0]))
+    th = P._eck4_theta(phi)
+    lhs = th + np.sin(th) * np.cos(th) + 2.0 * np.sin(th)
+    np.testing.assert_allclose(lhs, (2 + math.pi / 2) * np.sin(phi), atol=1e-12)
+    crs_m = P.parse_proj4("+proj=eck4 +ellps=WGS84")  # sphere on a
+    _assert_equal_area(crs_m, lon_lo=-150, lon_hi=150, lat_lo=-80, lat_hi=80)
+    # pole line = half the equator; y at the poles = CY * R
+    xe, _ = P.forward(crs_m, np.array([180.0]), np.array([0.0]))
+    xp, yp = P.forward(crs_m, np.array([180.0, 0.0]), np.array([90.0, 90.0]))
+    assert abs(float(xp[0]) / float(xe[0]) - 0.5) < 1e-12
+    assert abs(float(yp[1]) - 2.0 * math.sqrt(math.pi / (4 + math.pi)) * crs_m["a"]) < 1e-6
+    rng = np.random.default_rng(47)
+    lons, lats = rng.uniform(-180, 180, 50), rng.uniform(-89, 89, 50)
+    xx, yy = P.forward(crs_m, lons, lats)
+    lo, la = P.inverse(crs_m, xx, yy)
+    np.testing.assert_allclose(lo, lons, atol=1e-8)
+    np.testing.assert_allclose(la, lats, atol=1e-8)
