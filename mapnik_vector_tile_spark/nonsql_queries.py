@@ -1322,6 +1322,9 @@ def q_reproject_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         # spherical cylindrical equal-area: x = R dlam cos(phi_ts),
         # y = R sin(phi) / cos(phi_ts)
         cea = "+proj=cea +lat_ts=30 +lon_0=0 +R=6371000"
+        # north-polar orthographic on |lat| (every sample visible):
+        # x = R cos(phi) sin(dlam), y = -R cos(phi) cos(dlam)
+        ortho = "+proj=ortho +lat_0=90 +lon_0=25 +R=6371000"
         for pdf in it:
             key = pdf["c_custkey"].to_numpy()
             hx = (key * 2654435761) % 2**32
@@ -1333,6 +1336,7 @@ def q_reproject_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             mx, my = P.transform(src, merc, lon, lat)
             ax, ay = P.transform(src, laea, lon, lat)
             cx, cy = P.transform(src, cea, lon, lat)
+            ox, oy = P.transform(src, ortho, lon, np.abs(lat))
             yield pd.DataFrame({
                 "c_custkey": key,
                 "sinu_x": np.round(sx, 2), "sinu_y": np.round(sy, 2),
@@ -1340,13 +1344,15 @@ def q_reproject_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "merc_x": np.round(mx, 2), "merc_y": np.round(my, 2),
                 "laea_x": np.round(ax, 2), "laea_y": np.round(ay, 2),
                 "cea_x": np.round(cx, 2), "cea_y": np.round(cy, 2),
+                "ortho_x": np.round(ox, 2), "ortho_y": np.round(oy, 2),
             })
 
     return cust.mapInPandas(
         kernel,
         "c_custkey bigint, sinu_x double, sinu_y double, eqc_x double, "
         "eqc_y double, merc_x double, merc_y double, "
-        "laea_x double, laea_y double, cea_x double, cea_y double",
+        "laea_x double, laea_y double, cea_x double, cea_y double, "
+        "ortho_x double, ortho_y double",
     )
 
 
@@ -1376,7 +1382,12 @@ SELECT c_custkey,
         * cos(radians(lon - 10.0)), 2) AS laea_y,
   -- spherical cea, true at 30N: x = R dlam cos(30), y = R sin(phi)/cos(30)
   round(6371000.0 * radians(lon) * cos(radians(30.0)), 2) AS cea_x,
-  round(6371000.0 * sin(radians(lat)) / cos(radians(30.0)), 2) AS cea_y
+  round(6371000.0 * sin(radians(lat)) / cos(radians(30.0)), 2) AS cea_y,
+  -- north-polar orthographic on |lat|: every sample on the visible cap
+  round(6371000.0 * cos(radians(abs(lat))) * sin(radians(lon - 25.0)), 2)
+    AS ortho_x,
+  round(-6371000.0 * cos(radians(abs(lat))) * cos(radians(lon - 25.0)), 2)
+    AS ortho_y
 FROM pts
 """
 
