@@ -187,13 +187,17 @@ def _one_shot_probe(
     )
     stragglers = pend0.join(
         enriched.where(F.col("_ok")).select("query_id"), "query_id", "left_anti"
-    ).select("query_id", "lon", "lat").localCheckpoint(eager=True)
+    ).select("query_id", "lon", "lat")
+    # ONE cheap job over the checkpointed topk rows decides the common
+    # case; the eager checkpoint is deferred to the rare unresolved
+    # branch (it exists so the brute leg doesn't recompute the
+    # anti-join, but on dense data it was pure per-call overhead).
     if stragglers.isEmpty():
         # the usual case on dense data: every query resolved in-block.
         # Skipping the brute union avoids a full candidate-table scan
-        # whose join side is empty (counting the tiny straggler table is
-        # one cheap job over the checkpointed topk rows).
+        # whose join side is empty.
         return resolved
+    stragglers = stragglers.localCheckpoint(eager=True)
     brute_fn = brute_force_knn if metric == "euclid" else brute_force_knn_haversine
     brute = brute_fn(
         candidates, stragglers, k=k, query_id="query_id", cand_id=cand_id
