@@ -773,7 +773,7 @@ def scaling_evidence(sf_dir: str, low_cores: int, cpus: int, epochs: int, trials
 
     best: dict[int, dict] = {}
     rows_at: dict[int, dict] = {}
-    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "540"))
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "780"))
     t_start = time.perf_counter()
     ran_trials = 0
     trial_pairs: list[tuple[float, float]] = []  # (low_tp_sec, high_tp_sec)
@@ -940,7 +940,7 @@ def main() -> None:
         pair = os.environ.get("SPARK_GRAFT_SCALING_CORES", "1,4")
         s_low, s_high = (int(v) for v in pair.split(","))
         _lo, _hi, scaling_fields = scaling_evidence(
-            sf_dir, s_low, s_high, s_epochs, trials=2
+            sf_dir, s_low, s_high, s_epochs, trials=3
         )
     out = {
         "metric": "tiles+join-rows/sec",
