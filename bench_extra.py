@@ -1,0 +1,202 @@
+"""Round-7 optimization instrumentation (bench.py is FROZEN for the
+driver's measurement; this file exists so per-stage evidence can be
+recorded without touching it — guide §1.4 noop-sink isolation).
+
+Usage:
+    python bench_extra.py legs      # per-leg trials, same methodology as bench.py
+    python bench_extra.py stages    # stage-level breakdown of tile_pipeline + knn
+    python bench_extra.py plans DIR # .explain("formatted") per leg into DIR
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_IMAGE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
+
+
+def _session(cores: int | None = None):
+    from mapnik_vector_tile_spark.session import get_spark, stop_spark
+
+    stop_spark()
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return get_spark(app_name="mvt-bench-extra", cores=cores, shuffle_partitions=cores)
+
+
+def _located(spark):
+    from mapnik_vector_tile_spark.sources import images as IMG
+
+    path = IMG.ensure_images(spark, BENCH_IMAGE_ROWS)
+    located = IMG.with_location(spark.read.parquet(path)).select(
+        "image_id", "caption", "fmt", "lon", "lat"
+    )
+    located = located.persist()
+    located.count()
+    return located
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed(label, fn, trials=3):
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    print(f"{label}: {best:.3f}s", flush=True)
+    return best
+
+
+def legs():
+    """Same legs + methodology as bench.py one_run (min over trials)."""
+    import bench
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = _session(cores)
+    image_path = bench._ensure_fixture(spark, BENCH_IMAGE_ROWS)
+    spark.read.parquet(image_path).limit(1000).count()
+    spark.range(256).repartition(cores).mapInPandas(lambda it: it, "id long").count()
+    bench.run_benchmarks(spark, sf_dir, image_path, epochs=1)  # warm
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    times, rows = bench.run_benchmarks(spark, sf_dir, image_path, epochs=1)
+    for _ in range(trials - 1):
+        t2, _ = bench.run_benchmarks(spark, sf_dir, image_path, epochs=1)
+        times = {k: min(times[k], t2[k]) for k in times}
+    out = {"total": round(sum(times.values()), 3),
+           "queries": {k: round(v, 3) for k, v in times.items()}}
+    print(json.dumps(out), flush=True)
+
+
+def stages():
+    """Stage-level decomposition of the two big legs."""
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark.operators import assign, encode, knn
+
+    spark = _session()
+    sc = spark.sparkContext
+    located = _located(spark)
+    # warm the python worker pool
+    spark.range(256).repartition(32).mapInPandas(lambda it: it, "id long").count()
+
+    # ---- tile_pipeline stages ----
+    assigned = assign.assign_tiles(located, 13)
+
+    def stage_assign():
+        sc.setJobDescription("tp: assign only (narrow)")
+        noop(assigned)
+
+    timed("tile_pipeline/assign_only", stage_assign)
+
+    def stage_counts():
+        sc.setJobDescription("tp: per-tile counts")
+        assigned.groupBy("z", "x", "y").agg(F.count("*").alias("c")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    timed("tile_pipeline/tile_counts", stage_counts)
+
+    def stage_full():
+        sc.setJobDescription("tp: full encode")
+        tiles = encode.build_point_tiles(
+            assigned, prop_cols=["image_id", "caption", "fmt"], order_col="image_id"
+        )
+        tiles.agg(F.count("*"), F.sum("n_features")).collect()
+
+    timed("tile_pipeline/full", stage_full)
+
+    def stage_cold_only():
+        sc.setJobDescription("tp: encode hot_threshold=0 (no routing, window-free)")
+        tiles = encode.build_point_tiles(
+            assigned, prop_cols=["image_id", "caption", "fmt"], order_col="image_id",
+            hot_threshold=0,
+        )
+        tiles.agg(F.count("*"), F.sum("n_features")).collect()
+
+    timed("tile_pipeline/no_routing_single_shuffle", stage_cold_only)
+
+    # ---- knn stages ----
+    queries_df = (
+        located.orderBy("image_id").limit(100).select("image_id", "lon", "lat")
+        .localCheckpoint(eager=True)
+    )
+
+    def knn_full():
+        sc.setJobDescription("knn: full")
+        knn.knn_ring_expansion(located, queries_df, k=5, z=9, query_count=100).count()
+
+    timed("knn/full", knn_full)
+    sc.setJobDescription(None)
+
+
+def plans(out_dir):
+    """Capture .explain('formatted') for each bench leg."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from mapnik_vector_tile_spark import queries as Q
+    from mapnik_vector_tile_spark.operators import assign, decode as D, encode, knn, pip
+    from mapnik_vector_tile_spark.operators import geom_tiles as GT
+    from mapnik_vector_tile_spark.sources import images as IMG
+
+    os.makedirs(out_dir, exist_ok=True)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _session()
+    located = _located(spark)
+
+    def dump(name, df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
+            f.write(buf.getvalue())
+        print(f"wrote {name}", flush=True)
+
+    assigned = assign.assign_tiles(located, 13)
+    tiles = encode.build_point_tiles(
+        assigned, prop_cols=["image_id", "caption", "fmt"], order_col="image_id"
+    )
+    dump("tile_pipeline", tiles.agg(F.count("*").alias("tiles"), F.sum("n_features").alias("feats")))
+
+    tiles2 = encode.build_point_tiles(
+        assign.assign_tiles(located, 13), prop_cols=["image_id", "caption", "fmt"],
+        order_col="image_id", prechunk_hot=True,
+    )
+    dump("tile_decode", D.decode_tiles_columnar(
+        D.explode_hot_tiles(tiles2), ["image_id", "caption", "fmt"]
+    ))
+
+    boundaries = IMG.tile_boundaries(spark, zooms=(3,), buffer_px=0)
+    dump("pip_join", pip.pip_join_rect(located, boundaries, z=3).where(F.col("inside")))
+
+    queries_df = (
+        located.orderBy("image_id").limit(100).select("image_id", "lon", "lat")
+        .localCheckpoint(eager=True)
+    )
+    dump("knn", knn.knn_ring_expansion(located, queries_df, k=5, z=9, query_count=100))
+
+    for name in ("tile_assign_z13", "agg_pushdown"):
+        dump(name, Q.spark_query(name)(spark, sf_dir))
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "legs"
+    if cmd == "legs":
+        legs()
+    elif cmd == "stages":
+        stages()
+    elif cmd == "plans":
+        plans(sys.argv[2] if len(sys.argv) > 2 else "plans/r07")
+    else:
+        raise SystemExit(f"unknown command {cmd}")

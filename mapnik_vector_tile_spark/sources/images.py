@@ -137,11 +137,23 @@ def fixture_path(n_rows: int, base: str | None = None) -> str:
     return os.path.join(base, f"images_{n_rows}")
 
 
+def _cache_valid(path: str) -> bool:
+    """A cached fixture is valid only when the _SUCCESS marker AND at
+    least one data file exist — an interrupted cleanup can leave the
+    marker with zero parts, which then fails every reader with
+    UNABLE_TO_INFER_SCHEMA (seen at r7 start on images_2000/4000)."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    try:
+        return any(f.endswith(".parquet") for f in os.listdir(path))
+    except OSError:
+        return False
+
+
 def ensure_images(spark: SparkSession, n_rows: int, base: str | None = None) -> str:
     """Generate-once cache of the deterministic images table."""
     path = fixture_path(n_rows, base)
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    if not _cache_valid(path):
         generate_images(spark, n_rows, path)
     return path
 
@@ -160,7 +172,7 @@ def ensure_images_local(n_rows: int, base: str | None = None) -> str:
 
     path = fixture_path(n_rows, base)
     marker = os.path.join(path, "_SUCCESS")
-    if os.path.exists(marker):
+    if _cache_valid(path):
         return path
     os.makedirs(path, exist_ok=True)
     pdf = generate_images_pandas(n_rows)
