@@ -118,8 +118,23 @@ def _one_shot_probe(
     its block, and a level whose guard covers its k-th distance is an
     exact global answer. Each query keeps its finest resolved level;
     queries no level resolves (deep-sparse regions) fall back to the
-    exact brute-force scan. Collapses the round loop into 3 jobs."""
-    rings = [base_ring, 2, 1][3 - len(ladder):]
+    exact brute-force scan. Collapses the round loop into 3 jobs.
+
+    r7 measurement notes (BENCH.md): pair volume is NOT the cost at this
+    scale — a 9M-pair level joins+distances in ~0.4s while each extra
+    Spark job costs more than that, so a fine-first level cascade
+    (probe z24 first, descend only with unresolved queries) measured
+    ~35% SLOWER than this single join and was reverted. What does cost:
+    (a) columns flowing into the window exchange — the pre-window
+    projection below keeps the 18M-pair shuffle to 4 narrow columns;
+    (b) a ladder level that never decides anything — the one-shot
+    caller now passes a 2-level ladder (finest + base) because a
+    middle level's top-k is discarded whenever the finest level
+    resolves (dense queries) and whenever only the base level resolves
+    (sparse queries): identical output rows, one fewer scan branch and
+    ~9M fewer window rows on the bench shape."""
+    rings = [base_ring, 2, 1][3 - len(ladder):] if len(ladder) == 3 \
+        else [base_ring, 1][2 - len(ladder):]
     lv_arr = F.array(
         *[
             F.struct(F.lit(lv).alias("zq"), F.lit(r).alias("ring"))
@@ -152,6 +167,9 @@ def _one_shot_probe(
         .join(cands, ["zq", "jx", "jy"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(dist_name, dist)
+        # explicit narrow projection BEFORE the window: only these four
+        # columns cross the 18M-row exchange (lon/lat/jx/jy dropped)
+        .select("query_id", "zq", "neighbor_id", dist_name)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "zq", "neighbor_id", "rank", dist_name)
@@ -238,7 +256,7 @@ def _ring_expansion(
     # candidate cells at every ladder level: a UNION of flat projections
     # (whole-stage codegen) rather than an array-of-structs explode,
     # whose per-row object churn dominated the probe stage
-    def _cands_of(src: DataFrame) -> DataFrame:
+    def _cands_of(src: DataFrame, lvls: list[int] | None = None) -> DataFrame:
         parts = [
             src.select(
                 "neighbor_id", "n_lon", "n_lat",
@@ -246,7 +264,7 @@ def _ring_expansion(
                 F.shiftright("fx", zf - lv).alias("jx"),
                 F.shiftright("fy", zf - lv).alias("jy"),
             )
-            for lv in ladder
+            for lv in (lvls or ladder)
         ]
         out = parts[0]
         for p in parts[1:]:
@@ -281,13 +299,21 @@ def _ring_expansion(
         pend0_cached = True
 
     if qn <= 50_000:
-        # one-shot path for modest query sets: probe ALL ladder levels in
-        # a single join (fixed block sizes), keep each query's finest
+        # one-shot path for modest query sets: probe the ladder in a
+        # single join (fixed block sizes), keep each query's finest
         # RESOLVED level, brute-force only the residual — 3 Spark jobs
         # instead of a multi-round loop whose per-round latency dominates.
         # base scans exactly once here, so it is NOT persisted.
+        # r7: the probe ladder keeps only (base, finest) — the middle
+        # level's top-k is discarded whichever way a query resolves
+        # (finest wins for dense queries, base is needed for sparse
+        # ones), so its scan branch and its ~half of the window rows
+        # were pure overhead. Identical output: any resolved level's
+        # block top-k IS the exact global top-k.
+        probe_ladder = sorted({ladder[0], zf})
         out = _one_shot_probe(
-            base, cands, pend0, candidates, k, ladder, zf, max(4, initial_ring),
+            base, _cands_of(base, probe_ladder), pend0, candidates, k,
+            probe_ladder, zf, max(4, initial_ring),
             metric, dist, dist_name, cand_id,
         )
         out = out.select(
