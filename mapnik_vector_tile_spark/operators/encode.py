@@ -892,8 +892,27 @@ def build_point_tiles(
     from pyspark import StorageLevel
 
     slim = slim.persist(StorageLevel.MEMORY_AND_DISK)
-    counts = slim.groupBy("z", "x", "y").agg(F.count("*").alias("_cnt"))
-    hot_list = F.broadcast(counts.where(F.col("_cnt") > hot_threshold).select("z", "x", "y"))
+    # ONE eager counts pass (r7): the lazy form re-built this full
+    # groupBy subtree under every broadcast that consumed it — the cold
+    # anti-join, the hot semi-join AND the bucket-offset table each
+    # re-aggregated the whole input (3 extra scans + 2 extra 695k-group
+    # shuffles on the bench shape). The hot list is bounded by
+    # n_rows / hot_threshold, so the checkpoint is tiny.
+    hot_list_df = (
+        slim.groupBy("z", "x", "y").agg(F.count("*").alias("_cnt"))
+        .where(F.col("_cnt") > hot_threshold)
+        .select("z", "x", "y")
+        .localCheckpoint(eager=True)
+    )
+    if hot_list_df.isEmpty():
+        # no skewed tile anywhere: the routing joins would be no-ops —
+        # take the single clustered shuffle directly (the common case
+        # for every query at oracle scale)
+        clustered = slim.repartition(npart, "z", "x", "y").sortWithinPartitions(
+            "z", "x", "y", *([sort_col] if sort_col else [])
+        )
+        return clustered.mapInPandas(kernel, schema=TILE_SCHEMA)
+    hot_list = F.broadcast(hot_list_df)
     cold = slim.join(hot_list, ["z", "x", "y"], "left_anti")
     cold_tiles = (
         cold.repartition(npart, "z", "x", "y")
