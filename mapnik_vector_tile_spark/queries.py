@@ -28,9 +28,23 @@ TABLES = (
 ).split()
 
 
+# session -> sf_dir whose views are currently registered. Re-reading 10
+# parquet footers per query call cost ~0.7s per timed SQL leg (r7
+# measurement) for views that were already in place; registration is
+# idempotent per (session, sf_dir), so skip it when the session's views
+# already point at this directory. Weak keys: a stopped session's entry
+# dies with the session object.
+import weakref
+
+_VIEWS_AT: "weakref.WeakKeyDictionary[SparkSession, str]" = weakref.WeakKeyDictionary()
+
+
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    if _VIEWS_AT.get(spark) == sf_dir:
+        return
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    _VIEWS_AT[spark] = sf_dir
 
 
 def _hash60(expr: str, dialect: str) -> str:
