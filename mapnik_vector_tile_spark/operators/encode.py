@@ -324,7 +324,7 @@ def _encode_tiles_segmented(
     fs = feat_off[group_start]
     fe = feat_off[np.append(group_start[1:], n)]
     out: list[tuple] = []
-    compress = zlib.compress
+    compress = Z.compress  # small-payload fast path (functions.compression)
     for g in range(n_groups):
         vals = gathered_b[gat_off[dict_off[g]] : gat_off[dict_off[g + 1]]]
         layer = prefix + vals + suffix + blob[fs[g] : fe[g]]

@@ -200,16 +200,19 @@ def _one_shot_probe(
             ),
         )
     )
-    resolved = enriched.where(F.col("zq") == F.col("_best_zq")).select(
-        "query_id", "neighbor_id", "rank", dist_name
+    # materialize the (<= qn*k row) result once: the straggler check and
+    # the caller's terminal action then both read this checkpoint
+    # instead of each re-evaluating the enriched join + window subplan
+    # (two multi-stage AQE queries over the same 1.5k rows — r7)
+    resolved = (
+        enriched.where(F.col("zq") == F.col("_best_zq"))
+        .select("query_id", "neighbor_id", "rank", dist_name)
+        .localCheckpoint(eager=True)
     )
+    # a query is resolved iff it kept rows at its best level
     stragglers = pend0.join(
-        enriched.where(F.col("_ok")).select("query_id"), "query_id", "left_anti"
+        resolved.select("query_id"), "query_id", "left_anti"
     ).select("query_id", "lon", "lat")
-    # ONE cheap job over the checkpointed topk rows decides the common
-    # case; the eager checkpoint is deferred to the rare unresolved
-    # branch (it exists so the brute leg doesn't recompute the
-    # anti-join, but on dense data it was pure per-call overhead).
     if stragglers.isEmpty():
         # the usual case on dense data: every query resolved in-block.
         # Skipping the brute union avoids a full candidate-table scan
