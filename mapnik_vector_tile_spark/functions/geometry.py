@@ -434,7 +434,20 @@ def from_wkt_batch(wkts, return_flat: bool = False):
         flat = np.array(toks, dtype=np.float64)
         if len(flat) == 2 * expected:
             coords = flat.reshape(-1, 2)
-        elif expected and len(flat) % expected == 0 and len(flat) // expected in (3, 4):
+        elif (
+            expected and len(flat) % expected == 0
+            and len(flat) // expected in (3, 4)
+            # r6 advisor: a MIXED-dimension batch can alias to 3x/4x the
+            # point count (e.g. one XY point + one XYZM point totals 6
+            # tokens for 2 points); verify uniformity per ring — every
+            # ring's token count must equal dims * its point count —
+            # before taking the reshape lane
+            and all(
+                len(g.replace(",", " ").split())
+                == (len(flat) // expected) * (g.count(",") + 1)
+                for g in ring_txt
+            )
+        ):
             # uniform XYZ / XYZM batch: keep x,y per coordinate group,
             # matching _parse_seq; contiguous copy keeps reduceat lanes fast
             coords = np.ascontiguousarray(

@@ -1071,7 +1071,9 @@ def _omerc_consts(crs: dict):
     F = D + math.sqrt(D2 - 1.0) * sign
     H = F * t0**B
     G = (F - 1.0 / F) / 2.0
-    gamma0 = math.asin(math.sin(alpha) / D)
+    # clamp: at lat_0 near 0, D is 1 up to float noise, so |alpha|=90
+    # can push sin(alpha)/D marginally past 1 (r6 advisor)
+    gamma0 = math.asin(max(-1.0, min(1.0, math.sin(alpha) / D)))
     lam0 = math.radians(crs["lonc"]) - math.asin(G * math.tan(gamma0)) / B
     if crs.get("no_off"):
         uc = 0.0

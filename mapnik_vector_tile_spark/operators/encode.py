@@ -772,7 +772,11 @@ def build_point_tiles(
     (per-tile concat + one zlib stream), and the decode side gets
     hot-tile parallelism for free (no explode_hot_tiles split pass).
     Decoded feature multiset is identical; sinks that need one blob per
-    (z,x,y) merge rows via operators.composite.merge_tiles.
+    (z,x,y) merge rows via operators.composite.merge_tiles. Contract
+    note (r6 advisor): a hot tile whose features are ALL clipped away
+    emits ZERO rows in prechunk mode, whereas the monolithic path emits
+    one empty tile row — sinks keyed on tile presence must not rely on
+    empty hot tiles existing.
 
     Skew handling (north rule): tiles with more than ``hot_threshold``
     rows take the *salted* two-phase path — contiguous row-number chunks

@@ -976,3 +976,25 @@ def test_system_encode_and_decode(wkt):
         )
         if vec is not None:
             assert G.to_wkt(vec) == wkt, (version, "vec")
+
+
+def test_from_wkt_batch_mixed_dimensions_not_misparsed():
+    """A mixed-dimension batch whose total ordinate count aliases to
+    3x/4x the point count must fall back to the scalar parser instead
+    of reshaping wrong coordinates (r6 advisor finding): POINT(1 2) +
+    POINT(3 4 5 6) totals 6 tokens for 2 points, which looks uniform-XYZ."""
+    from mapnik_vector_tile_spark.functions import geometry as G
+
+    out = G.from_wkt_batch(["POINT(1 2)", "POINT(3 4 5 6)"])
+    assert list(out[0][1]) == [1.0, 2.0]
+    assert list(out[1][1]) == [3.0, 4.0]
+    # scalar parity
+    assert list(G.from_wkt("POINT(3 4 5 6)")[1]) == [3.0, 4.0]
+    # genuinely uniform XYZ/XYZM batches still parse (fast lane or not)
+    out2 = G.from_wkt_batch(
+        ["POINT(1 2 9)", "LINESTRING(3 4 9,5 6 9)", "POINT(7 8 9)"]
+    )
+    assert list(out2[0][1]) == [1.0, 2.0]
+    assert out2[1][1].tolist() == [[3.0, 4.0], [5.0, 6.0]]
+    out3 = G.from_wkt_batch(["POINT(1 2 9 9)", "POINT(3 4 9 9)"])
+    assert list(out3[0][1]) == [1.0, 2.0] and list(out3[1][1]) == [3.0, 4.0]
