@@ -40,8 +40,19 @@ def pip_join_rect(
 
     mx, my = _mercator_cols(lon, lat)
     pts = points.withColumn("mx", mx).withColumn("my", my)
-    xt, yt = tilemath.lonlat_to_tile_cols(F.col(lon), F.col(lat), z)
-    pts = pts.withColumn("x", xt).withColumn("y", yt)
+    # r7: derive the coarse cell ARITHMETICALLY from the mercator coords
+    # the refine phase needs anyway — the lon/lat trig formulas computed
+    # the same cell through a second tan/log pass per row (~17% of the
+    # leg at the 8M-row scaling shape). Assignment is consistent with
+    # the rect refine by construction: both live in mercator space with
+    # the same tile-size arithmetic (tile_mercator_bbox_np).
+    n = 2**z
+    ts = tilemath.EARTH_CIRCUMFERENCE / float(n)
+    half = tilemath.HALF_OF_EQUATOR
+    clamp = lambda c: F.least(F.greatest(c, F.lit(0.0)), F.lit(float(n - 1))).cast("long")  # noqa: E731
+    pts = pts.withColumn(
+        "x", clamp(F.floor((F.col("mx") + F.lit(half)) / F.lit(ts)))
+    ).withColumn("y", clamp(F.floor((F.lit(half) - F.col("my")) / F.lit(ts))))
     b = boundaries.where(F.col("z") == z)
     if broadcast:
         b = F.broadcast(b)
