@@ -25,6 +25,45 @@ def decompress(data: bytes) -> bytes:
     return data
 
 
+_ADLER_BASE = 65521
+
+
+def adler32_combine(ad1: int, ad2: int, len2: int) -> int:
+    """zlib's adler32_combine: checksum of A+B from adler32(A),
+    adler32(B), len(B) — lets independently-checksummed segments form
+    one valid zlib stream without re-reading the bytes (the parallel
+    salted-encode assemble, operators/encode.py)."""
+    rem = len2 % _ADLER_BASE
+    sum1 = ad1 & 0xFFFF
+    sum2 = (rem * sum1) % _ADLER_BASE
+    sum1 += (ad2 & 0xFFFF) + _ADLER_BASE - 1
+    sum2 += ((ad1 >> 16) & 0xFFFF) + ((ad2 >> 16) & 0xFFFF) + _ADLER_BASE - rem
+    if sum1 >= _ADLER_BASE:
+        sum1 -= _ADLER_BASE
+    if sum1 >= _ADLER_BASE:
+        sum1 -= _ADLER_BASE
+    if sum2 >= 2 * _ADLER_BASE:
+        sum2 -= 2 * _ADLER_BASE
+    if sum2 >= _ADLER_BASE:
+        sum2 -= _ADLER_BASE
+    return sum1 | (sum2 << 16)
+
+
+def deflate_segment(data: bytes, level: int = 6) -> bytes:
+    """Raw-deflate ``data`` as a NON-final segment (Z_FULL_FLUSH): the
+    output byte-aligns on a block boundary with the dictionary reset, so
+    independently-produced segments concatenate into one valid deflate
+    stream (terminated by deflate_stream_tail)."""
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    return co.compress(data) + co.flush(zlib.Z_FULL_FLUSH)
+
+
+def deflate_stream_tail() -> bytes:
+    """The final (BFINAL=1) empty block closing a segmented stream."""
+    co = zlib.compressobj(1, zlib.DEFLATED, -15)
+    return co.compress(b"") + co.flush(zlib.Z_FINISH)
+
+
 def compress(data: bytes, level: int = 6, use_gzip: bool = False) -> bytes:
     if use_gzip:
         return gzip.compress(data, compresslevel=level, mtime=0)

@@ -179,3 +179,47 @@ def test_parse_layers_batch_dense_chain_finisher():
         fs, fe = meta["feat_start"][li], meta["feat_end"][li]
         got_region = meta["buf"][fs:fe].tobytes()
         assert got_region == region
+
+
+def test_adler32_combine_matches_zlib():
+    import random
+    import zlib
+
+    from mapnik_vector_tile_spark.functions import compression as Z
+
+    rng = random.Random(11)
+    for _ in range(100):
+        a = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 3000)))
+        b = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 70000)))
+        got = Z.adler32_combine(zlib.adler32(a), zlib.adler32(b), len(b))
+        assert got == zlib.adler32(a + b)
+
+
+def test_segmented_deflate_stream_roundtrip():
+    """The salted-encode assemble's framing: independently-deflated
+    segments + combined adler32 form one valid zlib stream that the
+    standard inflater (and our sniffer) accepts."""
+    import random
+    import struct
+    import zlib
+
+    from mapnik_vector_tile_spark.functions import compression as Z
+
+    rng = random.Random(5)
+    for _ in range(20):
+        parts = [
+            bytes(rng.randrange(256) for _ in range(rng.randrange(0, 100000)))
+            for _ in range(rng.randrange(1, 6))
+        ]
+        stream = (
+            b"\x78\x9c"
+            + b"".join(Z.deflate_segment(p, level=rng.choice([1, 6])) for p in parts)
+            + Z.deflate_stream_tail()
+        )
+        ad = 1
+        for p in parts:
+            ad = Z.adler32_combine(ad, zlib.adler32(p), len(p))
+        stream += struct.pack(">I", ad)
+        assert Z.is_zlib_compressed(stream)
+        assert zlib.decompress(stream) == b"".join(parts)
+        assert Z.decompress(stream) == b"".join(parts)
