@@ -173,7 +173,6 @@ def _one_shot_probe(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "zq", "neighbor_id", "rank", dist_name)
-        .localCheckpoint(eager=True)
     )
     # resolution + finest-level selection as WINDOW functions over the
     # (query_id, zq) partitioning the rank window already established —
@@ -200,10 +199,11 @@ def _one_shot_probe(
             ),
         )
     )
-    # materialize the (<= qn*k row) result once: the straggler check and
-    # the caller's terminal action then both read this checkpoint
-    # instead of each re-evaluating the enriched join + window subplan
-    # (two multi-stage AQE queries over the same 1.5k rows — r7)
+    # ONE materializing job for the whole probe (r7): topk_all has a
+    # single consumer (this enriched subplan), so only the (<= qn*k row)
+    # RESULT is checkpointed — the straggler check and the caller's
+    # terminal action both read the checkpoint instead of re-evaluating
+    # anything, and the probe join never runs twice.
     resolved = (
         enriched.where(F.col("zq") == F.col("_best_zq"))
         .select("query_id", "neighbor_id", "rank", dist_name)
