@@ -92,29 +92,54 @@ def ngram_jaccard(
     intersection counts (again an equi-join on token hash, no UDF)."""
     if candidates is None:
         candidates = minhash_lsh_candidates(df, text_col)
-    toks = _tokens(df, text_col).select("doc_id", "th").distinct()
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("th").alias("tha"))
-    tb = toks.select(F.col("doc_id").alias("_doc_b2"), F.col("th").alias("thb"))
-    inter = (
-        candidates.join(ta, "doc_a")
-        .join(tb, (F.col("doc_b") == F.col("_doc_b2")) & (F.col("tha") == F.col("thb")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    # r7: intersect per-doc token-SET ARRAYS instead of exploding
+    # candidates x tokens. The old inter-join shipped one row per
+    # (pair, shared token) — |cand| * tokens-per-doc rows (480M on the
+    # sf0.1 funnel, an 11+ GB exchange into a sort-merge join). The
+    # array form joins each doc's distinct-token array once per pair
+    # side (AQE broadcasts the per-doc table when it is small) and
+    # computes the identical intersection count with a JVM built-in:
+    # size(array_intersect(a, b)) over distinct-element arrays == the
+    # old count of matching th rows. Rows through the join drop by the
+    # tokens-per-doc factor; a jaccard=0 pair is filtered by the same
+    # threshold predicate the old inner token-join encoded implicitly
+    # (threshold > 0 by contract, as 0 would mean "every pair").
+    arrs = (
+        _tokens(df, text_col)
+        .select("doc_id", "th")
+        .groupBy("doc_id")
+        .agg(F.collect_set("th").alias("_ths"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     scored = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        candidates.join(
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("_ths").alias("_tha")),
+            "doc_a",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("_ths").alias("_thb")),
+            "doc_b",
+        )
+        # shuffle() is a nondeterminism BARRIER, not an algorithm step:
+        # without it Catalyst pushes the threshold filter into the join
+        # condition and array_intersect evaluates 4x per row (3x in the
+        # pushed condition + 1x in the projection; measured 34.5s vs
+        # 12-14s on the 9.6M-pair sf0.1 funnel). size() of the
+        # intersection is invariant under the permutation, so results
+        # are identical and stable under task retries.
+        .withColumn(
+            "inter", F.size(F.array_intersect(F.shuffle("_tha"), "_thb"))
+        )
         .withColumn(
             "jaccard",
-            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+            F.col("inter")
+            / (F.size("_tha") + F.size("_thb") - F.col("inter")),
         )
     )
-    return scored.where(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    # inter > 0 mirrors the old INNER token-join exactly (it never
+    # emitted zero-intersection pairs, whatever the threshold)
+    return scored.where(
+        (F.col("inter") > 0) & (F.col("jaccard") >= threshold)
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
