@@ -186,6 +186,32 @@ def plans(out_dir):
     )
     dump("knn", knn.knn_ring_expansion(located, queries_df, k=5, z=9, query_count=100))
 
+    # geom_tiles: same synthetic WKT input as bench.py (tiny slice — the
+    # plan shape is row-count independent)
+    def gen_geoms(iterator):
+        import pandas as pd
+
+        half = 20037508.342789244
+        for pdf in iterator:
+            rows_out = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                cx = -half * 0.9 + (i * 2654435761 % 2**32) / 2**32 * half * 1.8
+                cy = -half * 0.6 + (i * 2246822519 % 2**32) / 2**32 * half * 1.2
+                s = half / 64 * (0.02 if i % 10 else 1.5)
+                wkt = f"LINESTRING({cx} {cy},{cx + s} {cy + s},{cx + 2 * s} {cy})"
+                rows_out.append((f"g{i:09d}", wkt))
+            yield pd.DataFrame(rows_out, columns=["gid", "geom_wkt"])
+
+    geoms = (
+        spark.range(2000)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .mapInPandas(gen_geoms, "gid string, geom_wkt string")
+        .localCheckpoint(eager=True)
+    )
+    gtiles = GT.build_geom_tiles(geoms, ["gid"], z=6, simplify_distance=2.0, id_col="gid")
+    dump("geom_tiles", gtiles.agg(F.count("*").alias("tiles"), F.sum("n_features").alias("feats")))
+
     for name in ("tile_assign_z13", "agg_pushdown"):
         dump(name, Q.spark_query(name)(spark, sf_dir))
 
