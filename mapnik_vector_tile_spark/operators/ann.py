@@ -144,18 +144,26 @@ def cosine_near_dups(
     df: DataFrame, threshold: float = 0.3, use_lsh: bool = False,
     n_planes: int = 4, n_tables: int = 6,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brief requirement):
     (a, b, cosine) for a < b with cosine >= threshold.
 
-    use_lsh=False: exact — every pair scored through the component
-    equi-join (the oracle twin; quadratic, baseline only).
+    use_lsh=False: exact — block-Gram form: vectors are hashed into
+    n_blocks blocks, every block pair (upper triangle) computes its
+    sub-Gram matrix in one vectorized numpy kernel, and only the pairs
+    clearing the threshold leave the kernel. The data crossing the
+    block-pair join is n_blocks copies of the packed vectors — the
+    irreducible movement of an exact quadratic baseline — instead of
+    dim x N^2/2 exploded component rows through a sort-merge exchange.
+    Size n_blocks so a block holds at most a few thousand rows
+    (~N/1024) to bound per-task Gram memory.
     use_lsh=True: the scale path — only pairs sharing a hyperplane
     bucket in any table are scored (bucket equi-join, never all-pairs);
     recall vs exact is pinned in tests."""
-    comp = _components(df, id_col, vec_col)
-    norms = _norms(comp)
     if use_lsh:
+        comp = _components(df, id_col, vec_col)
+        norms = _norms(comp)
         buckets = _hyperplane_buckets(df, id_col, vec_col, n_planes, n_tables)
         b2 = buckets.select(
             F.col("vid").alias("vid_b"), F.col("tbl").alias("tbl"),
@@ -175,23 +183,80 @@ def cosine_near_dups(
             .groupBy("doc_a", "doc_b")
             .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
         )
-    else:
-        ca = comp.select(F.col("vid").alias("doc_a"), "i", F.col("v").alias("va"))
-        cb = comp.select(F.col("vid").alias("doc_b"), "i", F.col("v").alias("vb"))
-        dots = (
-            ca.join(cb, "i")
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+        na = norms.select(F.col("vid").alias("doc_a"), F.col("nrm").alias("na"))
+        nb = norms.select(F.col("vid").alias("doc_b"), F.col("nrm").alias("nb"))
+        scored = dots.join(na, "doc_a").join(nb, "doc_b").withColumn(
+            "cosine", F.col("dot") / (F.col("na") * F.col("nb"))
         )
-    na = norms.select(F.col("vid").alias("doc_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("vid").alias("doc_b"), F.col("nrm").alias("nb"))
-    scored = dots.join(na, "doc_a").join(nb, "doc_b").withColumn(
-        "cosine", F.col("dot") / (F.col("na") * F.col("nb"))
+        return scored.where(F.col("cosine") >= threshold).select(
+            "doc_a", "doc_b", F.round("cosine", 6).alias("cosine")
+        )
+    spark = df.sparkSession
+    thr = float(threshold)
+    packed = (
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .where(F.col("vec").isNotNull())
+        .withColumn("blk", F.pmod(F.xxhash64("vid"), F.lit(n_blocks)).cast("int"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vid", "vec")).alias("rows"))
     )
-    return scored.where(F.col("cosine") >= threshold).select(
-        "doc_a", "doc_b", F.round("cosine", 6).alias("cosine")
+    pair_keys = (
+        spark.range(n_blocks * n_blocks)
+        .select(
+            (F.col("id") / n_blocks).cast("int").alias("ba"),
+            F.pmod(F.col("id"), n_blocks).cast("int").alias("bb"),
+        )
+        .where(F.col("ba") <= F.col("bb"))
     )
+    a_side = packed.select(F.col("blk").alias("ba"), F.col("rows").alias("rows_a"))
+    b_side = packed.select(F.col("blk").alias("bb"), F.col("rows").alias("rows_b"))
+    joined = pair_keys.join(a_side, "ba").join(b_side, "bb").select(
+        "ba", "bb", "rows_a", "rows_b"
+    )
+
+    def gram(iterator):
+        for pdf in iterator:
+            out_a, out_b, out_c = [], [], []
+            for ba, bb, rows_a, rows_b in zip(
+                pdf["ba"], pdf["bb"], pdf["rows_a"], pdf["rows_b"]
+            ):
+                ids_a = np.array([r["vid"] for r in rows_a], dtype=np.int64)
+                Ma = np.array([np.asarray(r["vec"]) for r in rows_a], dtype=np.float64)
+                if ba == bb:
+                    ids_b, Mb = ids_a, Ma
+                else:
+                    ids_b = np.array([r["vid"] for r in rows_b], dtype=np.int64)
+                    Mb = np.array(
+                        [np.asarray(r["vec"]) for r in rows_b], dtype=np.float64
+                    )
+                na = np.sqrt(np.einsum("ij,ij->i", Ma, Ma))
+                nb_ = na if ba == bb else np.sqrt(np.einsum("ij,ij->i", Mb, Mb))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    C = (Ma @ Mb.T) / np.outer(na, nb_)
+                hit = C >= thr
+                if ba == bb:
+                    hit &= ids_a[:, None] < ids_b[None, :]
+                else:
+                    hit &= ids_a[:, None] != ids_b[None, :]
+                ia, ib = np.nonzero(hit)
+                if len(ia) == 0:
+                    continue
+                va, vb = ids_a[ia], ids_b[ib]
+                lo = np.minimum(va, vb)
+                out_a.append(lo)
+                out_b.append(np.maximum(va, vb))
+                out_c.append(C[ia, ib])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "doc_a": np.concatenate(out_a),
+                        "doc_b": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    scored = joined.mapInPandas(gram, schema="doc_a long, doc_b long, cosine double")
+    return scored.select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
 
 
 def _kmeans_refine(

@@ -177,6 +177,37 @@ def test_embedding_cosine_near_dups_lsh_recall(vectors):
     assert len(e & l) / len(e) >= 0.5  # near-orthogonal synthetic data
 
 
+def test_cosine_near_dups_block_gram_exact(vectors):
+    """The exact path's block-Gram kernel against an independent
+    per-pair reference, and block-count invariance."""
+    import numpy as np
+
+    out = ann.cosine_near_dups(vectors, threshold=0.3).toPandas()
+    pdf = vectors.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    M = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    nrm = np.sqrt((M * M).sum(axis=1))
+    C = (M @ M.T) / np.outer(nrm, nrm)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    keep = C[iu, ju] >= 0.3
+    ref = {
+        (int(ids[i]), int(ids[j])): round(float(C[i, j]), 6)
+        for i, j in zip(iu[keep], ju[keep])
+    }
+    got = {
+        (int(a), int(b)): float(c)
+        for a, b, c in out[["doc_a", "doc_b", "cosine"]].to_numpy()
+    }
+    assert set(got) == set(ref)
+    assert all(abs(got[k] - ref[k]) < 2e-6 for k in ref)
+    one_block = ann.cosine_near_dups(vectors, threshold=0.3, n_blocks=1).toPandas()
+    got1 = {
+        (int(a), int(b)): float(c)
+        for a, b, c in one_block[["doc_a", "doc_b", "cosine"]].to_numpy()
+    }
+    assert got1 == got
+
+
 def test_ann_ivf_recall_vs_brute(vectors):
     qs = vectors.orderBy("vec_id").limit(8).select("vec_id")
     exact = ann.brute_force_topk(vectors, qs, k=5).toPandas()
