@@ -48,11 +48,25 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n_perm: int = 8) -
 
 
 def minhash_lsh_candidates(
-    df: DataFrame, text_col: str = "text", n_perm: int = 8, bands: int = 4
+    df: DataFrame, text_col: str = "text", n_perm: int = 8, bands: int = 4,
+    chunk: int = 512,
 ) -> DataFrame:
-    """LSH banding: signatures -> band keys -> self-equi-join per band.
-    The join is on the band hash (equi, shuffle-prunable); all-pairs
-    never materializes. Returns candidate (doc_a, doc_b, n_bands_hit)."""
+    """LSH banding: signatures -> band keys -> per-bucket pair expansion.
+    All-pairs never materializes: docs sharing a band key land in one
+    bucket (equi-shuffle on the band hash), each bucket's member list is
+    cut into `chunk`-sized slices, and every slice pair becomes an
+    independent work unit expanded by a vectorized numpy kernel. A
+    bucket of any size therefore spreads over ceil(n/chunk)^2/2 tasks —
+    a single hot band key cannot serialize the stage (AQE skew-split
+    cannot cut one join key; this chunking can). Each unit carries the
+    members' full band-key vectors, so the kernel computes n_bands_hit
+    directly and emits a pair only from its FIRST matching band — the
+    output is exact and already distinct, eliminating the former
+    20M-row pair shuffle + 9.6M-group count aggregation (sf0.1 shape)
+    behind the old band join. Returns (doc_a, doc_b, n_bands_hit)."""
+    import numpy as np
+    import pandas as pd
+
     rows_per_band = n_perm // bands
     sig = minhash_signatures(df, text_col, n_perm)
     band_cols = [
@@ -64,21 +78,87 @@ def minhash_lsh_candidates(
     banded = sig.select("doc_id", *band_cols)
     stacked = banded.selectExpr(
         "doc_id",
+        "array({sig}) as sig".format(sig=", ".join(f"band{b}" for b in range(bands))),
         "stack({n}, {pairs}) as (band_idx, band_key)".format(
             n=bands, pairs=", ".join(f"{b}, band{b}" for b in range(bands))
         ),
     )
-    a = stacked.alias("a")
-    b = stacked.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_bands_hit"))
+
+    def make_units(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        cols = ("band_idx", "ids_a", "sigs_a", "ids_b", "sigs_b")
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "band_idx": pd.Series([], dtype="int32"),
+                    **{c: pd.Series([], dtype="object") for c in cols[1:]},
+                }
+            )
+        pdf = pdf.sort_values("doc_id")
+        ids = pdf["doc_id"].to_numpy()
+        sigs = np.vstack([np.asarray(s, dtype=np.int64) for s in pdf["sig"]])
+        bidx = int(pdf["band_idx"].iloc[0])
+        nc = -(-n // chunk)
+        rows = []
+        for i in range(nc):
+            sa = slice(i * chunk, (i + 1) * chunk)
+            for j in range(i, nc):
+                sb = slice(j * chunk, (j + 1) * chunk)
+                rows.append(
+                    (
+                        bidx,
+                        ids[sa].tolist(),
+                        sigs[sa].ravel().tolist(),
+                        ids[sb].tolist() if j > i else None,
+                        sigs[sb].ravel().tolist() if j > i else None,
+                    )
+                )
+        return pd.DataFrame(rows, columns=cols)
+
+    units = stacked.groupBy("band_idx", "band_key").applyInPandas(
+        make_units,
+        schema="band_idx int, ids_a array<long>, sigs_a array<long>, "
+        "ids_b array<long>, sigs_b array<long>",
+    )
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+
+    def expand(iterator):
+        for pdf in iterator:
+            out_a, out_b, out_n = [], [], []
+            for bidx, ids_a, sigs_a, ids_b, sigs_b in zip(
+                pdf["band_idx"], pdf["ids_a"], pdf["sigs_a"],
+                pdf["ids_b"], pdf["sigs_b"],
+            ):
+                ia_arr = np.asarray(ids_a, dtype=np.int64)
+                A = np.asarray(sigs_a, dtype=np.int64).reshape(len(ia_arr), bands)
+                diag = ids_b is None or len(ids_b) == 0
+                if diag:
+                    ib_arr, B = ia_arr, A
+                else:
+                    ib_arr = np.asarray(ids_b, dtype=np.int64)
+                    B = np.asarray(sigs_b, dtype=np.int64).reshape(len(ib_arr), bands)
+                eq = A[:, None, :] == B[None, :, :]
+                first = eq.argmax(axis=2)
+                hit = first == bidx
+                if diag:
+                    hit &= np.triu(np.ones((len(ia_arr),) * 2, dtype=bool), k=1)
+                ii, jj = np.nonzero(hit)
+                if len(ii) == 0:
+                    continue
+                out_a.append(ia_arr[ii])
+                out_b.append(ib_arr[jj])
+                out_n.append(eq.sum(axis=2)[ii, jj].astype(np.int64))
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "doc_a": np.concatenate(out_a),
+                        "doc_b": np.concatenate(out_b),
+                        "n_bands_hit": np.concatenate(out_n),
+                    }
+                )
+
+    return units.repartition(parallelism).mapInPandas(
+        expand, schema="doc_a long, doc_b long, n_bands_hit long"
     )
 
 

