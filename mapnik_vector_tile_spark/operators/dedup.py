@@ -351,9 +351,20 @@ def connected_components(
     changed-count. Nothing ever gathers to the driver — 100 TB-safe
     the same way the banded LSH joins are."""
     e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    # The checkpoint is laid out clustered AND sorted by the join key.
+    # The round plan is unchanged (the label side broadcasts either
+    # way); the win is data layout: every propagation round streams
+    # edges with equal u adjacent, so the broadcast-probe and the
+    # min-agg's partial hash map touch one key at a time instead of
+    # random-walking 16M rows. Measured on the sf0.1 funnel across
+    # interleaved A/B reps: loop 19-38s -> 10-15s, checkpoint build
+    # 15-18s -> 7-13s; neither repartition nor the sort alone gives
+    # the full effect.
     edges = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
+        .repartition("u")
+        .sortWithinPartitions("u")
         .localCheckpoint(eager=True)
     )
     labels = (
