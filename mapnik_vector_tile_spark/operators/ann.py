@@ -160,7 +160,13 @@ def cosine_near_dups(
     (~N/1024) to bound per-task Gram memory.
     use_lsh=True: the scale path — only pairs sharing a hyperplane
     bucket in any table are scored (bucket equi-join, never all-pairs);
-    recall vs exact is pinned in tests."""
+    recall vs exact is pinned in tests.
+
+    The exact path requires an integral id_col (ids travel through the
+    kernel as int64; the LSH branch keeps the generic join form).
+    Ragged vector widths are zero-padded per block pair, which
+    reproduces the component-equi-join semantics exactly (absent
+    components contribute 0 to the dot and nothing to either norm)."""
     if use_lsh:
         comp = _components(df, id_col, vec_col)
         norms = _norms(comp)
@@ -195,7 +201,7 @@ def cosine_near_dups(
     thr = float(threshold)
     packed = (
         df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-        .where(F.col("vec").isNotNull())
+        .where(F.col("vid").isNotNull() & F.col("vec").isNotNull())
         .withColumn("blk", F.pmod(F.xxhash64("vid"), F.lit(n_blocks)).cast("int"))
         .groupBy("blk")
         .agg(F.collect_list(F.struct("vid", "vec")).alias("rows"))
@@ -211,8 +217,21 @@ def cosine_near_dups(
     a_side = packed.select(F.col("blk").alias("ba"), F.col("rows").alias("rows_a"))
     b_side = packed.select(F.col("blk").alias("bb"), F.col("rows").alias("rows_b"))
     joined = pair_keys.join(a_side, "ba").join(b_side, "bb").select(
-        "ba", "bb", "rows_a", "rows_b"
+        "ba",
+        "bb",
+        "rows_a",
+        # diag pairs read only rows_a — don't ship the duplicate copy
+        F.when(F.col("ba") < F.col("bb"), F.col("rows_b")).alias("rows_b"),
     )
+
+    def _mat(rows):
+        ids = np.array([r["vid"] for r in rows], dtype=np.int64)
+        vecs = [np.asarray(r["vec"], dtype=np.float64) for r in rows]
+        width = max((len(v) for v in vecs), default=0)
+        M = np.zeros((len(vecs), width))
+        for k, v in enumerate(vecs):
+            M[k, : len(v)] = v
+        return ids, M
 
     def gram(iterator):
         for pdf in iterator:
@@ -220,15 +239,16 @@ def cosine_near_dups(
             for ba, bb, rows_a, rows_b in zip(
                 pdf["ba"], pdf["bb"], pdf["rows_a"], pdf["rows_b"]
             ):
-                ids_a = np.array([r["vid"] for r in rows_a], dtype=np.int64)
-                Ma = np.array([np.asarray(r["vec"]) for r in rows_a], dtype=np.float64)
+                ids_a, Ma = _mat(rows_a)
                 if ba == bb:
                     ids_b, Mb = ids_a, Ma
                 else:
-                    ids_b = np.array([r["vid"] for r in rows_b], dtype=np.int64)
-                    Mb = np.array(
-                        [np.asarray(r["vec"]) for r in rows_b], dtype=np.float64
-                    )
+                    ids_b, Mb = _mat(rows_b)
+                    w = max(Ma.shape[1], Mb.shape[1])
+                    if Ma.shape[1] < w:
+                        Ma = np.pad(Ma, ((0, 0), (0, w - Ma.shape[1])))
+                    if Mb.shape[1] < w:
+                        Mb = np.pad(Mb, ((0, 0), (0, w - Mb.shape[1])))
                 na = np.sqrt(np.einsum("ij,ij->i", Ma, Ma))
                 nb_ = na if ba == bb else np.sqrt(np.einsum("ij,ij->i", Mb, Mb))
                 with np.errstate(divide="ignore", invalid="ignore"):
@@ -255,7 +275,13 @@ def cosine_near_dups(
                     }
                 )
 
-    scored = joined.mapInPandas(gram, schema="doc_a long, doc_b long, cosine double")
+    # round-robin the block pairs: joined is partitioned by bb after the
+    # join, which caps parallelism at n_blocks and loads later blocks
+    # triangularly; an explicit repartition spreads the Gram kernels
+    parallelism = spark.sparkContext.defaultParallelism
+    scored = joined.repartition(parallelism).mapInPandas(
+        gram, schema="doc_a long, doc_b long, cosine double"
+    )
     return scored.select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
 
 

@@ -5,7 +5,10 @@ twins in queries.py (which the driver oracle-checks); these add the
 the expensive verify, map-side combines everywhere.
 
 All hashes are md5-derived 60-bit ints (portable, seedable by constant
-mixing) — no Python UDFs anywhere; everything is Column math.
+mixing) — no per-row Python UDFs anywhere; scoring and banding are
+Column math, and the only Python stages are the vectorized
+chunk/expand kernels inside minhash_lsh_candidates (batch numpy over
+Arrow, never row-at-a-time).
 """
 
 from __future__ import annotations
@@ -84,41 +87,59 @@ def minhash_lsh_candidates(
         ),
     )
 
-    def make_units(pdf: pd.DataFrame) -> pd.DataFrame:
+    def make_chunks(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
-        cols = ("band_idx", "ids_a", "sigs_a", "ids_b", "sigs_b")
+        cols = ("band_idx", "band_key", "ci", "ids", "sigs")
         if n < 2:
             return pd.DataFrame(
                 {
                     "band_idx": pd.Series([], dtype="int32"),
-                    **{c: pd.Series([], dtype="object") for c in cols[1:]},
+                    "band_key": pd.Series([], dtype="int64"),
+                    "ci": pd.Series([], dtype="int32"),
+                    "ids": pd.Series([], dtype="object"),
+                    "sigs": pd.Series([], dtype="object"),
                 }
             )
         pdf = pdf.sort_values("doc_id")
         ids = pdf["doc_id"].to_numpy()
         sigs = np.vstack([np.asarray(s, dtype=np.int64) for s in pdf["sig"]])
         bidx = int(pdf["band_idx"].iloc[0])
+        bkey = int(pdf["band_key"].iloc[0])
         nc = -(-n // chunk)
         rows = []
         for i in range(nc):
-            sa = slice(i * chunk, (i + 1) * chunk)
-            for j in range(i, nc):
-                sb = slice(j * chunk, (j + 1) * chunk)
-                rows.append(
-                    (
-                        bidx,
-                        ids[sa].tolist(),
-                        sigs[sa].ravel().tolist(),
-                        ids[sb].tolist() if j > i else None,
-                        sigs[sb].ravel().tolist() if j > i else None,
-                    )
-                )
+            s = slice(i * chunk, (i + 1) * chunk)
+            rows.append((bidx, bkey, i, ids[s].tolist(), sigs[s].ravel().tolist()))
         return pd.DataFrame(rows, columns=cols)
 
-    units = stacked.groupBy("band_idx", "band_key").applyInPandas(
-        make_units,
-        schema="band_idx int, ids_a array<long>, sigs_a array<long>, "
-        "ids_b array<long>, sigs_b array<long>",
+    # One row per chunk (O(bucket) bytes per task), then a self-equi-join
+    # on the bucket key pairs the chunks: the quadratic unit stream is
+    # produced by the streaming join, never materialized in one task, so
+    # a degenerate bucket cannot OOM the chunking stage.
+    chunks = stacked.groupBy("band_idx", "band_key").applyInPandas(
+        make_chunks,
+        schema="band_idx int, band_key long, ci int, "
+        "ids array<long>, sigs array<long>",
+    )
+    ca = chunks.select(
+        "band_idx", "band_key", F.col("ci").alias("ca"),
+        F.col("ids").alias("ids_a"), F.col("sigs").alias("sigs_a"),
+    )
+    cb = chunks.select(
+        "band_idx", "band_key", F.col("ci").alias("cb"),
+        F.col("ids").alias("ids_b"), F.col("sigs").alias("sigs_b"),
+    )
+    units = (
+        ca.join(cb, ["band_idx", "band_key"])
+        .where(F.col("ca") <= F.col("cb"))
+        .select(
+            "band_idx",
+            "ids_a",
+            "sigs_a",
+            # diag units read only the a side — don't ship the duplicate
+            F.when(F.col("ca") < F.col("cb"), F.col("ids_b")).alias("ids_b"),
+            F.when(F.col("ca") < F.col("cb"), F.col("sigs_b")).alias("sigs_b"),
+        )
     )
     parallelism = df.sparkSession.sparkContext.defaultParallelism
 

@@ -222,6 +222,40 @@ def test_cosine_near_dups_block_gram_exact(vectors):
     assert got1 == got
 
 
+def test_cosine_near_dups_ragged_and_degenerate(spark):
+    """Exact-path parity with the component-equi-join semantics on the
+    inputs the kernel must not crash on: mixed vector widths (dot over
+    shared indices == zero-padded dot), an empty embedding and a null
+    id (both silently contribute no pairs, as the old join form did)."""
+    import numpy as np
+
+    rows = [
+        (1, [1.0, 0.0, 2.0]),
+        (2, [1.0, 0.0]),          # shorter: shares indices 0..1
+        (3, [0.5, 0.0, 1.0, 9.9]),  # longer
+        (4, []),                  # empty: no components
+        (None, [1.0, 1.0]),       # null id: dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ann.cosine_near_dups(df, threshold=0.1).toPandas()
+    got = {
+        (int(a), int(b)): float(c)
+        for a, b, c in out[["doc_a", "doc_b", "cosine"]].to_numpy()
+    }
+    vecs = {i: np.array(v, dtype=np.float64) for i, v in rows[:4] if v}
+    ref = {}
+    for a in vecs:
+        for b in vecs:
+            if a < b:
+                w = min(len(vecs[a]), len(vecs[b]))
+                dot = float(vecs[a][:w] @ vecs[b][:w])
+                cos = dot / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+                if cos >= 0.1:
+                    ref[(a, b)] = round(cos, 6)
+    assert set(got) == set(ref)
+    assert all(abs(got[k] - ref[k]) < 2e-6 for k in ref)
+
+
 def test_ann_ivf_recall_vs_brute(vectors):
     qs = vectors.orderBy("vec_id").limit(8).select("vec_id")
     exact = ann.brute_force_topk(vectors, qs, k=5).toPandas()
